@@ -1,0 +1,194 @@
+"""TPU-native batching: padded, static-shape batched molecular graphs.
+
+The reference batches graphs as dynamically-sized COO concatenations
+(``chemprop/data/collate.py:14-97``) — fine for eager PyTorch, hostile to XLA,
+where every new shape triggers a recompile. Here a batch is a fixed-shape
+padded structure:
+
+* nodes and edges of all graphs are concatenated then padded to bucketed
+  sizes (``N_pad``/``E_pad``), so a whole training run reuses a handful of
+  compiled programs;
+* padding edges point at the last (padding) node row and are masked; padding
+  nodes belong to a sacrificial graph segment (id ``n_graphs``), so segment
+  reductions need no masking of their own;
+* ``rev`` is the reverse-edge permutation (identity on padding), enabling the
+  D-MPNN reverse-edge subtraction as a pure gather.
+
+The structure is a registered JAX pytree (flax.struct) and moves to device as
+one transfer.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, NamedTuple, Sequence
+
+import numpy as np
+from flax import struct
+
+from chemprop_tpu.types import MolGraph
+
+
+@struct.dataclass
+class BatchMolGraph:
+    V: np.ndarray  # [N_pad, d_v] float32
+    E: np.ndarray  # [E_pad, d_e] float32
+    src: np.ndarray  # [E_pad] int32: source node of each directed edge
+    dst: np.ndarray  # [E_pad] int32: destination node
+    rev: np.ndarray  # [E_pad] int32: index of the reverse directed edge
+    batch: np.ndarray  # [N_pad] int32: owning graph id (padding -> n_graphs)
+    node_mask: np.ndarray  # [N_pad] bool
+    edge_mask: np.ndarray  # [E_pad] bool
+    n_graphs: int = struct.field(pytree_node=False)
+
+    def __len__(self) -> int:
+        return self.n_graphs
+
+    @property
+    def edge_index(self) -> np.ndarray:
+        """Reference-compatible ``[2, E]`` view."""
+        return np.stack([np.asarray(self.src), np.asarray(self.dst)])
+
+
+class TrainingBatch(NamedTuple):
+    bmg: BatchMolGraph
+    V_d: np.ndarray | None  # [N_pad, d_vd]
+    X_d: np.ndarray | None  # [B, d_xd]
+    Y: np.ndarray | None  # [B, t] (padding rows are NaN -> masked by isfinite)
+    w: np.ndarray  # [B, 1] sample weights (padding rows are 0)
+    lt_mask: np.ndarray | None  # [B, t] bool
+    gt_mask: np.ndarray | None  # [B, t] bool
+
+    @property
+    def pad_mask(self) -> np.ndarray:
+        """[B] bool: True for real samples."""
+        return np.asarray(self.w).reshape(-1) > 0
+
+
+def pad_to_bucket(n: int, multiple: int = 64, ratio: float = 1.25) -> int:
+    """Smallest bucket >= n from a geometric-ish ladder: multiples of
+    ``multiple`` up to 4x, then geometric with ``ratio`` rounded to
+    ``multiple``. Bounds both padding waste (<~25%) and the number of
+    distinct compiled shapes."""
+    if n <= multiple:
+        return multiple
+    if n <= 4 * multiple:
+        return -(-n // multiple) * multiple
+    b = 4 * multiple
+    while b < n:
+        b = -(-int(b * ratio) // multiple) * multiple
+    return b
+
+
+class PadSpec(NamedTuple):
+    n_nodes: int
+    n_edges: int
+    n_graphs: int
+
+    @classmethod
+    def for_graphs(
+        cls, mgs: Sequence[MolGraph], n_graphs: int | None = None, bucket: bool = True
+    ) -> "PadSpec":
+        n_nodes = sum(mg.V.shape[0] for mg in mgs) + 1  # >=1 padding node row
+        n_edges = max(1, sum(mg.E.shape[0] for mg in mgs))
+        if bucket:
+            n_nodes = pad_to_bucket(n_nodes)
+            n_edges = pad_to_bucket(n_edges)
+        return cls(n_nodes, n_edges, n_graphs or len(mgs))
+
+
+def batch_mol_graphs(mgs: Sequence[MolGraph], pad: PadSpec | None = None) -> BatchMolGraph:
+    """Disjoint-union batching with static-shape padding."""
+    pad = pad or PadSpec.for_graphs(mgs)
+    n_real_nodes = sum(mg.V.shape[0] for mg in mgs)
+    n_real_edges = sum(mg.E.shape[0] for mg in mgs)
+    if n_real_nodes >= pad.n_nodes:
+        raise ValueError(
+            f"pad.n_nodes={pad.n_nodes} must exceed total node count {n_real_nodes} "
+            "(one padding row is required)"
+        )
+    if n_real_edges > pad.n_edges:
+        raise ValueError(f"pad.n_edges={pad.n_edges} < total edge count {n_real_edges}")
+    if len(mgs) > pad.n_graphs:
+        raise ValueError(f"pad.n_graphs={pad.n_graphs} < batch size {len(mgs)}")
+
+    d_v = mgs[0].V.shape[1]
+    d_e = mgs[0].E.shape[1]
+    V = np.zeros((pad.n_nodes, d_v), dtype=np.float32)
+    E = np.zeros((pad.n_edges, d_e), dtype=np.float32)
+    pad_node = pad.n_nodes - 1
+    src = np.full(pad.n_edges, pad_node, dtype=np.int32)
+    dst = np.full(pad.n_edges, pad_node, dtype=np.int32)
+    rev = np.arange(pad.n_edges, dtype=np.int32)  # identity on padding
+    batch = np.full(pad.n_nodes, pad.n_graphs, dtype=np.int32)
+    node_mask = np.zeros(pad.n_nodes, dtype=bool)
+    edge_mask = np.zeros(pad.n_edges, dtype=bool)
+
+    v0 = e0 = 0
+    for i, mg in enumerate(mgs):
+        nv, ne = mg.V.shape[0], mg.E.shape[0]
+        V[v0 : v0 + nv] = mg.V
+        E[e0 : e0 + ne] = mg.E
+        src[e0 : e0 + ne] = mg.edge_index[0] + v0
+        dst[e0 : e0 + ne] = mg.edge_index[1] + v0
+        rev[e0 : e0 + ne] = mg.rev_edge_index + e0
+        batch[v0 : v0 + nv] = i
+        node_mask[v0 : v0 + nv] = True
+        edge_mask[e0 : e0 + ne] = True
+        v0 += nv
+        e0 += ne
+
+    return BatchMolGraph(
+        V=V,
+        E=E,
+        src=src,
+        dst=dst,
+        rev=rev,
+        batch=batch,
+        node_mask=node_mask,
+        edge_mask=edge_mask,
+        n_graphs=pad.n_graphs,
+    )
+
+
+def collate_batch(
+    data: Iterable, pad: PadSpec | None = None, n_targets: int | None = None
+) -> TrainingBatch:
+    """Collate ``Datum`` tuples (mg, V_d, x_d, y, weight, lt_mask, gt_mask)
+    into a padded :class:`TrainingBatch`. Padding samples get NaN targets and
+    zero weight so masked losses ignore them without extra plumbing."""
+    mgs, V_ds, x_ds, ys, weights, lt_masks, gt_masks = zip(*data)
+    pad = pad or PadSpec.for_graphs(mgs)
+    bmg = batch_mol_graphs(mgs, pad)
+    b_real, b_pad = len(mgs), pad.n_graphs
+
+    V_d = None
+    if V_ds[0] is not None:
+        V_d = np.zeros((pad.n_nodes, V_ds[0].shape[1]), dtype=np.float32)
+        v0 = 0
+        for mg, vd in zip(mgs, V_ds):
+            V_d[v0 : v0 + vd.shape[0]] = vd
+            v0 += mg.V.shape[0]
+
+    X_d = None
+    if x_ds[0] is not None:
+        X_d = np.zeros((b_pad, len(x_ds[0])), dtype=np.float32)
+        X_d[:b_real] = np.array(x_ds, dtype=np.float32)
+
+    Y = None
+    if ys[0] is not None:
+        t = len(ys[0]) if n_targets is None else n_targets
+        Y = np.full((b_pad, t), np.nan, dtype=np.float32)
+        Y[:b_real] = np.array(ys, dtype=np.float32)
+
+    w = np.zeros((b_pad, 1), dtype=np.float32)
+    w[:b_real, 0] = weights
+
+    lt = gt = None
+    if lt_masks[0] is not None:
+        lt = np.zeros((b_pad, len(lt_masks[0])), dtype=bool)
+        lt[:b_real] = np.array(lt_masks)
+    if gt_masks[0] is not None:
+        gt = np.zeros((b_pad, len(gt_masks[0])), dtype=bool)
+        gt[:b_real] = np.array(gt_masks)
+
+    return TrainingBatch(bmg, V_d, X_d, Y, w, lt, gt)

@@ -1,0 +1,119 @@
+"""Batch iteration for padded static-shape training (replaces the torch
+``DataLoader`` used by the reference, ``chemprop/data/dataloader.py:24-96``).
+
+XLA-first batching policy: every batch is padded to bucketed (node, edge)
+sizes and to a constant graph count, so one epoch touches only a handful of
+compiled program shapes. An optional background thread overlaps host
+featurization/collation with device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+from chemprop_tpu.data.collate import PadSpec, TrainingBatch, collate_batch, pad_to_bucket
+from chemprop_tpu.data.datasets import MoleculeDataset
+from chemprop_tpu.data.samplers import ClassBalanceSampler, SeededSampler
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset: MoleculeDataset,
+        batch_size: int = 64,
+        shuffle: bool = False,
+        seed: int | None = None,
+        class_balance: bool = False,
+        drop_last: bool = False,
+        pad_spec: PadSpec | None = None,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.pad_spec = pad_spec
+        self.prefetch = prefetch
+
+        if class_balance:
+            self.sampler = ClassBalanceSampler(dataset.Y, seed, shuffle)
+        elif shuffle:
+            if seed is None:
+                seed = 0
+            self.sampler = SeededSampler(len(dataset), seed)
+        else:
+            self.sampler = range(len(dataset))
+
+    def __len__(self) -> int:
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _make_batch(self, idxs: list[int]) -> TrainingBatch:
+        data = [self.dataset[i] for i in idxs]
+        pad = self.pad_spec
+        if pad is None:
+            pad = PadSpec.for_graphs([d.mg for d in data], n_graphs=self.batch_size)
+        return collate_batch(data, pad)
+
+    def _index_batches(self) -> Iterator[list[int]]:
+        batch: list[int] = []
+        for i in self.sampler:
+            batch.append(i)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def __iter__(self) -> Iterator[TrainingBatch]:
+        if self.prefetch <= 0:
+            for idxs in self._index_batches():
+                yield self._make_batch(idxs)
+            return
+        # background-thread pipeline: host featurization/collation overlaps
+        # with consumer (device) work
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+
+        def producer():
+            try:
+                for idxs in self._index_batches():
+                    q.put(self._make_batch(idxs))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+def build_dataloader(
+    dataset: MoleculeDataset,
+    batch_size: int = 64,
+    num_workers: int = 0,
+    class_balance: bool = False,
+    seed: int | None = None,
+    shuffle: bool = True,
+    **kwargs,
+) -> DataLoader:
+    """Reference-compatible loader builder (``chemprop/data/dataloader.py:24``);
+    ``num_workers`` maps to dataset-level parallel featurization."""
+    if num_workers:
+        dataset.n_workers = num_workers
+    return DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=shuffle,
+        seed=seed,
+        class_balance=class_balance,
+        **kwargs,
+    )

@@ -1,0 +1,144 @@
+"""Datapoint records (cf. reference ``chemprop/data/datapoints.py:14-344``):
+one sample = molecule(s) + targets ``y`` + sample ``weight`` + bounded-loss
+masks + optional extra descriptors/features. NaNs in feature arrays are
+sanitized to 0 (targets keep NaN: it encodes "missing task")."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from chemprop_tpu.chem import make_mol
+from chemprop_tpu.chem.mol import Mol
+
+
+def _nan_to_zero(x: np.ndarray | None) -> np.ndarray | None:
+    if x is not None:
+        x = np.asarray(x, dtype=np.float64)
+        x[np.isnan(x)] = 0
+    return x
+
+
+@dataclass
+class _DatapointMixin:
+    y: np.ndarray | None = None
+    weight: float = 1.0
+    gt_mask: np.ndarray | None = None
+    lt_mask: np.ndarray | None = None
+    x_d: np.ndarray | None = None
+    x_phase: list[float] | None = None
+    name: str | None = None
+
+    def __post_init__(self):
+        self.x_d = _nan_to_zero(self.x_d)
+        if self.y is not None:
+            self.y = np.asarray(self.y, dtype=np.float64)
+
+    @property
+    def t(self) -> int | None:
+        return len(self.y) if self.y is not None else None
+
+
+@dataclass
+class MoleculeDatapoint(_DatapointMixin):
+    mol: Mol = None
+    V_f: np.ndarray | None = None
+    """extra atom features, concatenated before message passing"""
+    E_f: np.ndarray | None = None
+    """extra bond features, concatenated before message passing"""
+    V_d: np.ndarray | None = None
+    """extra atom descriptors, concatenated after message passing"""
+
+    def __post_init__(self):
+        if self.mol is None:
+            raise ValueError("mol is required")
+        self.V_f = _nan_to_zero(self.V_f)
+        self.E_f = _nan_to_zero(self.E_f)
+        self.V_d = _nan_to_zero(self.V_d)
+        super().__post_init__()
+
+    @classmethod
+    def from_smi(
+        cls,
+        smi: str,
+        *,
+        keep_h: bool = False,
+        add_h: bool = False,
+        ignore_stereo: bool = False,
+        reorder_atoms: bool = False,
+        **kwargs,
+    ) -> "MoleculeDatapoint":
+        mol = make_mol(smi, keep_h, add_h, ignore_stereo, reorder_atoms)
+        kwargs.setdefault("name", smi)
+        return cls(mol=mol, **kwargs)
+
+    def __len__(self) -> int:
+        return 1
+
+
+@dataclass
+class ReactionDatapoint(_DatapointMixin):
+    rct: Mol = None
+    pdt: Mol = None
+
+    def __post_init__(self):
+        if self.rct is None or self.pdt is None:
+            raise ValueError("both reactant and product are required")
+        super().__post_init__()
+
+    @classmethod
+    def from_smi(
+        cls,
+        rxn_or_smis: str | tuple[str, str],
+        *,
+        keep_h: bool = False,
+        add_h: bool = False,
+        ignore_stereo: bool = False,
+        reorder_atoms: bool = False,
+        **kwargs,
+    ) -> "ReactionDatapoint":
+        match rxn_or_smis:
+            case str():
+                parts = rxn_or_smis.split(">")
+                if len(parts) == 3:
+                    rct_smi, agt_smi, pdt_smi = parts
+                    if agt_smi:
+                        rct_smi = f"{rct_smi}.{agt_smi}"
+                elif len(parts) == 2:
+                    rct_smi, pdt_smi = parts
+                else:
+                    raise ValueError(f"invalid reaction SMILES {rxn_or_smis!r}")
+                name = rxn_or_smis
+            case (str(), str()):
+                rct_smi, pdt_smi = rxn_or_smis
+                name = ">>".join(rxn_or_smis)
+            case _:
+                raise TypeError("must provide either a reaction SMARTS string or 2 SMILES")
+        rct = make_mol(rct_smi, keep_h, add_h, ignore_stereo, reorder_atoms)
+        pdt = make_mol(pdt_smi, keep_h, add_h, ignore_stereo, reorder_atoms)
+        kwargs.setdefault("name", name)
+        return cls(rct=rct, pdt=pdt, **kwargs)
+
+    def __len__(self) -> int:
+        return 2
+
+
+@dataclass
+class MolAtomBondDatapoint(MoleculeDatapoint):
+    """Adds per-atom and per-bond targets and optional molecule-level
+    constraints (cf. reference ``datapoints.py:246-344``)."""
+
+    E_d: np.ndarray | None = None
+    atom_y: np.ndarray | None = None
+    bond_y: np.ndarray | None = None
+    atom_constraints: np.ndarray | None = None
+    bond_constraints: np.ndarray | None = None
+
+    def __post_init__(self):
+        self.E_d = _nan_to_zero(self.E_d)
+        if self.atom_y is not None:
+            self.atom_y = np.asarray(self.atom_y, dtype=np.float64)
+        if self.bond_y is not None:
+            self.bond_y = np.asarray(self.bond_y, dtype=np.float64)
+        super().__post_init__()

@@ -1,0 +1,253 @@
+"""Datasets: index -> featurized ``Datum``; target/feature normalization.
+
+Fresh implementation with the semantics of the reference datasets
+(``chemprop/data/datasets.py:77-860``): raw vs scaled views of targets and
+extra features (StandardScaler per key), optional precomputed MolGraph cache,
+and per-index ``Datum`` tuples consumed by the padded collate
+(:mod:`chemprop_tpu.data.collate`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import numpy as np
+from sklearn.preprocessing import StandardScaler
+
+from chemprop_tpu.chem.mol import Mol
+from chemprop_tpu.chem.morgan import canonical_key
+from chemprop_tpu.data.datapoints import MoleculeDatapoint, ReactionDatapoint
+from chemprop_tpu.types import MolGraph
+from chemprop_tpu.featurizers.molgraph.molecule import SimpleMoleculeMolGraphFeaturizer
+from chemprop_tpu.utils.utils import parallel_execute
+
+
+class Datum(NamedTuple):
+    mg: MolGraph
+    V_d: np.ndarray | None
+    x_d: np.ndarray | None
+    y: np.ndarray | None
+    weight: float
+    lt_mask: np.ndarray | None
+    gt_mask: np.ndarray | None
+
+
+class _DatasetMixin:
+    def __len__(self) -> int:
+        return len(self.data)
+
+    @property
+    def _Y(self) -> np.ndarray:
+        return np.array([d.y for d in self.data], dtype=float)
+
+    @property
+    def Y(self) -> np.ndarray:
+        return self._scaled_Y
+
+    @Y.setter
+    def Y(self, Y) -> None:
+        Y = np.array(Y, dtype=float)
+        self._check_len(Y, "targets")
+        self._scaled_Y = Y
+
+    @property
+    def _X_d(self) -> np.ndarray:
+        return np.array([d.x_d for d in self.data])
+
+    @property
+    def X_d(self) -> np.ndarray:
+        return self._scaled_X_d
+
+    @X_d.setter
+    def X_d(self, X_d) -> None:
+        X_d = np.array(X_d)
+        self._check_len(X_d, "extra descriptors")
+        self._scaled_X_d = X_d
+
+    @property
+    def weights(self) -> np.ndarray:
+        return np.array([d.weight for d in self.data])
+
+    @property
+    def lt_mask(self) -> np.ndarray:
+        return np.array([d.lt_mask for d in self.data])
+
+    @property
+    def gt_mask(self) -> np.ndarray:
+        return np.array([d.gt_mask for d in self.data])
+
+    @property
+    def names(self) -> list[str | None]:
+        return [d.name for d in self.data]
+
+    @property
+    def t(self) -> int | None:
+        return self.data[0].t if len(self.data) else None
+
+    @property
+    def d_xd(self) -> int:
+        return 0 if self.X_d[0] is None else self.X_d.shape[1]
+
+    def normalize_targets(self, scaler: StandardScaler | None = None) -> StandardScaler:
+        if scaler is None:
+            scaler = StandardScaler().fit(self._Y)
+        self.Y = scaler.transform(self._Y)
+        return scaler
+
+    def reset(self) -> None:
+        self._scaled_Y = self._Y
+        self._scaled_X_d = self._X_d
+
+    def _check_len(self, X, label: str) -> None:
+        if len(X) != len(self.data):
+            raise ValueError(
+                f"number of datapoints ({len(self.data)}) and {label} ({len(X)}) must match"
+            )
+
+
+@dataclass
+class MoleculeDataset(_DatasetMixin):
+    data: list[MoleculeDatapoint]
+    featurizer: SimpleMoleculeMolGraphFeaturizer = field(
+        default_factory=SimpleMoleculeMolGraphFeaturizer
+    )
+    n_workers: int = 0
+
+    def __post_init__(self):
+        if self.data is None:
+            raise ValueError("data cannot be None")
+        self.reset()
+        self._cache: list[MolGraph] | None = None
+
+    # -------------------------------------------------------------- access
+    def __getitem__(self, idx: int) -> Datum:
+        d = self.data[idx]
+        mg = self._cache[idx] if self._cache is not None else self._featurize(idx)
+        return Datum(mg, self.V_ds[idx], self.X_d[idx], self.Y[idx], d.weight, d.lt_mask, d.gt_mask)
+
+    def _featurize(self, idx: int) -> MolGraph:
+        return self.featurizer(self.data[idx].mol, self.V_fs[idx], self.E_fs[idx])
+
+    @property
+    def cache(self) -> bool:
+        return self._cache is not None
+
+    @cache.setter
+    def cache(self, cache: bool) -> None:
+        if cache:
+            self._cache = parallel_execute(self._featurize, range(len(self)), self.n_workers)
+        else:
+            self._cache = None
+
+    @property
+    def mols(self) -> list[Mol]:
+        return [d.mol for d in self.data]
+
+    @property
+    def smiles(self) -> list[str]:
+        """Identifier strings: the datapoint name (= input SMILES) when
+        available, else the canonical graph key (this framework has no SMILES
+        writer yet)."""
+        return [d.name if d.name is not None else canonical_key(d.mol) for d in self.data]
+
+    # ----------------------------------------------- extra feature plumbing
+    @property
+    def _V_fs(self) -> list[np.ndarray | None]:
+        return [d.V_f for d in self.data]
+
+    @property
+    def V_fs(self) -> list[np.ndarray | None]:
+        return self._scaled_V_fs
+
+    @V_fs.setter
+    def V_fs(self, V_fs) -> None:
+        self._check_len(V_fs, "atom features")
+        self._scaled_V_fs = V_fs
+        self._cache = None
+
+    @property
+    def _E_fs(self) -> list[np.ndarray | None]:
+        return [d.E_f for d in self.data]
+
+    @property
+    def E_fs(self) -> list[np.ndarray | None]:
+        return self._scaled_E_fs
+
+    @E_fs.setter
+    def E_fs(self, E_fs) -> None:
+        self._check_len(E_fs, "bond features")
+        self._scaled_E_fs = E_fs
+        self._cache = None
+
+    @property
+    def _V_ds(self) -> list[np.ndarray | None]:
+        return [d.V_d for d in self.data]
+
+    @property
+    def V_ds(self) -> list[np.ndarray | None]:
+        return self._scaled_V_ds
+
+    @V_ds.setter
+    def V_ds(self, V_ds) -> None:
+        self._check_len(V_ds, "atom descriptors")
+        self._scaled_V_ds = V_ds
+
+    @property
+    def d_vf(self) -> int:
+        return 0 if self.V_fs[0] is None else self.V_fs[0].shape[1]
+
+    @property
+    def d_ef(self) -> int:
+        return 0 if self.E_fs[0] is None else self.E_fs[0].shape[1]
+
+    @property
+    def d_vd(self) -> int:
+        return 0 if self.V_ds[0] is None else self.V_ds[0].shape[1]
+
+    def normalize_inputs(
+        self, key: str = "X_d", scaler: StandardScaler | None = None
+    ) -> StandardScaler | None:
+        match key:
+            case "X_d":
+                X = None if self.d_xd == 0 else self._X_d
+            case "V_f":
+                X = None if self.d_vf == 0 else np.concatenate(self._V_fs, axis=0)
+            case "E_f":
+                X = None if self.d_ef == 0 else np.concatenate(self._E_fs, axis=0)
+            case "V_d":
+                X = None if self.d_vd == 0 else np.concatenate(self._V_ds, axis=0)
+            case _:
+                raise ValueError(
+                    f"invalid feature key {key!r}; expected one of X_d/V_f/E_f/V_d"
+                )
+        if X is None:
+            return scaler
+        if scaler is None:
+            scaler = StandardScaler().fit(X)
+        match key:
+            case "X_d":
+                self.X_d = scaler.transform(X)
+            case "V_f":
+                self.V_fs = [scaler.transform(x) if x.size else x for x in self._V_fs]
+            case "E_f":
+                self.E_fs = [scaler.transform(x) if x.size else x for x in self._E_fs]
+            case "V_d":
+                self.V_ds = [scaler.transform(x) if x.size else x for x in self._V_ds]
+        return scaler
+
+    def reset(self) -> None:
+        super().reset()
+        self._scaled_V_fs = self._V_fs
+        self._scaled_E_fs = self._E_fs
+        self._scaled_V_ds = self._V_ds
+        self._cache = None
+
+    # ------------------------------------------------------- shape metadata
+    @property
+    def max_atoms(self) -> int:
+        return max((max(1, d.mol.num_atoms) for d in self.data), default=0)
+
+    @property
+    def max_edges(self) -> int:
+        return max((2 * d.mol.num_bonds for d in self.data), default=0)

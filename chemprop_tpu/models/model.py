@@ -1,0 +1,98 @@
+"""The MPNN model: message passing -> aggregation -> [batchnorm] -> predictor.
+
+Composition matches the reference invariant exactly
+(``chemprop/models/model.py:24-146``):
+``MPNN(G) = predictor(agg(message_passing(G)))``, with optional extra
+descriptors ``X_d`` concatenated to the aggregated fingerprint.
+
+Unlike the reference (a LightningModule holding optimizer/scheduler state),
+this is a pure flax module; training state lives in
+:mod:`chemprop_tpu.train.trainer`.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from chemprop_tpu.data.collate import BatchMolGraph
+from chemprop_tpu.nn.agg import Aggregation
+from chemprop_tpu.nn.batchnorm import MaskedBatchNorm
+from chemprop_tpu.nn.metrics import ChempropMetric
+from chemprop_tpu.nn.predictors import _FFNPredictorBase
+from chemprop_tpu.nn.transforms import ScaleTransform
+
+
+class MPNN(nn.Module):
+    message_passing: nn.Module
+    agg: Aggregation
+    predictor: _FFNPredictorBase
+    batch_norm: bool = False
+    X_d_transform: ScaleTransform | None = None
+
+    def setup(self):
+        if self.batch_norm:
+            self.bn = MaskedBatchNorm()
+
+    @property
+    def criterion(self) -> ChempropMetric:
+        return self.predictor.get_criterion()
+
+    @property
+    def n_tasks(self) -> int:
+        return self.predictor.n_tasks
+
+    @property
+    def n_targets(self) -> int:
+        return self.predictor.n_targets
+
+    def fingerprint(
+        self,
+        bmg: BatchMolGraph,
+        V_d: jax.Array | None = None,
+        X_d: jax.Array | None = None,
+        is_training: bool = True,
+    ) -> jax.Array:
+        H_v = self.message_passing(bmg, V_d, is_training)
+        H = self.agg(H_v, bmg)
+        if self.batch_norm:
+            # graph_mask: real graphs have at least one node
+            graph_counts = jnp.zeros(bmg.n_graphs + 1).at[bmg.batch].add(1.0)[: bmg.n_graphs]
+            H = self.bn(H, mask=graph_counts > 0, is_training=is_training)
+        if X_d is None:
+            return H
+        if self.X_d_transform is not None:
+            X_d = self.X_d_transform(X_d, is_training)
+        return jnp.concatenate([H, X_d], axis=1)
+
+    def encoding(
+        self,
+        bmg: BatchMolGraph,
+        V_d: jax.Array | None = None,
+        X_d: jax.Array | None = None,
+        i: int = -1,
+        is_training: bool = False,
+    ) -> jax.Array:
+        return self.predictor.encode(self.fingerprint(bmg, V_d, X_d, is_training), i, is_training)
+
+    def __call__(
+        self,
+        bmg: BatchMolGraph,
+        V_d: jax.Array | None = None,
+        X_d: jax.Array | None = None,
+        is_training: bool = False,
+    ) -> jax.Array:
+        """Inference-space predictions."""
+        return self.predictor(self.fingerprint(bmg, V_d, X_d, is_training), is_training)
+
+    def train_step_preds(
+        self,
+        bmg: BatchMolGraph,
+        V_d: jax.Array | None = None,
+        X_d: jax.Array | None = None,
+        is_training: bool = True,
+    ) -> jax.Array:
+        """Criterion-space predictions (e.g. logits)."""
+        Z = self.fingerprint(bmg, V_d, X_d, is_training)
+        return self.predictor.train_step(Z, is_training)

@@ -1,0 +1,60 @@
+from chemprop_tpu.nn import metrics
+from chemprop_tpu.nn.agg import (
+    Aggregation,
+    AggregationRegistry,
+    AttentiveAggregation,
+    MeanAggregation,
+    NormAggregation,
+    SumAggregation,
+)
+from chemprop_tpu.nn.batchnorm import MaskedBatchNorm
+from chemprop_tpu.nn.ffn import MLP, ConstrainerFFN
+from chemprop_tpu.nn.message_passing import AtomMessagePassing, BondMessagePassing
+from chemprop_tpu.nn.metrics import ChempropMetric, LossFunctionRegistry, MetricRegistry
+from chemprop_tpu.nn.predictors import (
+    BinaryClassificationFFN,
+    BinaryDirichletFFN,
+    EvidentialFFN,
+    MulticlassClassificationFFN,
+    MulticlassDirichletFFN,
+    MveFFN,
+    PredictorRegistry,
+    QuantileFFN,
+    RegressionFFN,
+    SpectralFFN,
+)
+from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform, UnscaleTransform
+from chemprop_tpu.nn.utils import Activation, get_activation_function
+
+__all__ = [
+    "Activation",
+    "Aggregation",
+    "AggregationRegistry",
+    "AtomMessagePassing",
+    "AttentiveAggregation",
+    "BinaryClassificationFFN",
+    "BinaryDirichletFFN",
+    "BondMessagePassing",
+    "ChempropMetric",
+    "ConstrainerFFN",
+    "EvidentialFFN",
+    "GraphTransform",
+    "LossFunctionRegistry",
+    "MLP",
+    "MaskedBatchNorm",
+    "MeanAggregation",
+    "MetricRegistry",
+    "MulticlassClassificationFFN",
+    "MulticlassDirichletFFN",
+    "MveFFN",
+    "NormAggregation",
+    "PredictorRegistry",
+    "QuantileFFN",
+    "RegressionFFN",
+    "ScaleTransform",
+    "SpectralFFN",
+    "SumAggregation",
+    "UnscaleTransform",
+    "get_activation_function",
+    "metrics",
+]

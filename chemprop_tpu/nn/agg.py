@@ -1,0 +1,63 @@
+"""Node->graph aggregation (readout) over padded batches (cf. reference
+``chemprop/nn/agg.py:19-133``).
+
+Padding nodes carry graph id ``n_graphs`` (one extra sacrificial segment), so
+every reduction runs over ``n_graphs + 1`` segments and drops the last row —
+no masking inside the reduction. Mean counts therefore exclude padding
+automatically.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from chemprop_tpu.data.collate import BatchMolGraph
+from chemprop_tpu.ops.segment import segment_softmax_weights, segment_sum
+from chemprop_tpu.utils.registry import ClassRegistry
+
+AggregationRegistry = ClassRegistry()
+
+
+class Aggregation(nn.Module):
+    def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
+        raise NotImplementedError
+
+
+@AggregationRegistry.register("sum")
+class SumAggregation(Aggregation):
+    @nn.compact
+    def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
+        return segment_sum(H, bmg.batch, bmg.n_graphs + 1)[: bmg.n_graphs]
+
+
+@AggregationRegistry.register("mean")
+class MeanAggregation(Aggregation):
+    @nn.compact
+    def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
+        totals = segment_sum(H, bmg.batch, bmg.n_graphs + 1)[: bmg.n_graphs]
+        counts = segment_sum(
+            jnp.ones((H.shape[0], 1), H.dtype), bmg.batch, bmg.n_graphs + 1
+        )[: bmg.n_graphs]
+        return totals / jnp.maximum(counts, 1)
+
+
+@AggregationRegistry.register("norm")
+class NormAggregation(Aggregation):
+    norm: float = 100.0
+
+    @nn.compact
+    def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
+        return segment_sum(H, bmg.batch, bmg.n_graphs + 1)[: bmg.n_graphs] / self.norm
+
+
+@AggregationRegistry.register("attentive")
+class AttentiveAggregation(Aggregation):
+    output_size: int = 300
+
+    @nn.compact
+    def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
+        logits = nn.Dense(1, name="W")(H)
+        alphas = segment_softmax_weights(logits, bmg.batch, bmg.n_graphs + 1)
+        return segment_sum(alphas * H, bmg.batch, bmg.n_graphs + 1)[: bmg.n_graphs]

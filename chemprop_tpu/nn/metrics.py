@@ -1,0 +1,455 @@
+"""Losses and metrics as pure functions with pytree accumulator states.
+
+Semantics match the reference zoo (``chemprop/nn/metrics.py:59-693``): every
+metric weights its unreduced ``[b, t]`` loss by ``sample_weight x task_weight
+x mask`` and accumulates ``(total_loss, num_samples)``; MCC variants
+accumulate confusion counts instead. States are pytrees, so distributed
+reduction is a ``psum`` inside the jitted eval step (the reference relies on
+torchmetrics ``dist_reduce_fx="sum"``).
+
+Curve metrics (AUROC/AUPRC) need the full prediction set; they are flagged
+``needs_collection`` and computed host-side by the evaluator from gathered
+arrays (eval sets are small relative to training compute).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chemprop_tpu.utils.registry import ClassRegistry
+
+LossFunctionRegistry = ClassRegistry()
+MetricRegistry = ClassRegistry()
+
+
+def _as_task_weights(task_weights) -> jnp.ndarray:
+    return jnp.asarray(task_weights, dtype=jnp.float32).reshape(1, -1)
+
+
+@dataclass
+class ChempropMetric:
+    task_weights: Any = 1.0
+    higher_is_better: bool = field(default=False, init=False)
+    needs_collection: bool = field(default=False, init=False)
+
+    # ------------------------------------------------------------- protocol
+    def init_state(self):
+        return {"total": jnp.zeros(()), "n": jnp.zeros(())}
+
+    def update_state(self, state, preds, targets, mask, weights, lt_mask, gt_mask):
+        L = self.unreduced(preds, targets, mask, weights, lt_mask, gt_mask)
+        L = L * weights.reshape(-1, 1) * _as_task_weights(self.task_weights) * mask
+        return {"total": state["total"] + L.sum(), "n": state["n"] + mask.sum()}
+
+    def compute(self, state):
+        return state["total"] / jnp.maximum(state["n"], 1)
+
+    def __call__(self, preds, targets, mask=None, weights=None, lt_mask=None, gt_mask=None):
+        """One-shot batch value (used as the training criterion)."""
+        mask = jnp.ones_like(targets, dtype=bool) if mask is None else mask
+        weights = jnp.ones(targets.shape[0]) if weights is None else weights
+        lt_mask = jnp.zeros_like(targets, dtype=bool) if lt_mask is None else lt_mask
+        gt_mask = jnp.zeros_like(targets, dtype=bool) if gt_mask is None else gt_mask
+        state = self.update_state(self.init_state(), preds, targets, mask, weights, lt_mask, gt_mask)
+        return self.compute(state)
+
+    def unreduced(self, preds, targets, mask, weights, lt_mask, gt_mask):
+        raise NotImplementedError
+
+    def to_dict(self) -> dict:
+        return {"alias": getattr(self, "alias", type(self).__name__.lower())}
+
+
+# ------------------------------------------------------------------ regression
+@LossFunctionRegistry.register("mse")
+@MetricRegistry.register("mse")
+@dataclass
+class MSE(ChempropMetric):
+    def unreduced(self, preds, targets, *args):
+        return jnp.square(preds - targets)
+
+
+@LossFunctionRegistry.register("mae")
+@MetricRegistry.register("mae")
+@dataclass
+class MAE(ChempropMetric):
+    def unreduced(self, preds, targets, *args):
+        return jnp.abs(preds - targets)
+
+
+@LossFunctionRegistry.register("rmse")
+@MetricRegistry.register("rmse")
+@dataclass
+class RMSE(MSE):
+    def compute(self, state):
+        return jnp.sqrt(state["total"] / jnp.maximum(state["n"], 1))
+
+
+class BoundedMixin:
+    """Inequality targets: clamp predictions already satisfying '<x'/'>x'."""
+
+    def unreduced(self, preds, targets, mask, weights, lt_mask, gt_mask):
+        preds = jnp.where((preds < targets) & lt_mask, targets, preds)
+        preds = jnp.where((preds > targets) & gt_mask, targets, preds)
+        return super().unreduced(preds, targets, mask, weights, lt_mask, gt_mask)
+
+
+@LossFunctionRegistry.register("bounded-mse")
+@MetricRegistry.register("bounded-mse")
+@dataclass
+class BoundedMSE(BoundedMixin, MSE):
+    pass
+
+
+@LossFunctionRegistry.register("bounded-mae")
+@MetricRegistry.register("bounded-mae")
+@dataclass
+class BoundedMAE(BoundedMixin, MAE):
+    pass
+
+
+@LossFunctionRegistry.register("bounded-rmse")
+@MetricRegistry.register("bounded-rmse")
+@dataclass
+class BoundedRMSE(BoundedMixin, RMSE):
+    pass
+
+
+@MetricRegistry.register("r2")
+@dataclass
+class R2Score(ChempropMetric):
+    """Streaming R^2 via sufficient statistics (masked)."""
+
+    higher_is_better: bool = field(default=True, init=False)
+
+    def init_state(self):
+        z = jnp.zeros(())
+        return {"n": z, "sy": z, "syy": z, "se": z}
+
+    def update_state(self, state, preds, targets, mask, weights, lt_mask, gt_mask):
+        m = mask.astype(preds.dtype)
+        return {
+            "n": state["n"] + m.sum(),
+            "sy": state["sy"] + (targets * m).sum(),
+            "syy": state["syy"] + (jnp.square(targets) * m).sum(),
+            "se": state["se"] + (jnp.square(preds - targets) * m).sum(),
+        }
+
+    def compute(self, state):
+        n = jnp.maximum(state["n"], 1)
+        ss_tot = state["syy"] - jnp.square(state["sy"]) / n
+        return 1.0 - state["se"] / jnp.maximum(ss_tot, 1e-12)
+
+
+# ----------------------------------------------------- probabilistic regression
+@LossFunctionRegistry.register("mve")
+@dataclass
+class MVELoss(ChempropMetric):
+    """Gaussian NLL over (mean, var) heads (Nix & Weigend 1994 eq. 9)."""
+
+    def unreduced(self, preds, targets, *args):
+        mean, var = preds[..., 0], preds[..., 1]
+        var = jnp.maximum(var, 1e-8)
+        return jnp.square(mean - targets) / (2 * var) + jnp.log(2 * jnp.pi * var) / 2
+
+
+@LossFunctionRegistry.register("evidential")
+@dataclass
+class EvidentialLoss(ChempropMetric):
+    """Deep evidential regression NIG NLL + regularizer (Amini 2020)."""
+
+    v_kl: float = 0.2
+    eps: float = 1e-8
+
+    def unreduced(self, preds, targets, *args):
+        mean, v, alpha, beta = (preds[..., i] for i in range(4))
+        v = jnp.maximum(v, 1e-8)
+        residuals = targets - mean
+        two_b_lambda = 2 * beta * (1 + v)
+        L_nll = (
+            0.5 * jnp.log(jnp.pi / v)
+            - alpha * jnp.log(two_b_lambda)
+            + (alpha + 0.5) * jnp.log(v * jnp.square(residuals) + two_b_lambda)
+            + jax.lax.lgamma(alpha)
+            - jax.lax.lgamma(alpha + 0.5)
+        )
+        L_reg = (2 * v + alpha) * jnp.abs(residuals)
+        return L_nll + self.v_kl * (L_reg - self.eps)
+
+
+@LossFunctionRegistry.register(["quantile", "pinball"])
+@dataclass
+class QuantileLoss(ChempropMetric):
+    """Interval pinball loss over (mean, interval) heads."""
+
+    alpha: float = 0.1
+
+    def unreduced(self, preds, targets, *args):
+        mean, interval = preds[..., 0], preds[..., 1]
+        lower = mean - interval / 2
+        upper = mean + interval / 2
+        a = self.alpha
+        L_lower = jnp.maximum((a / 2) * (targets - lower), (a / 2 - 1) * (targets - lower))
+        L_upper = jnp.maximum((1 - a / 2) * (targets - upper), (-a / 2) * (targets - upper))
+        return L_lower + L_upper
+
+
+@LossFunctionRegistry.register(["quantile-point", "pinball-point"])
+@dataclass
+class PointQuantileLoss(ChempropMetric):
+    alpha: float = 0.1
+
+    def unreduced(self, preds, targets, *args):
+        diff = targets - preds
+        return jnp.where(diff > 0, self.alpha * diff, (1 - self.alpha) * (-diff))
+
+
+# -------------------------------------------------------------- classification
+@LossFunctionRegistry.register("bce")
+@dataclass
+class BCELoss(ChempropMetric):
+    def unreduced(self, preds, targets, *args):
+        # numerically-stable BCE with logits
+        return jnp.maximum(preds, 0) - preds * targets + jnp.log1p(jnp.exp(-jnp.abs(preds)))
+
+
+@LossFunctionRegistry.register("ce")
+@dataclass
+class CrossEntropyLoss(ChempropMetric):
+    def unreduced(self, preds, targets, *args):
+        # preds [b, t, c] logits; targets [b, t] class ids
+        logp = jax.nn.log_softmax(preds, axis=-1)
+        tgt = jnp.clip(targets.astype(jnp.int32), 0, preds.shape[-1] - 1)
+        return -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+
+
+@LossFunctionRegistry.register("binary-mcc")
+@dataclass
+class BinaryMCCLoss(ChempropMetric):
+    """Soft MCC from probabilistic confusion counts."""
+
+    assume_logits: bool = field(default=True, init=False)
+
+    def init_state(self):
+        z = jnp.zeros((1,))
+        return {"TP": z, "FP": z, "TN": z, "FN": z}
+
+    def update_state(self, state, preds, targets, mask, weights, lt_mask, gt_mask):
+        p = jax.nn.sigmoid(preds) if self.assume_logits else preds
+        w = weights.reshape(-1, 1) * mask
+        t = targets
+        return {
+            "TP": state["TP"] + (t * p * w).sum(0),
+            "FP": state["FP"] + ((1 - t) * p * w).sum(0),
+            "TN": state["TN"] + ((1 - t) * (1 - p) * w).sum(0),
+            "FN": state["FN"] + (t * (1 - p) * w).sum(0),
+        }
+
+    def compute(self, state):
+        TP, FP, TN, FN = state["TP"], state["FP"], state["TN"], state["FN"]
+        mcc = (TP * TN - FP * FN) / jnp.sqrt(
+            (TP + FP) * (TP + FN) * (TN + FP) * (TN + FN) + 1e-8
+        )
+        mcc = mcc * _as_task_weights(self.task_weights)
+        return 1 - mcc.mean()
+
+
+@MetricRegistry.register("binary-mcc")
+@dataclass
+class BinaryMCCMetric(BinaryMCCLoss):
+    higher_is_better: bool = field(default=True, init=False)
+
+    def compute(self, state):
+        return 1 - super().compute(state)
+
+
+@LossFunctionRegistry.register("multiclass-mcc")
+@dataclass
+class MulticlassMCCLoss(ChempropMetric):
+    """Soft multiclass MCC (sklearn formulation over soft counts)."""
+
+    n_classes: int = 3
+
+    def init_state(self):
+        return {
+            "p": jnp.zeros((1, self.n_classes)),
+            "t": jnp.zeros((1, self.n_classes)),
+            "c": jnp.zeros((1,)),
+            "s": jnp.zeros((1,)),
+        }
+
+    def update_state(self, state, preds, targets, mask, weights, lt_mask, gt_mask):
+        probs = jax.nn.softmax(preds, axis=-1)
+        C = probs.shape[-1]
+        tgt = jnp.clip(targets.astype(jnp.int32), 0, C - 1)
+        bin_targets = jax.nn.one_hot(tgt, C)
+        bin_preds = jax.nn.one_hot(jnp.argmax(probs, -1), C)
+        mdw = (weights.reshape(-1, 1) * mask)[..., None]
+        return {
+            "p": state["p"] + (bin_preds * mdw).sum((0, 1))[None],
+            "t": state["t"] + (bin_targets * mdw).sum((0, 1))[None],
+            "c": state["c"] + (bin_preds * bin_targets * mdw).sum(),
+            "s": state["s"] + (probs * mdw).sum(),
+        }
+
+    def compute(self, state):
+        p, t, c, s = state["p"][0], state["t"][0], state["c"], state["s"]
+        s2 = jnp.square(s)
+        cov_ytyp = c * s - jnp.dot(p, t)
+        cov_ypyp = s2 - jnp.dot(p, p)
+        cov_ytyt = s2 - jnp.dot(t, t)
+        x = cov_ypyp * cov_ytyt
+        mcc = jnp.where(x == 0, 0.0, cov_ytyp / jnp.sqrt(jnp.maximum(x, 1e-12)))
+        return (1 - mcc).reshape(())
+
+
+@MetricRegistry.register("multiclass-mcc")
+@dataclass
+class MulticlassMCCMetric(MulticlassMCCLoss):
+    higher_is_better: bool = field(default=True, init=False)
+
+    def compute(self, state):
+        return 1 - super().compute(state)
+
+
+@LossFunctionRegistry.register("dirichlet")
+@dataclass
+class DirichletLoss(ChempropMetric):
+    """Evidential classification loss (Sensoy 2018)."""
+
+    v_kl: float = 0.2
+
+    def unreduced(self, preds, targets, *args):
+        C = preds.shape[-1]
+        tgt = jax.nn.one_hot(jnp.clip(targets.astype(jnp.int32), 0, C - 1), C)
+        S = preds.sum(-1, keepdims=True)
+        p = preds / S
+        A = jnp.square(tgt - p).sum(-1, keepdims=True)
+        B = (p * (1 - p) / (S + 1)).sum(-1, keepdims=True)
+        L_mse = A + B
+        alpha = tgt + (1 - tgt) * preds
+        beta = jnp.ones_like(alpha)
+        S_alpha = alpha.sum(-1, keepdims=True)
+        S_beta = beta.sum(-1, keepdims=True)
+        ln_alpha = jax.lax.lgamma(S_alpha) - jax.lax.lgamma(alpha).sum(-1, keepdims=True)
+        ln_beta = jax.lax.lgamma(beta).sum(-1, keepdims=True) - jax.lax.lgamma(S_beta)
+        dg0 = jax.scipy.special.digamma(alpha)
+        dg1 = jax.scipy.special.digamma(S_alpha)
+        L_kl = ln_alpha + ln_beta + ((alpha - beta) * (dg0 - dg1)).sum(-1, keepdims=True)
+        return (L_mse + self.v_kl * L_kl).mean(-1)
+
+
+# ------------------------------------------------------------------- spectral
+@LossFunctionRegistry.register("sid")
+@MetricRegistry.register("sid")
+@dataclass
+class SID(ChempropMetric):
+    threshold: float | None = None
+
+    def unreduced(self, preds, targets, mask, *args):
+        if self.threshold is not None:
+            preds = jnp.maximum(preds, self.threshold)
+        preds_norm = preds / jnp.maximum((preds * mask).sum(1, keepdims=True), 1e-12)
+        targets = jnp.where(mask, targets, 1.0)
+        preds_norm = jnp.where(mask, preds_norm, 1.0)
+        return jnp.log(preds_norm / targets) * preds_norm + jnp.log(
+            targets / preds_norm
+        ) * targets
+
+
+@LossFunctionRegistry.register(["earthmovers", "wasserstein"])
+@MetricRegistry.register(["earthmovers", "wasserstein"])
+@dataclass
+class Wasserstein(ChempropMetric):
+    threshold: float | None = None
+
+    def unreduced(self, preds, targets, mask, *args):
+        if self.threshold is not None:
+            preds = jnp.maximum(preds, self.threshold)
+        preds_norm = preds / jnp.maximum((preds * mask).sum(1, keepdims=True), 1e-12)
+        return jnp.abs(jnp.cumsum(targets, 1) - jnp.cumsum(preds_norm, 1))
+
+
+@LossFunctionRegistry.register("nlogprob_enrichment")
+@dataclass
+class NLogProbEnrichment(ChempropMetric):
+    """Poisson-enrichment NLL for count data (Lim 2022)."""
+
+    n1: int = 1
+    n2: int = 1
+    method: str = "sqrt"
+    zscale: float = 1.0
+    zinterval: float = 5.0
+
+    def unreduced(self, preds, targets, mask, weights, *args):
+        R = preds.reshape(preds.shape[0], -1)[:, 0]
+        k1, k2 = targets[:, 0], targets[:, 1]
+        d = self.n2 / self.n1
+        R_d = R / d
+        if self.method == "score":
+            zstat = (k1 - k2 * R_d) / jnp.sqrt(jnp.maximum((k1 + k2) * R_d, 1e-12))
+        elif self.method == "wald":
+            zstat = (k1 - k2 * R_d) / jnp.sqrt(jnp.maximum(k1 + k2 * R_d**2, 1e-12))
+        elif self.method == "sqrt":
+            zstat = 2 * (jnp.sqrt(k1 + 3 / 8.0) - jnp.sqrt((k2 + 3 / 8.0) * R_d))
+            zstat = zstat / jnp.sqrt(1 + R_d)
+        else:
+            raise ValueError(f"unsupported method {self.method!r}")
+        zstat = jnp.abs(jnp.clip(zstat / self.zscale, -self.zinterval, self.zinterval))
+        sf = jnp.maximum(1 - jax.lax.erf(zstat / np.sqrt(2)), 1e-12)
+        return -jnp.log(sf)[:, None]
+
+
+# --------------------------------------------- host-side (collection) metrics
+@dataclass
+class _CollectedMetric(ChempropMetric):
+    """Computed host-side from the full gathered (preds, targets, mask)."""
+
+    needs_collection: bool = field(default=True, init=False)
+    higher_is_better: bool = field(default=True, init=False)
+
+    def compute_from_arrays(self, preds: np.ndarray, targets: np.ndarray, mask: np.ndarray):
+        raise NotImplementedError
+
+
+@MetricRegistry.register("roc")
+@dataclass
+class BinaryAUROC(_CollectedMetric):
+    def compute_from_arrays(self, preds, targets, mask):
+        from sklearn.metrics import roc_auc_score
+
+        return float(roc_auc_score(targets[mask], preds[mask]))
+
+
+@MetricRegistry.register("prc")
+@dataclass
+class BinaryAUPRC(_CollectedMetric):
+    def compute_from_arrays(self, preds, targets, mask):
+        from sklearn.metrics import average_precision_score
+
+        return float(average_precision_score(targets[mask], preds[mask]))
+
+
+@MetricRegistry.register("accuracy")
+@dataclass
+class BinaryAccuracy(_CollectedMetric):
+    threshold: float = 0.5
+
+    def compute_from_arrays(self, preds, targets, mask):
+        return float(((preds[mask] > self.threshold) == (targets[mask] > 0.5)).mean())
+
+
+@MetricRegistry.register("f1")
+@dataclass
+class BinaryF1Score(_CollectedMetric):
+    threshold: float = 0.5
+
+    def compute_from_arrays(self, preds, targets, mask):
+        from sklearn.metrics import f1_score
+
+        return float(f1_score(targets[mask] > 0.5, preds[mask] > self.threshold))

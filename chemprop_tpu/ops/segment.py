@@ -1,0 +1,44 @@
+"""Segment/scatter primitives — the D-MPNN hot ops.
+
+The reference's hot loop is torch ``scatter_reduce_`` + gather
+(``chemprop/nn/message_passing/mixins.py:8-30``). The XLA-native formulation
+is ``jax.ops.segment_sum`` over the padded edge tables from
+:mod:`chemprop_tpu.data.collate`: destinations of padding edges point at the
+sacrificial padding node, so no masks are needed in the reduction itself.
+
+``jax.ops.segment_sum`` lowers to a one-hot matmul or scatter depending on
+shape; on TPU a sorted-segment scatter is bitwise-deterministic (fixed
+reduction order), unlike the reference's nondeterministic GPU atomics (see
+SURVEY.md §5.2). The Pallas fused kernel (ops/pallas_mp.py) replaces the
+segment_sum + gather pair under a flag for additional fusion.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_mean(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+    totals = segment_sum(data, segment_ids, num_segments)
+    counts = jax.ops.segment_sum(
+        jnp.ones((data.shape[0],), dtype=data.dtype), segment_ids, num_segments=num_segments
+    )
+    return totals / jnp.maximum(counts, 1)[:, None]
+
+
+def segment_softmax_weights(
+    logits: jax.Array, segment_ids: jax.Array, num_segments: int
+) -> jax.Array:
+    """Per-segment softmax weights for ``[n, 1]`` logits (numerically-stable
+    exp-normalize within each segment)."""
+    seg_max = jax.ops.segment_max(logits, segment_ids, num_segments=num_segments)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    shifted = logits - seg_max[segment_ids]
+    expl = jnp.exp(shifted)
+    denom = jax.ops.segment_sum(expl, segment_ids, num_segments=num_segments)
+    return expl / jnp.maximum(denom[segment_ids], 1e-12)

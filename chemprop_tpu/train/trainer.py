@@ -1,0 +1,328 @@
+"""The training runtime: explicit jitted train/eval steps + a thin epoch loop.
+
+Replaces the reference's Lightning ``pl.Trainer`` (``chemprop/cli/train.py:
+1912-1940``) with a TPU-first design:
+
+* one jitted ``train_step`` (loss -> grad -> optax Adam -> Noam LR), donated
+  state, compiled once per batch bucket shape;
+* masked losses: targets carry NaN for missing tasks AND padded samples, so
+  ``isfinite`` is the single masking mechanism (reference
+  ``models/model.py:152-153``);
+* metric accumulation as pytree states updated inside the jitted eval step
+  (distributed reduction = ``psum`` when running under shard_map);
+* host-side: early stopping, best/last checkpointing, CSV logging.
+
+Data parallelism: batches are sharded over a 1-D device mesh along the
+batch/node/edge axes via ``NamedSharding``; jit inserts the gradient
+all-reduce (see chemprop_tpu/parallel/).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from chemprop_tpu.data.collate import TrainingBatch
+from chemprop_tpu.data.dataloader import DataLoader
+from chemprop_tpu.models.model import MPNN
+from chemprop_tpu.nn.metrics import ChempropMetric
+from chemprop_tpu.train.schedulers import build_noam_like_schedule
+
+logger = logging.getLogger(__name__)
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+
+def _device_put_batch(batch: TrainingBatch, sharding=None):
+    if sharding is None:
+        return jax.device_put(batch)
+    return jax.device_put(batch, sharding)
+
+
+@dataclass
+class Trainer:
+    model: MPNN
+    max_epochs: int = 50
+    warmup_epochs: int = 2
+    init_lr: float = 1e-4
+    max_lr: float = 1e-3
+    final_lr: float = 1e-4
+    grad_clip: float | None = None
+    patience: int | None = None
+    monitor: str = "val_loss"
+    mode: str = "min"
+    checkpoint_dir: str | Path | None = None
+    seed: int = 0
+    metrics: list[ChempropMetric] = field(default_factory=list)
+    log_every: int = 0
+    data_sharding: Any = None  # NamedSharding for input batches (DP)
+
+    # populated during fit
+    state: TrainState | None = None
+    best_variables: dict | None = None
+    history: list[dict] = field(default_factory=list)
+
+    # ------------------------------------------------------------------ setup
+    def _build_optimizer(self, steps_per_epoch: int) -> optax.GradientTransformation:
+        warmup_steps = self.warmup_epochs * steps_per_epoch
+        cooldown_steps = max(1, (self.max_epochs - self.warmup_epochs) * steps_per_epoch)
+        self.lr_schedule = build_noam_like_schedule(
+            warmup_steps, cooldown_steps, self.init_lr, self.max_lr, self.final_lr
+        )
+        tx = optax.adam(self.lr_schedule)
+        if self.grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(self.grad_clip), tx)
+        return tx
+
+    def init_state(self, batch: TrainingBatch, steps_per_epoch: int) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        rng, init_rng = jax.random.split(rng)
+        variables = self.model.init(
+            init_rng, batch.bmg, batch.V_d, batch.X_d, is_training=False
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        self.tx = self._build_optimizer(steps_per_epoch)
+        opt_state = self.tx.init(params)
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        logger.info(f"initialized model with {n_params:,} parameters")
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            rng=rng,
+        )
+
+    # ------------------------------------------------------------------ steps
+    def _make_train_step(self) -> Callable:
+        model, criterion, tx = self.model, self.model.criterion, self.tx
+
+        def train_step(state: TrainState, batch: TrainingBatch):
+            rng, dropout_rng = jax.random.split(state.rng)
+            bmg, V_d, X_d, Y, w, lt, gt = batch
+
+            def loss_fn(params):
+                variables = {"params": params}
+                mutable = False
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    mutable = ["batch_stats"]
+                out = model.apply(
+                    variables,
+                    bmg,
+                    V_d,
+                    X_d,
+                    is_training=True,
+                    method="train_step_preds",
+                    rngs={"dropout": dropout_rng},
+                    mutable=mutable,
+                )
+                preds, new_model_state = out if mutable else (out, {})
+                mask = jnp.isfinite(Y)
+                targets = jnp.nan_to_num(Y)
+                lt_ = jnp.zeros_like(mask) if lt is None else lt
+                gt_ = jnp.zeros_like(mask) if gt is None else gt
+                loss = criterion(preds, targets, mask, w[:, 0], lt_, gt_)
+                return loss, new_model_state
+
+            (loss, new_model_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=params,
+                batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+                opt_state=opt_state,
+                step=state.step + 1,
+                rng=rng,
+            )
+            return new_state, loss
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _make_eval_step(self) -> Callable:
+        model, criterion = self.model, self.model.criterion
+
+        def eval_step(params, batch_stats, batch: TrainingBatch):
+            bmg, V_d, X_d, Y, w, lt, gt = batch
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            mask = jnp.isfinite(Y)
+            targets = jnp.nan_to_num(Y)
+            lt_ = jnp.zeros_like(mask) if lt is None else lt
+            gt_ = jnp.zeros_like(mask) if gt is None else gt
+            # criterion on train-space preds (reference validation_step)
+            train_preds = model.apply(
+                variables, bmg, V_d, X_d, is_training=False, method="train_step_preds"
+            )
+            loss_state = criterion.update_state(
+                criterion.init_state(), train_preds, targets, mask, w[:, 0], lt_, gt_
+            )
+            # metrics on inference-space preds (reference _evaluate_batch)
+            preds = model.apply(variables, bmg, V_d, X_d, is_training=False)
+            return loss_state, preds
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------- fit
+    def fit(self, train_loader: DataLoader, val_loader: DataLoader | None = None) -> TrainState:
+        steps_per_epoch = len(train_loader)
+        first_batch = next(iter(train_loader))
+        if self.state is None:
+            self.state = self.init_state(first_batch, steps_per_epoch)
+        train_step = self._make_train_step()
+        eval_step = self._make_eval_step() if val_loader is not None else None
+
+        best_score = np.inf if self.mode == "min" else -np.inf
+        best_epoch = -1
+        epochs_since_improvement = 0
+
+        for epoch in range(self.max_epochs):
+            t0 = time.time()
+            # ---- train
+            n_edges = 0
+            losses = []
+            for batch in train_loader:
+                batch = _device_put_batch(batch, self.data_sharding)
+                self.state, loss = train_step(self.state, batch)
+                losses.append(loss)
+                n_edges += int(np.asarray(batch.bmg.edge_mask).sum())
+            train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+            dt = time.time() - t0
+            record = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "time_s": dt,
+                "edges_per_s": n_edges / max(dt, 1e-9),
+                "lr": float(self.lr_schedule(self.state.step)),
+            }
+
+            # ---- validate
+            if val_loader is not None:
+                val_loss = self._run_validation(val_loader, eval_step)
+                record["val_loss"] = val_loss
+
+            self.history.append(record)
+            if self.log_every and epoch % self.log_every == 0:
+                logger.info(
+                    " ".join(
+                        f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+                        for k, v in record.items()
+                    )
+                )
+
+            # ---- checkpoint / early stop
+            score = record.get(self.monitor, train_loss)
+            improved = score < best_score if self.mode == "min" else score > best_score
+            if improved:
+                best_score, best_epoch = score, epoch
+                epochs_since_improvement = 0
+                self.best_variables = jax.device_get(
+                    {"params": self.state.params, "batch_stats": self.state.batch_stats}
+                )
+                if self.checkpoint_dir is not None:
+                    self._save_checkpoint("best")
+            else:
+                epochs_since_improvement += 1
+            if self.checkpoint_dir is not None:
+                self._save_checkpoint("last")
+            if self.patience is not None and epochs_since_improvement > self.patience:
+                logger.info(f"early stopping at epoch {epoch} (best epoch {best_epoch})")
+                break
+
+        if self.best_variables is None:
+            self.best_variables = jax.device_get(
+                {"params": self.state.params, "batch_stats": self.state.batch_stats}
+            )
+        return self.state
+
+    def _run_validation(self, val_loader: DataLoader, eval_step) -> float:
+        criterion = self.model.criterion
+        state = None
+        for batch in val_loader:
+            batch = _device_put_batch(batch, self.data_sharding)
+            loss_state, _ = eval_step(self.state.params, self.state.batch_stats, batch)
+            if state is None:
+                state = loss_state
+            else:
+                state = jax.tree.map(lambda a, b: a + b, state, loss_state)
+        return float(criterion.compute(state)) if state is not None else float("nan")
+
+    # --------------------------------------------------------------- predict
+    def predict(
+        self,
+        loader: DataLoader,
+        variables: dict | None = None,
+        train_space: bool = False,
+        use_batch_statistics: bool = False,
+    ) -> np.ndarray:
+        """Inference over a loader; padded rows are stripped.
+
+        ``use_batch_statistics=True`` runs the model in train mode (per-batch
+        BN statistics instead of running averages — the reference evaluates
+        its overfit bar with the module left in train mode). Note this also
+        activates dropout if the model was configured with a nonzero rate.
+        """
+        if variables is None:
+            variables = self.best_variables or {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            }
+        method = "train_step_preds" if train_space else None
+
+        def _apply(v, bmg, V_d, X_d):
+            kwargs = {"method": method} if method else {}
+            if use_batch_statistics:
+                out = self.model.apply(
+                    v,
+                    bmg,
+                    V_d,
+                    X_d,
+                    is_training=True,
+                    rngs={"dropout": jax.random.PRNGKey(0)},
+                    mutable=["batch_stats"] if v.get("batch_stats") else False,
+                    **kwargs,
+                )
+                return out[0] if isinstance(out, tuple) else out
+            return self.model.apply(v, bmg, V_d, X_d, is_training=False, **kwargs)
+
+        apply = jax.jit(_apply)
+        chunks = []
+        for batch in loader:
+            preds = apply(variables, batch.bmg, batch.V_d, batch.X_d)
+            chunks.append(np.asarray(preds)[batch.pad_mask])
+        return np.concatenate(chunks, axis=0)
+
+    # ----------------------------------------------------------- checkpoints
+    def _save_checkpoint(self, tag: str) -> None:
+        from chemprop_tpu.models.serialize import save_checkpoint
+
+        path = Path(self.checkpoint_dir) / f"{tag}.ckpt"
+        variables = (
+            self.best_variables
+            if tag == "best" and self.best_variables is not None
+            else jax.device_get(
+                {"params": self.state.params, "batch_stats": self.state.batch_stats}
+            )
+        )
+        save_checkpoint(path, self.model, variables)
