@@ -1,0 +1,154 @@
+"""Benchmark: D-MPNN training throughput (edges/s/chip) on the default JAX
+device (the real TPU chip under the driver; CPU if forced).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is measured against the reference model's math implemented in
+eager PyTorch (the reference framework's own compute path, minus Lightning
+overhead) run on this host's CPU over the identical batch — a conservative,
+self-contained stand-in until A100 numbers exist (the reference publishes no
+benchmark numbers; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", 512))
+TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 20))
+REPO = Path(__file__).parent
+
+
+def build_batch():
+    from chemprop_tpu.data import MoleculeDatapoint, MoleculeDataset, PadSpec, collate_batch
+
+    rows = list(csv.reader(open(REPO / "tests/data/regression/mol/mol.csv")))[1:]
+    smis = [r[0] for r in rows]
+    ys = [float(r[1]) for r in rows]
+    # tile the 100-mol set up to the benchmark batch size
+    reps = -(-BATCH_SIZE // len(smis))
+    smis = (smis * reps)[:BATCH_SIZE]
+    ys = (ys * reps)[:BATCH_SIZE]
+    dps = [MoleculeDatapoint.from_smi(s, y=np.array([y])) for s, y in zip(smis, ys)]
+    ds = MoleculeDataset(dps)
+    ds.normalize_targets()
+    data = [ds[i] for i in range(len(ds))]
+    pad = PadSpec.for_graphs([d.mg for d in data])
+    batch = collate_batch(data, pad)
+    n_real_edges = int(batch.bmg.edge_mask.sum())
+    return batch, n_real_edges
+
+
+def bench_jax(batch, n_real_edges) -> float:
+    import jax
+
+    from chemprop_tpu.data import DataLoader  # noqa: F401 (ensures package import)
+    from chemprop_tpu.models import MPNN
+    from chemprop_tpu.nn import BondMessagePassing, MeanAggregation, RegressionFFN
+    from chemprop_tpu.train import Trainer
+
+    model = MPNN(
+        message_passing=BondMessagePassing(),
+        agg=MeanAggregation(),
+        predictor=RegressionFFN(),
+        batch_norm=False,
+    )
+    trainer = Trainer(model, max_epochs=1)
+    state = trainer.init_state(batch, steps_per_epoch=100)
+    step = trainer._make_train_step()
+    dbatch = jax.device_put(batch)
+
+    # warmup/compile
+    state, loss = step(state, dbatch)
+    jax.block_until_ready(loss)
+    state, loss = step(state, dbatch)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        state, loss = step(state, dbatch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return TIMED_STEPS * n_real_edges / dt
+
+
+def bench_torch_reference(batch, n_real_edges) -> float:
+    """Reference math (chemprop BondMessagePassing+mean agg+FFN, eager torch,
+    CPU) on the identical padded batch minus padding."""
+    import torch
+
+    torch.manual_seed(0)
+    bmg = batch.bmg
+    em = np.asarray(bmg.edge_mask)
+    nm = np.asarray(bmg.node_mask)
+    V = torch.tensor(np.asarray(bmg.V)[nm])
+    E = torch.tensor(np.asarray(bmg.E)[em])
+    src = torch.tensor(np.asarray(bmg.src)[em].astype(np.int64))
+    dst = torch.tensor(np.asarray(bmg.dst)[em].astype(np.int64))
+    rev = torch.tensor(np.asarray(bmg.rev)[em].astype(np.int64))
+    bat = torch.tensor(np.asarray(bmg.batch)[nm].astype(np.int64))
+    Y = torch.tensor(np.asarray(batch.Y)[: bmg.n_graphs])
+    nv, ng, dh = V.shape[0], bmg.n_graphs, 300
+
+    W_i = torch.nn.Linear(V.shape[1] + E.shape[1], dh, bias=False)
+    W_h = torch.nn.Linear(dh, dh, bias=False)
+    W_o = torch.nn.Linear(V.shape[1] + dh, dh)
+    f0 = torch.nn.Linear(dh, dh)
+    f1 = torch.nn.Linear(dh, 1)
+    params = [
+        *W_i.parameters(), *W_h.parameters(), *W_o.parameters(),
+        *f0.parameters(), *f1.parameters(),
+    ]
+    opt = torch.optim.Adam(params, 1e-3)
+
+    def step():
+        opt.zero_grad()
+        H0 = W_i(torch.cat([V[src], E], 1))
+        H = torch.relu(H0)
+        for _ in range(1, 3):
+            M = torch.zeros(nv, dh).index_add_(0, dst, H)[src] - H[rev]
+            H = torch.relu(H0 + W_h(M))
+        Mv = torch.zeros(nv, dh).index_add_(0, dst, H)
+        Hv = torch.relu(W_o(torch.cat([V, Mv], 1)))
+        counts = torch.zeros(ng).index_add_(0, bat, torch.ones(nv))
+        agg = torch.zeros(ng, dh).index_add_(0, bat, Hv) / counts[:, None]
+        out = f1(torch.relu(f0(agg)))
+        loss = torch.nanmean((out - torch.nan_to_num(Y)) ** 2)
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    n = max(3, TIMED_STEPS // 4)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        step()
+    dt = time.perf_counter() - t0
+    return n * n_real_edges / dt
+
+
+def main():
+    batch, n_real_edges = build_batch()
+    jax_eps = bench_jax(batch, n_real_edges)
+    try:
+        ref_eps = bench_torch_reference(batch, n_real_edges)
+    except Exception as e:
+        print(f"torch baseline failed: {e}", file=sys.stderr)
+        ref_eps = float("nan")
+    result = {
+        "metric": "dmpnn_train_edges_per_s_per_chip",
+        "value": round(jax_eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(jax_eps / ref_eps, 3) if np.isfinite(ref_eps) else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

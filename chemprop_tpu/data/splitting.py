@@ -186,6 +186,21 @@ def _kennard_stone_split(fps: np.ndarray, sizes):
     )
 
 
+def _greedy_fill(groups, order, targets) -> tuple[list[int], list[int], list[int]]:
+    """Assign whole groups to (train, val, test), always to the split with
+    the largest remaining relative deficit (keeps sizes near targets even
+    with unbalanced groups)."""
+    splits = ([], [], [])
+    for gi in order:
+        g = groups[gi]
+        deficits = [
+            (targets[k] - len(splits[k])) / max(targets[k], 1) if targets[k] else -1.0
+            for k in range(3)
+        ]
+        splits[int(np.argmax(deficits))].extend(g)
+    return splits
+
+
 def _kmeans_split(fps: np.ndarray, sizes, rng):
     from sklearn.cluster import KMeans
 
@@ -197,17 +212,7 @@ def _kmeans_split(fps: np.ndarray, sizes, rng):
     clusters = [np.where(labels == c)[0].tolist() for c in range(n_clusters)]
     clusters = [c for c in clusters if c]
     order = rng.permutation(len(clusters))
-    n_train, n_val, _ = _split_counts(n, sizes)
-    tr, va, te = [], [], []
-    for ci in order:
-        c = clusters[ci]
-        if len(tr) + len(c) <= n_train or not tr:
-            tr += c
-        elif n_val and (len(va) + len(c) <= n_val or not va):
-            va += c
-        else:
-            te += c
-    return tr, va, te
+    return _greedy_fill(clusters, order, _split_counts(n, sizes))
 
 
 def split_data_by_indices(

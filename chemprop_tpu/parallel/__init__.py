@@ -1,0 +1,9 @@
+from chemprop_tpu.parallel.sharding import (
+    DATA_AXIS,
+    batch_shardings,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+__all__ = ["DATA_AXIS", "batch_shardings", "make_mesh", "replicate", "shard_batch"]

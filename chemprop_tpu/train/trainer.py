@@ -72,7 +72,8 @@ class Trainer:
     seed: int = 0
     metrics: list[ChempropMetric] = field(default_factory=list)
     log_every: int = 0
-    data_sharding: Any = None  # NamedSharding for input batches (DP)
+    mesh: Any = None  # jax.sharding.Mesh: shard batches / replicate params
+    data_sharding: Any = None  # NamedSharding pytree for input batches
 
     # populated during fit
     state: TrainState | None = None
@@ -190,6 +191,12 @@ class Trainer:
         first_batch = next(iter(train_loader))
         if self.state is None:
             self.state = self.init_state(first_batch, steps_per_epoch)
+        if self.mesh is not None:
+            from chemprop_tpu.parallel.sharding import batch_shardings, replicate
+
+            self.state = replicate(self.state, self.mesh)
+            if self.data_sharding is None:
+                self.data_sharding = batch_shardings(self.mesh, first_batch)
         train_step = self._make_train_step()
         eval_step = self._make_eval_step() if val_loader is not None else None
 

@@ -1,0 +1,92 @@
+"""Padded-batching invariants: offsets, reverse edges, masks, bucketing."""
+
+import numpy as np
+import pytest
+
+from chemprop_tpu.data import (
+    MoleculeDatapoint,
+    MoleculeDataset,
+    PadSpec,
+    collate_batch,
+    pad_to_bucket,
+)
+
+
+@pytest.fixture
+def batch():
+    smis = ["CCO", "c1ccccc1", "CC(=O)O"]
+    dps = [MoleculeDatapoint.from_smi(s, y=np.array([float(i)])) for i, s in enumerate(smis)]
+    ds = MoleculeDataset(dps)
+    return collate_batch([ds[i] for i in range(3)]), ds
+
+
+def test_shapes_and_masks(batch):
+    tb, ds = batch
+    bmg = tb.bmg
+    n_atoms = sum(d.mol.num_atoms for d in ds.data)
+    n_edges = sum(2 * d.mol.num_bonds for d in ds.data)
+    assert bmg.node_mask.sum() == n_atoms
+    assert bmg.edge_mask.sum() == n_edges
+    assert bmg.V.shape[0] % 64 == 0 and bmg.E.shape[0] % 64 == 0
+    # padded nodes assigned to the sacrificial graph segment
+    assert (np.asarray(bmg.batch)[~np.asarray(bmg.node_mask)] == bmg.n_graphs).all()
+    # padding edges point at the padding node
+    pad_edges = ~np.asarray(bmg.edge_mask)
+    assert (np.asarray(bmg.src)[pad_edges] == bmg.V.shape[0] - 1).all()
+
+
+def test_rev_edge_involution(batch):
+    tb, _ = batch
+    bmg = tb.bmg
+    rev = np.asarray(bmg.rev)
+    # rev is an involution and swaps src/dst on real edges
+    np.testing.assert_array_equal(rev[rev], np.arange(len(rev)))
+    em = np.asarray(bmg.edge_mask)
+    np.testing.assert_array_equal(np.asarray(bmg.src)[rev[em]], np.asarray(bmg.dst)[em])
+    np.testing.assert_array_equal(np.asarray(bmg.dst)[rev[em]], np.asarray(bmg.src)[em])
+
+
+def test_targets_and_weights_padding():
+    smis = ["CCO", "CC"]
+    dps = [MoleculeDatapoint.from_smi(s, y=np.array([1.0, np.nan])) for s in smis]
+    ds = MoleculeDataset(dps)
+    tb = collate_batch([ds[0], ds[1]], PadSpec(64, 64, 5))
+    assert tb.Y.shape == (5, 2)
+    assert np.isnan(tb.Y[2:]).all()  # padded rows fully NaN
+    assert np.isnan(tb.Y[0, 1]) and tb.Y[0, 0] == 1.0
+    assert (tb.w[:2] == 1).all() and (tb.w[2:] == 0).all()
+    assert tb.pad_mask.tolist() == [True, True, False, False, False]
+
+
+def test_pad_spec_rejects_too_small():
+    dps = [MoleculeDatapoint.from_smi("CCCCCCCC", y=np.array([0.0]))]
+    ds = MoleculeDataset(dps)
+    with pytest.raises(ValueError):
+        collate_batch([ds[0]], PadSpec(4, 64, 1))
+    with pytest.raises(ValueError):
+        collate_batch([ds[0]], PadSpec(64, 2, 1))
+
+
+def test_bucket_ladder():
+    assert pad_to_bucket(1) == 64
+    assert pad_to_bucket(64) == 64
+    assert pad_to_bucket(65) == 128
+    assert pad_to_bucket(257) >= 257
+    # ladder is monotone and bounded waste
+    prev = 0
+    for n in range(1, 5000, 37):
+        b = pad_to_bucket(n)
+        assert b >= n and b >= prev
+        assert b <= max(64, int(n * 1.3) + 64)
+        prev = b
+
+
+def test_zero_bond_molecule():
+    dps = [
+        MoleculeDatapoint.from_smi("[He]", y=np.array([0.0])),
+        MoleculeDatapoint.from_smi("CC", y=np.array([1.0])),
+    ]
+    ds = MoleculeDataset(dps)
+    tb = collate_batch([ds[0], ds[1]])
+    assert tb.bmg.node_mask.sum() == 3  # He + 2 C
+    assert tb.bmg.edge_mask.sum() == 2
