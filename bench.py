@@ -21,8 +21,8 @@ from pathlib import Path
 
 import numpy as np
 
-BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", 512))
-TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 20))
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", 2048))
+TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 50))
 REPO = Path(__file__).parent
 
 
@@ -65,16 +65,17 @@ def bench_jax(batch, n_real_edges) -> float:
     step = trainer._make_train_step()
     dbatch = jax.device_put(batch)
 
-    # warmup/compile
-    state, loss = step(state, dbatch)
-    jax.block_until_ready(loss)
-    state, loss = step(state, dbatch)
-    jax.block_until_ready(loss)
+    # warmup/compile; NOTE: on the axon remote platform block_until_ready is
+    # not a reliable sync — a host value fetch (float()) is, so each timing
+    # window ends with one fetch of the chained loss
+    for _ in range(3):
+        state, loss = step(state, dbatch)
+    float(loss)
 
     t0 = time.perf_counter()
     for _ in range(TIMED_STEPS):
         state, loss = step(state, dbatch)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
     return TIMED_STEPS * n_real_edges / dt
 
@@ -125,7 +126,7 @@ def bench_torch_reference(batch, n_real_edges) -> float:
         opt.step()
 
     step()  # warmup
-    n = max(3, TIMED_STEPS // 4)
+    n = 3
     t0 = time.perf_counter()
     for _ in range(n):
         step()
