@@ -39,6 +39,9 @@ class BatchMolGraph:
     node_mask: np.ndarray  # [N_pad] bool
     edge_mask: np.ndarray  # [E_pad] bool
     n_graphs: int = struct.field(pytree_node=False)
+    # edges sorted ascending by dst (enables the sorted-scatter fast path:
+    # XLA's indices_are_sorted and the Pallas sorted-segment kernel)
+    edges_sorted: bool = struct.field(pytree_node=False, default=False)
 
     def __len__(self) -> int:
         return self.n_graphs
@@ -64,7 +67,7 @@ class TrainingBatch(NamedTuple):
         return np.asarray(self.w).reshape(-1) > 0
 
 
-def pad_to_bucket(n: int, multiple: int = 64, ratio: float = 1.25) -> int:
+def pad_to_bucket(n: int, multiple: int = 128, ratio: float = 1.25) -> int:
     """Smallest bucket >= n from a geometric-ish ladder: multiples of
     ``multiple`` up to 4x, then geometric with ``ratio`` rounded to
     ``multiple``. Bounds both padding waste (<~25%) and the number of
@@ -96,8 +99,17 @@ class PadSpec(NamedTuple):
         return cls(n_nodes, n_edges, n_graphs or len(mgs))
 
 
-def batch_mol_graphs(mgs: Sequence[MolGraph], pad: PadSpec | None = None) -> BatchMolGraph:
-    """Disjoint-union batching with static-shape padding."""
+def batch_mol_graphs(
+    mgs: Sequence[MolGraph], pad: PadSpec | None = None, sort_edges: bool = True
+) -> BatchMolGraph:
+    """Disjoint-union batching with static-shape padding.
+
+    ``sort_edges=True`` (default) reorders the directed-edge table by
+    destination node — free at collate time, and it turns every scatter in
+    message passing into a sorted-segment reduction (2x+ faster under XLA,
+    further with the Pallas kernel). Edge order never affects model output
+    (all edge reductions are order-invariant sums).
+    """
     pad = pad or PadSpec.for_graphs(mgs)
     n_real_nodes = sum(mg.V.shape[0] for mg in mgs)
     n_real_edges = sum(mg.E.shape[0] for mg in mgs)
@@ -137,6 +149,19 @@ def batch_mol_graphs(mgs: Sequence[MolGraph], pad: PadSpec | None = None) -> Bat
         v0 += nv
         e0 += ne
 
+    if sort_edges:
+        # stable sort by destination; padding edges (dst = pad_node, the
+        # maximum index) land at the tail. rev is remapped through the
+        # permutation so reverse-edge gathers stay correct.
+        perm = np.argsort(dst, kind="stable").astype(np.int32)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm), dtype=np.int32)
+        E = E[perm]
+        src = src[perm]
+        dst = dst[perm]
+        rev = inv[rev[perm]]
+        edge_mask = edge_mask[perm]
+
     return BatchMolGraph(
         V=V,
         E=E,
@@ -147,6 +172,7 @@ def batch_mol_graphs(mgs: Sequence[MolGraph], pad: PadSpec | None = None) -> Bat
         node_mask=node_mask,
         edge_mask=edge_mask,
         n_graphs=pad.n_graphs,
+        edges_sorted=sort_edges,
     )
 
 

@@ -29,16 +29,16 @@ class Aggregation(nn.Module):
 class SumAggregation(Aggregation):
     @nn.compact
     def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
-        return segment_sum(H, bmg.batch, bmg.n_graphs + 1)[: bmg.n_graphs]
+        return segment_sum(H, bmg.batch, bmg.n_graphs + 1, sorted=True)[: bmg.n_graphs]
 
 
 @AggregationRegistry.register("mean")
 class MeanAggregation(Aggregation):
     @nn.compact
     def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
-        totals = segment_sum(H, bmg.batch, bmg.n_graphs + 1)[: bmg.n_graphs]
+        totals = segment_sum(H, bmg.batch, bmg.n_graphs + 1, sorted=True)[: bmg.n_graphs]
         counts = segment_sum(
-            jnp.ones((H.shape[0], 1), H.dtype), bmg.batch, bmg.n_graphs + 1
+            jnp.ones((H.shape[0], 1), H.dtype), bmg.batch, bmg.n_graphs + 1, sorted=True
         )[: bmg.n_graphs]
         return totals / jnp.maximum(counts, 1)
 
@@ -49,7 +49,7 @@ class NormAggregation(Aggregation):
 
     @nn.compact
     def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
-        return segment_sum(H, bmg.batch, bmg.n_graphs + 1)[: bmg.n_graphs] / self.norm
+        return segment_sum(H, bmg.batch, bmg.n_graphs + 1, sorted=True)[: bmg.n_graphs] / self.norm
 
 
 @AggregationRegistry.register("attentive")
@@ -60,4 +60,4 @@ class AttentiveAggregation(Aggregation):
     def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
         logits = nn.Dense(1, name="W")(H)
         alphas = segment_softmax_weights(logits, bmg.batch, bmg.n_graphs + 1)
-        return segment_sum(alphas * H, bmg.batch, bmg.n_graphs + 1)[: bmg.n_graphs]
+        return segment_sum(alphas * H, bmg.batch, bmg.n_graphs + 1, sorted=True)[: bmg.n_graphs]

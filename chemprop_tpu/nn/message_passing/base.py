@@ -31,7 +31,20 @@ from chemprop_tpu.conf import DEFAULT_HIDDEN_DIM
 from chemprop_tpu.data.collate import BatchMolGraph
 from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
 from chemprop_tpu.nn.utils import get_activation_function
+from chemprop_tpu.ops.gather import gather_rev, gather_src
 from chemprop_tpu.ops.segment import segment_sum
+
+
+def _gather_src(M, bmg):
+    if bmg.edges_sorted:
+        return gather_src(M, bmg.src, bmg.rev, bmg.dst)
+    return M[bmg.src]
+
+
+def _gather_rev(H, bmg):
+    if bmg.edges_sorted:
+        return gather_rev(H, bmg.rev)
+    return H[bmg.rev]
 
 
 class _MessagePassingBase(nn.Module):
@@ -76,11 +89,11 @@ class _MessagePassingBase(nn.Module):
         H = self.tau(H_0)
         for _ in range(1, self.depth):
             if self.undirected:
-                H = (H + H[bmg.rev]) / 2
+                H = (H + _gather_rev(H, bmg)) / 2
             M = self._message(H, bmg)
             H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not is_training)
 
-        M_v = segment_sum(H, bmg.dst, n_nodes)
+        M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)
         H_v = self.tau(self.W_o(jnp.concatenate([bmg.V.astype(self.compute_dtype), M_v], axis=1)))
         H_v = self.drop(H_v, deterministic=not is_training)
 
@@ -100,13 +113,14 @@ class BondMessagePassing(_MessagePassingBase):
 
     def _initialize(self, bmg: BatchMolGraph) -> jax.Array:
         VE = jnp.concatenate(
-            [bmg.V[bmg.src].astype(self.compute_dtype), bmg.E.astype(self.compute_dtype)], axis=1
+            [_gather_src(bmg.V, bmg).astype(self.compute_dtype), bmg.E.astype(self.compute_dtype)],
+            axis=1,
         )
         return self.W_i(VE)
 
     def _message(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
-        M_node = segment_sum(H, bmg.dst, bmg.V.shape[0])
-        return M_node[bmg.src] - H[bmg.rev]
+        M_node = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)
+        return _gather_src(M_node, bmg) - _gather_rev(H, bmg)
 
 
 class AtomMessagePassing(_MessagePassingBase):
@@ -114,8 +128,10 @@ class AtomMessagePassing(_MessagePassingBase):
     node-features-only initialization (cf. reference ``base.py:254-289``)."""
 
     def _initialize(self, bmg: BatchMolGraph) -> jax.Array:
-        return self.W_i(bmg.V.astype(self.compute_dtype))[bmg.src]
+        return _gather_src(self.W_i(bmg.V.astype(self.compute_dtype)), bmg)
 
     def _message(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
         HE = jnp.concatenate([H, bmg.E.astype(self.compute_dtype)], axis=1)
-        return segment_sum(HE, bmg.dst, bmg.V.shape[0])[bmg.src]
+        return _gather_src(
+            segment_sum(HE, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted), bmg
+        )

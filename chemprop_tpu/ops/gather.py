@@ -1,0 +1,59 @@
+"""Graph gathers with scatter-free backward passes.
+
+In D-MPNN message passing the forward gathers are cheap but their autodiff
+transposes are XLA scatter-adds with *unsorted* indices — the dominant cost
+of the backward pass. Both transposes can be rewritten using the directed
+edge structure (every edge e has a reverse edge rev[e] with
+``src[e] == dst[rev[e]]`` and ``rev[rev] == identity``):
+
+* transpose of ``M[src]``   = scatter-add by src
+                            = sorted-segment-sum by dst of ``g[rev]``
+* transpose of ``H[rev]``   = scatter-add by rev
+                            = gather by rev (an involution)
+
+so every backward reduction is either a permutation gather or a *sorted*
+segment sum — no generic scatter anywhere in the training step.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from chemprop_tpu.ops.segment import segment_sum
+
+
+@jax.custom_vjp
+def gather_src(M: jax.Array, src: jax.Array, rev: jax.Array, dst: jax.Array) -> jax.Array:
+    """``M[src]`` for a node table M; backward uses the rev/dst identity
+    (requires edges sorted by dst — the collate default)."""
+    return M[src]
+
+
+def _gather_src_fwd(M, src, rev, dst):
+    return M[src], (M.shape[0], rev, dst)
+
+
+def _gather_src_bwd(res, g):
+    n_nodes, rev, dst = res
+    dM = segment_sum(g[rev], dst, n_nodes, sorted=True)
+    return dM.astype(g.dtype), None, None, None
+
+
+gather_src.defvjp(_gather_src_fwd, _gather_src_bwd)
+
+
+@jax.custom_vjp
+def gather_rev(H: jax.Array, rev: jax.Array) -> jax.Array:
+    """``H[rev]`` where rev is an involution; backward is also ``[rev]``."""
+    return H[rev]
+
+
+def _gather_rev_fwd(H, rev):
+    return H[rev], rev
+
+
+def _gather_rev_bwd(rev, g):
+    return g[rev], None
+
+
+gather_rev.defvjp(_gather_rev_fwd, _gather_rev_bwd)

@@ -15,11 +15,35 @@ segment_sum + gather pair under a flag for additional fusion.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 
-def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+def _use_pallas() -> bool:
+    return os.environ.get("CHEMPROP_TPU_PALLAS", "0") == "1"
+
+
+def segment_sum(
+    data: jax.Array, segment_ids: jax.Array, num_segments: int, sorted: bool = False
+) -> jax.Array:
+    """Segment sum; ``sorted=True`` promises ascending segment_ids and takes
+    the fast path (XLA sorted-scatter, or the Pallas one-hot-matmul kernel
+    when CHEMPROP_TPU_PALLAS=1)."""
+    if sorted:
+        if (
+            _use_pallas()
+            and data.ndim == 2
+            and data.shape[0] % 128 == 0
+            and num_segments % 128 == 0
+        ):
+            from chemprop_tpu.ops.sorted_segments import sorted_segment_sum
+
+            return sorted_segment_sum(data, segment_ids, num_segments).astype(data.dtype)
+        return jax.ops.segment_sum(
+            data, segment_ids, num_segments=num_segments, indices_are_sorted=True
+        )
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 
 

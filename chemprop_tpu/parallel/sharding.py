@@ -58,6 +58,7 @@ def batch_shardings(mesh: Mesh, batch: TrainingBatch) -> TrainingBatch:
         node_mask=shard_like(bmg.node_mask),
         edge_mask=shard_like(bmg.edge_mask),
         n_graphs=bmg.n_graphs,
+        edges_sorted=bmg.edges_sorted,
     )
     return TrainingBatch(
         bmg=bmg_sharding,

@@ -27,7 +27,7 @@ def test_shapes_and_masks(batch):
     n_edges = sum(2 * d.mol.num_bonds for d in ds.data)
     assert bmg.node_mask.sum() == n_atoms
     assert bmg.edge_mask.sum() == n_edges
-    assert bmg.V.shape[0] % 64 == 0 and bmg.E.shape[0] % 64 == 0
+    assert bmg.V.shape[0] % 128 == 0 and bmg.E.shape[0] % 128 == 0
     # padded nodes assigned to the sacrificial graph segment
     assert (np.asarray(bmg.batch)[~np.asarray(bmg.node_mask)] == bmg.n_graphs).all()
     # padding edges point at the padding node
@@ -68,16 +68,16 @@ def test_pad_spec_rejects_too_small():
 
 
 def test_bucket_ladder():
-    assert pad_to_bucket(1) == 64
-    assert pad_to_bucket(64) == 64
-    assert pad_to_bucket(65) == 128
-    assert pad_to_bucket(257) >= 257
+    assert pad_to_bucket(1) == 128
+    assert pad_to_bucket(128) == 128
+    assert pad_to_bucket(129) == 256
+    assert pad_to_bucket(513) >= 513
     # ladder is monotone and bounded waste
     prev = 0
     for n in range(1, 5000, 37):
         b = pad_to_bucket(n)
         assert b >= n and b >= prev
-        assert b <= max(64, int(n * 1.3) + 64)
+        assert b <= max(128, int(n * 1.3) + 128)
         prev = b
 
 
