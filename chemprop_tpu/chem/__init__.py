@@ -112,6 +112,7 @@ def _remove_explicit_hs(mol: Mol) -> Mol:
             atom.atomic_num == 1
             and atom.isotope == 0
             and atom.formal_charge == 0
+            and atom.atom_map_num == 0  # mapped Hs carry reaction information
             and mol.degree(atom.idx) == 1
             and not (atom.num_explicit_hs or 0)
         ):

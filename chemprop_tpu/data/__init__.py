@@ -4,6 +4,7 @@ from chemprop_tpu.data.collate import (
     TrainingBatch,
     batch_mol_graphs,
     collate_batch,
+    collate_multicomponent,
     pad_to_bucket,
 )
 from chemprop_tpu.data.dataloader import DataLoader, build_dataloader
@@ -12,7 +13,12 @@ from chemprop_tpu.data.datapoints import (
     MoleculeDatapoint,
     ReactionDatapoint,
 )
-from chemprop_tpu.data.datasets import Datum, MoleculeDataset
+from chemprop_tpu.data.datasets import (
+    Datum,
+    MoleculeDataset,
+    MulticomponentDataset,
+    ReactionDataset,
+)
 from chemprop_tpu.data.molgraph import MolGraph
 from chemprop_tpu.data.samplers import ClassBalanceSampler, SeededSampler
 from chemprop_tpu.data.splitting import SplitType, make_split_indices, split_data_by_indices
@@ -26,6 +32,9 @@ __all__ = [
     "MolGraph",
     "MoleculeDatapoint",
     "MoleculeDataset",
+    "MulticomponentDataset",
+    "ReactionDataset",
+    "collate_multicomponent",
     "PadSpec",
     "ReactionDatapoint",
     "SeededSampler",

@@ -218,3 +218,27 @@ def collate_batch(
         gt[:b_real] = np.array(gt_masks)
 
     return TrainingBatch(bmg, V_d, X_d, Y, w, lt, gt)
+
+
+def collate_multicomponent(
+    data: Iterable, pads: Sequence[PadSpec] | None = None
+) -> TrainingBatch:
+    """Collate rows of per-component Datum lists: one padded BatchMolGraph
+    per component (tuple-valued ``bmg``/``V_d`` fields); targets/weights come
+    from the first component (cf. reference ``collate.py:196-207``)."""
+    rows = list(data)
+    n_components = len(rows[0])
+    columns = [[row[i] for row in rows] for i in range(n_components)]
+    if pads is None:
+        pads = [None] * n_components
+    tbs = [collate_batch(col, pad) for col, pad in zip(columns, pads)]
+    first = tbs[0]
+    return TrainingBatch(
+        bmg=tuple(tb.bmg for tb in tbs),
+        V_d=tuple(tb.V_d for tb in tbs) if any(tb.V_d is not None for tb in tbs) else None,
+        X_d=first.X_d,
+        Y=first.Y,
+        w=first.w,
+        lt_mask=first.lt_mask,
+        gt_mask=first.gt_mask,
+    )

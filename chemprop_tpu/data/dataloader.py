@@ -13,7 +13,13 @@ import queue
 import threading
 from typing import Iterator
 
-from chemprop_tpu.data.collate import PadSpec, TrainingBatch, collate_batch, pad_to_bucket
+from chemprop_tpu.data.collate import (
+    PadSpec,
+    TrainingBatch,
+    collate_batch,
+    collate_multicomponent,
+    pad_to_bucket,
+)
 from chemprop_tpu.data.datasets import MoleculeDataset
 from chemprop_tpu.data.samplers import ClassBalanceSampler, SeededSampler
 
@@ -51,6 +57,15 @@ class DataLoader:
 
     def _make_batch(self, idxs: list[int]) -> TrainingBatch:
         data = [self.dataset[i] for i in idxs]
+        if data and isinstance(data[0], list):  # multicomponent rows
+            pads = self.pad_spec
+            if pads is None:
+                n_comp = len(data[0])
+                pads = [
+                    PadSpec.for_graphs([row[c].mg for row in data], n_graphs=self.batch_size)
+                    for c in range(n_comp)
+                ]
+            return collate_multicomponent(data, pads)
         pad = self.pad_spec
         if pad is None:
             pad = PadSpec.for_graphs([d.mg for d in data], n_graphs=self.batch_size)

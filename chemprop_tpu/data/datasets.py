@@ -251,3 +251,161 @@ class MoleculeDataset(_DatasetMixin):
     @property
     def max_edges(self) -> int:
         return max((2 * d.mol.num_bonds for d in self.data), default=0)
+
+
+@dataclass
+class ReactionDataset(_DatasetMixin):
+    """Datapoints are atom-mapped (reactant, product) pairs featurized with
+    the CGR featurizer (cf. reference ``chemprop/data/datasets.py:651-782``)."""
+
+    data: list[ReactionDatapoint] = None
+    featurizer: "CondensedGraphOfReactionFeaturizer" = None
+
+    def __post_init__(self):
+        if self.data is None:
+            raise ValueError("data cannot be None")
+        if self.featurizer is None:
+            from chemprop_tpu.featurizers.molgraph.reaction import (
+                CondensedGraphOfReactionFeaturizer,
+            )
+
+            self.featurizer = CondensedGraphOfReactionFeaturizer()
+        self.reset()
+        self._cache = None
+
+    def __getitem__(self, idx: int) -> Datum:
+        d = self.data[idx]
+        mg = self._cache[idx] if self._cache is not None else self._featurize(idx)
+        return Datum(mg, None, self.X_d[idx], self.Y[idx], d.weight, d.lt_mask, d.gt_mask)
+
+    def _featurize(self, idx: int) -> MolGraph:
+        d = self.data[idx]
+        return self.featurizer((d.rct, d.pdt))
+
+    @property
+    def cache(self) -> bool:
+        return self._cache is not None
+
+    @cache.setter
+    def cache(self, cache: bool) -> None:
+        self._cache = (
+            parallel_execute(self._featurize, range(len(self)), getattr(self, "n_workers", 0))
+            if cache
+            else None
+        )
+
+    @property
+    def mols(self) -> list[Mol]:
+        return [d.rct for d in self.data]
+
+    @property
+    def smiles(self) -> list[str | None]:
+        return [d.name for d in self.data]
+
+    @property
+    def d_vf(self) -> int:
+        return 0
+
+    @property
+    def d_ef(self) -> int:
+        return 0
+
+    @property
+    def d_vd(self) -> int:
+        return 0
+
+    @property
+    def V_ds(self) -> list[None]:
+        return [None] * len(self.data)
+
+    def normalize_inputs(self, key: str = "X_d", scaler=None):
+        if key != "X_d":
+            return scaler
+        X = None if self.d_xd == 0 else self._X_d
+        if X is None:
+            return scaler
+        if scaler is None:
+            scaler = StandardScaler().fit(X)
+        self.X_d = scaler.transform(X)
+        return scaler
+
+
+class MulticomponentDataset(_DatasetMixin):
+    """Parallel per-component datasets sharing targets (cf. reference
+    ``chemprop/data/datasets.py:782-860``). Indexing returns a list of
+    per-component Datums; targets/weights come from the first component."""
+
+    def __init__(self, datasets: list):
+        sizes = {len(d) for d in datasets}
+        if len(sizes) != 1:
+            raise ValueError(f"component datasets have mismatched lengths: {sizes}")
+        self.datasets = datasets
+
+    def __len__(self) -> int:
+        return len(self.datasets[0])
+
+    @property
+    def n_components(self) -> int:
+        return len(self.datasets)
+
+    def __getitem__(self, idx: int) -> list[Datum]:
+        return [d[idx] for d in self.datasets]
+
+    @property
+    def data(self):
+        return self.datasets[0].data
+
+    @property
+    def smiles(self) -> list[tuple]:
+        return list(zip(*[d.smiles for d in self.datasets]))
+
+    @property
+    def names(self) -> list[tuple]:
+        return list(zip(*[d.names for d in self.datasets]))
+
+    def normalize_targets(self, scaler: StandardScaler | None = None) -> StandardScaler:
+        return self.datasets[0].normalize_targets(scaler)
+
+    def normalize_inputs(self, key: str = "X_d", scaler=None):
+        return [d.normalize_inputs(key, scaler) for d in self.datasets]
+
+    def reset(self) -> None:
+        for d in self.datasets:
+            d.reset()
+
+    @property
+    def _Y(self):
+        return self.datasets[0]._Y
+
+    @property
+    def Y(self):
+        return self.datasets[0].Y
+
+    @property
+    def weights(self):
+        return self.datasets[0].weights
+
+    @property
+    def lt_mask(self):
+        return self.datasets[0].lt_mask
+
+    @property
+    def gt_mask(self):
+        return self.datasets[0].gt_mask
+
+    @property
+    def t(self):
+        return self.datasets[0].t
+
+    @property
+    def d_xd(self) -> int:
+        return self.datasets[0].d_xd
+
+    @property
+    def cache(self) -> bool:
+        return all(d.cache for d in self.datasets)
+
+    @cache.setter
+    def cache(self, cache: bool) -> None:
+        for d in self.datasets:
+            d.cache = cache

@@ -12,11 +12,19 @@ from chemprop_tpu.featurizers.molecule import (
     MorganBinaryFeaturizer,
     MorganCountFeaturizer,
 )
-from chemprop_tpu.featurizers.molgraph import SimpleMoleculeMolGraphFeaturizer
+from chemprop_tpu.featurizers.molgraph import (
+    CGRFeaturizer,
+    CondensedGraphOfReactionFeaturizer,
+    RxnMode,
+    SimpleMoleculeMolGraphFeaturizer,
+)
 
 __all__ = [
     "AtomFeatureMode",
+    "CGRFeaturizer",
     "ChargeFeaturizer",
+    "CondensedGraphOfReactionFeaturizer",
+    "RxnMode",
     "GraphFeaturizer",
     "MoleculeFeaturizerRegistry",
     "MorganBinaryFeaturizer",

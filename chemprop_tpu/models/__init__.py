@@ -1,3 +1,12 @@
 from chemprop_tpu.models.model import MPNN
+from chemprop_tpu.models.multi import MulticomponentMPNN
+from chemprop_tpu.models.serialize import load_checkpoint, load_model, save_checkpoint, save_model
 
-__all__ = ["MPNN"]
+__all__ = [
+    "MPNN",
+    "MulticomponentMPNN",
+    "load_checkpoint",
+    "load_model",
+    "save_checkpoint",
+    "save_model",
+]

@@ -10,6 +10,7 @@ from chemprop_tpu.nn.agg import (
 from chemprop_tpu.nn.batchnorm import MaskedBatchNorm
 from chemprop_tpu.nn.ffn import MLP, ConstrainerFFN
 from chemprop_tpu.nn.message_passing import AtomMessagePassing, BondMessagePassing
+from chemprop_tpu.nn.message_passing.multi import MulticomponentMessagePassing
 from chemprop_tpu.nn.metrics import ChempropMetric, LossFunctionRegistry, MetricRegistry
 from chemprop_tpu.nn.predictors import (
     BinaryClassificationFFN,
@@ -45,6 +46,7 @@ __all__ = [
     "MeanAggregation",
     "MetricRegistry",
     "MulticlassClassificationFFN",
+    "MulticomponentMessagePassing",
     "MulticlassDirichletFFN",
     "MveFFN",
     "NormAggregation",

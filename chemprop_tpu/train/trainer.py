@@ -213,7 +213,8 @@ class Trainer:
                 batch = _device_put_batch(batch, self.data_sharding)
                 self.state, loss = train_step(self.state, batch)
                 losses.append(loss)
-                n_edges += int(np.asarray(batch.bmg.edge_mask).sum())
+                bmgs = batch.bmg if isinstance(batch.bmg, tuple) else (batch.bmg,)
+                n_edges += int(sum(np.asarray(b.edge_mask).sum() for b in bmgs))
             train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
             dt = time.time() - t0
             record = {
