@@ -1,0 +1,66 @@
+"""Shared CLI argument groups (cf. reference ``chemprop/cli/common.py``)."""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    group = parser.add_argument_group("Shared input args")
+    group.add_argument("-i", "--data-path", type=Path, help="input CSV path")
+    group.add_argument(
+        "-s", "--smiles-columns", nargs="+", help="SMILES column name(s); >1 = multicomponent"
+    )
+    group.add_argument(
+        "--reaction-columns", nargs="+", help="reaction SMILES column name(s)"
+    )
+    group.add_argument("--no-header-row", action="store_true")
+    group.add_argument(
+        "--multi-hot-atom-featurizer-mode",
+        default="v2",
+        choices=["v1", "v2", "organic", "rigr"],
+    )
+    group.add_argument(
+        "--rxn-mode",
+        default="reac_diff",
+        choices=[
+            "reac_prod",
+            "reac_prod_balance",
+            "reac_diff",
+            "reac_diff_balance",
+            "prod_diff",
+            "prod_diff_balance",
+        ],
+    )
+    group.add_argument("--keep-h", action="store_true")
+    group.add_argument("--add-h", action="store_true")
+    group.add_argument("--ignore-stereo", action="store_true")
+    group.add_argument(
+        "--molecule-featurizers",
+        nargs="+",
+        choices=["morgan_binary", "morgan_count", "charge"],
+        help="extra global descriptor featurizers",
+    )
+    group.add_argument("--descriptors-path", type=Path, help=".npz of extra descriptors X_d")
+    group.add_argument("--atom-features-path", type=Path, help=".npz extra atom features V_f")
+    group.add_argument("--bond-features-path", type=Path, help=".npz extra bond features E_f")
+    group.add_argument(
+        "--atom-descriptors-path", type=Path, help=".npz extra atom descriptors V_d"
+    )
+    group.add_argument("-n", "--num-workers", type=int, default=0)
+    group.add_argument("-b", "--batch-size", type=int, default=64)
+    return parser
+
+
+def find_models(model_paths: list[Path]) -> list[Path]:
+    found = []
+    for p in model_paths:
+        p = Path(p)
+        if p.suffix in (".ckpt", ".pt"):
+            found.append(p)
+        elif p.is_dir():
+            found.extend(sorted(p.rglob("*.ckpt")))
+        else:
+            raise ValueError(f"cannot interpret model path {p}")
+    return found

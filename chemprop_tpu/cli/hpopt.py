@@ -1,0 +1,138 @@
+"""``chemprop-tpu hpopt`` — hyperparameter search (cf. reference
+``chemprop/cli/hpopt.py``, which shells out to Ray Tune). This implementation
+runs host-level random search over the same search space, training each trial
+with the in-repo Trainer and writing ``best_config.json`` for retraining with
+``--config-path``."""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from chemprop_tpu.cli.train import add_train_args
+
+logger = logging.getLogger(__name__)
+
+SEARCH_SPACE = {
+    "depth": ("int", 2, 6),
+    "message_hidden_dim": ("int_step", 200, 800, 100),
+    "ffn_hidden_dim": ("int_step", 200, 800, 100),
+    "ffn_num_layers": ("int", 1, 3),
+    "dropout": ("choice", [0.0, 0.0, 0.05, 0.1, 0.2]),
+    "max_lr": ("log", 1e-4, 1e-2),
+    "final_lr_ratio": ("log", 1e-2, 1.0),
+    "warmup_epochs": ("int", 1, 5),
+    "batch_size": ("choice", [16, 32, 64, 128]),
+    "aggregation": ("choice", ["mean", "sum", "norm"]),
+    "activation": ("choice", ["relu", "leakyrelu", "prelu", "tanh", "elu"]),
+}
+
+
+def add_hpopt_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    add_train_args(parser)
+    g = parser.add_argument_group("Hpopt args")
+    g.add_argument("--raytune-num-samples", "--num-trials", type=int, default=10, dest="num_trials")
+    g.add_argument(
+        "--search-parameter-keywords",
+        nargs="+",
+        default=["depth", "ffn_num_layers", "dropout", "message_hidden_dim", "ffn_hidden_dim"],
+        help=f"subset of: {sorted(SEARCH_SPACE)} or 'all'/'basic'/'learning_rate'",
+    )
+    g.add_argument("--hpopt-save-dir", type=Path, default=None)
+    return parser
+
+
+def _expand_keywords(keywords: list[str]) -> list[str]:
+    out: set[str] = set()
+    for kw in keywords:
+        match kw:
+            case "all":
+                out |= set(SEARCH_SPACE)
+            case "basic":
+                out |= {"depth", "ffn_num_layers", "dropout", "message_hidden_dim", "ffn_hidden_dim"}
+            case "learning_rate":
+                out |= {"max_lr", "final_lr_ratio", "warmup_epochs"}
+            case _:
+                if kw not in SEARCH_SPACE:
+                    raise ValueError(f"unknown search keyword {kw!r}")
+                out.add(kw)
+    return sorted(out)
+
+
+def _sample(rng: np.random.Generator, keys: list[str]) -> dict:
+    cfg = {}
+    for k in keys:
+        spec = SEARCH_SPACE[k]
+        match spec[0]:
+            case "int":
+                cfg[k] = int(rng.integers(spec[1], spec[2] + 1))
+            case "int_step":
+                cfg[k] = int(rng.choice(np.arange(spec[1], spec[2] + 1, spec[3])))
+            case "choice":
+                cfg[k] = spec[1][int(rng.integers(len(spec[1])))]
+            case "log":
+                cfg[k] = float(np.exp(rng.uniform(np.log(spec[1]), np.log(spec[2]))))
+    return cfg
+
+
+def main(args) -> int:
+    from chemprop_tpu.cli import train as train_cli
+
+    out_dir = args.hpopt_save_dir or (args.output_dir or Path("chemprop_tpu_hpopt"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    keys = _expand_keywords(args.search_parameter_keywords)
+    rng = np.random.default_rng(args.data_seed)
+
+    results = []
+    best = (np.inf, None, None)
+    for trial in range(args.num_trials):
+        cfg = _sample(rng, keys)
+        targs = copy.deepcopy(args)
+        for k, v in cfg.items():
+            if k == "final_lr_ratio":
+                targs.final_lr = v * targs.max_lr
+            else:
+                setattr(targs, k, v)
+        targs.output_dir = out_dir / f"trial_{trial}"
+        targs.num_replicates = 1
+        targs.ensemble_size = 1
+        logger.info(f"trial {trial}: {cfg}")
+        try:
+            train_cli.main(targs)
+            hist_files = sorted(targs.output_dir.rglob("history.json"))
+            with open(hist_files[0]) as f:
+                history = json.load(f)
+            score = min(h.get("val_loss", h["train_loss"]) for h in history)
+        except Exception as e:
+            logger.warning(f"trial {trial} failed: {e}")
+            score = float("inf")
+        results.append({"trial": trial, "config": cfg, "score": score})
+        if score < best[0]:
+            best = (score, cfg, trial)
+
+    with open(out_dir / "all_progress.json", "w") as f:
+        json.dump(results, f, indent=2)
+    best_cfg = dict(best[1] or {})
+    if "final_lr_ratio" in best_cfg:
+        best_cfg["final_lr"] = best_cfg.pop("final_lr_ratio") * args.max_lr
+    with open(out_dir / "best_config.json", "w") as f:
+        json.dump(best_cfg, f, indent=2)
+    print(json.dumps({"best_trial": best[2], "best_score": best[0], "best_config": best_cfg}))
+    return 0
+
+
+class HpoptSubcommand:
+    COMMAND = "hpopt"
+    HELP = "hyperparameter optimization (host-level random search)"
+
+    @classmethod
+    def add(cls, subparsers) -> argparse.ArgumentParser:
+        parser = subparsers.add_parser(cls.COMMAND, help=cls.HELP)
+        add_hpopt_args(parser)
+        parser.set_defaults(func=main)
+        return parser

@@ -1,0 +1,154 @@
+"""``chemprop-tpu predict`` (cf. reference ``chemprop/cli/predict.py``):
+load model(s), featurize the test CSV, run inference (ensemble-averaged),
+optional uncertainty estimation/calibration, write predictions CSV."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from chemprop_tpu.cli.common import add_common_args, find_models
+from chemprop_tpu.cli.parsing import build_datasets, load_input_feats, make_datapoints, parse_csv
+from chemprop_tpu.data import DataLoader
+from chemprop_tpu.featurizers.molecule import MoleculeFeaturizerRegistry
+from chemprop_tpu.models.serialize import load_model
+from chemprop_tpu.train import Trainer
+
+logger = logging.getLogger(__name__)
+
+
+def add_predict_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    add_common_args(parser)
+    g = parser.add_argument_group("Predict args")
+    g.add_argument("-o", "--output", "--preds-path", type=Path, default=None)
+    g.add_argument("--model-paths", "--model-path", nargs="+", type=Path, required=True)
+    g.add_argument("--drop-extra-columns", action="store_true")
+    g.add_argument(
+        "--uncertainty-method",
+        choices=["none", "ensemble", "mve", "evidential-total", "evidential-epistemic",
+                 "evidential-aleatoric", "classification", "quantile-regression", "dropout"],
+        default="none",
+    )
+    g.add_argument("--cal-path", type=Path, help="calibration set CSV")
+    g.add_argument(
+        "--calibration-method",
+        choices=["none", "zscaling", "zelikman-interval", "mve-weighting", "platt", "isotonic",
+                 "conformal-regression"],
+        default="none",
+    )
+    g.add_argument("--evaluation-methods", nargs="+")
+    return parser
+
+
+def _build_loader(args, path):
+    smis, rxns, Y, weights, lt, gt, _, input_cols, target_cols = parse_csv(
+        path,
+        args.smiles_columns,
+        args.reaction_columns,
+        target_cols=[] if path == args.data_path else None,
+        no_header_row=args.no_header_row,
+    )
+    mol_featurizers = [
+        MoleculeFeaturizerRegistry[name]() for name in (args.molecule_featurizers or [])
+    ]
+    n = len(next(iter(smis.values()), next(iter(rxns.values()), [])))
+    X_d = load_input_feats(args.descriptors_path, n)
+    V_ds = load_input_feats(args.atom_descriptors_path, n)
+    components = make_datapoints(
+        smis, rxns,
+        Y if Y.size else np.full((n, 1), np.nan),
+        weights, lt, gt,
+        keep_h=args.keep_h, add_h=args.add_h, ignore_stereo=args.ignore_stereo,
+        molecule_featurizers=mol_featurizers, X_d=X_d, V_ds=V_ds,
+    )
+    dset = build_datasets(
+        components,
+        multi_hot_atom_featurizer_mode=args.multi_hot_atom_featurizer_mode,
+        rxn_mode=args.rxn_mode,
+    )
+    return DataLoader(dset, batch_size=args.batch_size), dset, Y
+
+
+def main(args) -> int:
+    model_paths = find_models(args.model_paths)
+    loader, dset, _ = _build_loader(args, args.data_path)
+
+    individual = []
+    output_columns = None
+    for path in model_paths:
+        model, variables, extra = load_model(path)
+        output_columns = extra.get("output_columns") or output_columns
+        trainer = Trainer(model)
+        preds = trainer.predict(loader, variables=variables)
+        individual.append(preds)
+    stacked = np.stack(individual)  # [m, n, ...]
+    mean_preds = stacked.mean(0)
+
+    uncs = _estimate_uncertainty(args, stacked)
+    if uncs is not None and args.calibration_method != "none" and args.cal_path:
+        from chemprop_tpu.uncertainty import CalibratorRegistry
+
+        cal_loader, cal_dset, cal_Y = _build_loader(args, args.cal_path)
+        cal_stack = np.stack(
+            [
+                Trainer(m := load_model(p)[0]).predict(cal_loader, variables=load_model(p)[1])
+                for p in model_paths
+            ]
+        )
+        cal_preds = cal_stack.mean(0)
+        cal_uncs = _estimate_uncertainty(args, cal_stack)
+        mask = np.isfinite(cal_Y)
+        calibrator = CalibratorRegistry[args.calibration_method]()
+        calibrator.fit(
+            _point(cal_preds), cal_uncs, np.nan_to_num(cal_Y).astype(np.float32), mask
+        )
+        uncs = calibrator.apply(uncs)
+
+    out = args.output or args.data_path.with_name(args.data_path.stem + "_preds.csv")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    point = _point(mean_preds)
+    cols = output_columns or [f"pred_{j}" for j in range(point.shape[1])]
+    df = pd.DataFrame({"name": dset.names})
+    for j, c in enumerate(cols[: point.shape[1]]):
+        df[c] = point[:, j]
+    if uncs is not None:
+        for j, c in enumerate(cols[: point.shape[1]]):
+            df[f"{c}_unc"] = uncs[:, j]
+    df.to_csv(out, index=False)
+    logger.info(f"wrote predictions for {len(df)} rows to {out}")
+    print(f"wrote {out}")
+    return 0
+
+
+def _point(preds: np.ndarray) -> np.ndarray:
+    """Collapse (mean, extra-head) outputs to point predictions."""
+    if preds.ndim == 3:
+        return preds[..., 0]
+    return preds
+
+
+def _estimate_uncertainty(args, stacked: np.ndarray) -> np.ndarray | None:
+    """[m, n, t(, u)] model outputs -> [n, t] uncertainties."""
+    m = args.uncertainty_method
+    if m == "none":
+        return None
+    from chemprop_tpu.uncertainty import UncertaintyEstimatorRegistry
+
+    estimator = UncertaintyEstimatorRegistry[m]()
+    return estimator(stacked)
+
+
+class PredictSubcommand:
+    COMMAND = "predict"
+    HELP = "use trained model(s) to predict on new data"
+
+    @classmethod
+    def add(cls, subparsers) -> argparse.ArgumentParser:
+        parser = subparsers.add_parser(cls.COMMAND, help=cls.HELP)
+        add_predict_args(parser)
+        parser.set_defaults(func=main)
+        return parser

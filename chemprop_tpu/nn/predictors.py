@@ -79,10 +79,13 @@ class _FFNPredictorBase(nn.Module):
             self._T_default_criterion, task_weights=tw, threshold=self.threshold
         )
 
-    def _unscale(self, X, is_training):
-        if self.output_transform is None:
+    def _unscale(self, X, active: bool):
+        """Output unscaling is applied only on the inference path (reference
+        keeps output_transform in train mode — a no-op — during training AND
+        validation; ``models/model.py:163-168``)."""
+        if self.output_transform is None or not active:
             return X
-        return self.output_transform(X, is_training)
+        return self.output_transform(X, is_training=False)
 
     def train_step(self, Z: jax.Array, is_training: bool = True) -> jax.Array:
         return self.ffn(Z, is_training)
@@ -100,11 +103,14 @@ class RegressionFFN(_FFNPredictorBase):
     _T_default_criterion = MSE
     _T_default_metric = MSE
 
+    def _forward(self, Z, is_training: bool, unscale: bool):
+        return self._unscale(self.ffn(Z, is_training), unscale)
+
     def __call__(self, Z, is_training: bool = True):
-        return self._unscale(self.ffn(Z, is_training), is_training)
+        return self._forward(Z, is_training, unscale=not is_training)
 
     def train_step(self, Z, is_training: bool = True):
-        return self.__call__(Z, is_training)
+        return self._forward(Z, is_training, unscale=False)
 
 
 @PredictorRegistry.register("regression-mve")
@@ -112,16 +118,14 @@ class MveFFN(RegressionFFN):
     n_targets: int = 2
     _T_default_criterion = MVELoss
 
-    def __call__(self, Z, is_training: bool = True):
+    def _forward(self, Z, is_training: bool, unscale: bool):
         Y = self.ffn(Z, is_training)
         mean, var = jnp.split(Y, 2, axis=1)
         var = jax.nn.softplus(var)
-        mean = self._unscale(mean, is_training)
-        if self.output_transform is not None:
-            var = self.output_transform.transform_variance(var, is_training)
+        mean = self._unscale(mean, unscale)
+        if self.output_transform is not None and unscale:
+            var = self.output_transform.transform_variance(var, is_training=False)
         return jnp.stack([mean, var], axis=2)
-
-    train_step = __call__
 
 
 @PredictorRegistry.register("regression-evidential")
@@ -129,18 +133,16 @@ class EvidentialFFN(RegressionFFN):
     n_targets: int = 4
     _T_default_criterion = EvidentialLoss
 
-    def __call__(self, Z, is_training: bool = True):
+    def _forward(self, Z, is_training: bool, unscale: bool):
         Y = self.ffn(Z, is_training)
         mean, v, alpha, beta = jnp.split(Y, 4, axis=1)
         v = jax.nn.softplus(v)
         alpha = jax.nn.softplus(alpha) + 1
         beta = jax.nn.softplus(beta)
-        mean = self._unscale(mean, is_training)
-        if self.output_transform is not None:
-            beta = self.output_transform.transform_variance(beta, is_training)
+        mean = self._unscale(mean, unscale)
+        if self.output_transform is not None and unscale:
+            beta = self.output_transform.transform_variance(beta, is_training=False)
         return jnp.stack([mean, v, alpha, beta], axis=2)
-
-    train_step = __call__
 
 
 @PredictorRegistry.register("regression-quantile")
@@ -148,15 +150,13 @@ class QuantileFFN(RegressionFFN):
     n_targets: int = 2
     _T_default_criterion = QuantileLoss
 
-    def __call__(self, Z, is_training: bool = True):
+    def _forward(self, Z, is_training: bool, unscale: bool):
         lower, upper = jnp.split(self.ffn(Z, is_training), 2, axis=1)
-        lower = self._unscale(lower, is_training)
-        upper = self._unscale(upper, is_training)
+        lower = self._unscale(lower, unscale)
+        upper = self._unscale(upper, unscale)
         mean = (lower + upper) / 2
         interval = upper - lower
         return jnp.stack([mean, interval], axis=2)
-
-    train_step = __call__
 
 
 class BinaryClassificationFFNBase(_FFNPredictorBase):
