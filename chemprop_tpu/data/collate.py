@@ -27,6 +27,10 @@ from flax import struct
 
 from chemprop_tpu.types import MolGraph
 
+# side-channel for collate variants that need the edge sort permutation of
+# the most recent batch_mol_graphs call (single-threaded collate path)
+_LAST_EDGE_PERM: list = [None]
+
 
 @struct.dataclass
 class BatchMolGraph:
@@ -149,6 +153,7 @@ def batch_mol_graphs(
         v0 += nv
         e0 += ne
 
+    perm = np.arange(pad.n_edges, dtype=np.int32)
     if sort_edges:
         # stable sort by destination; padding edges (dst = pad_node, the
         # maximum index) land at the tail. rev is remapped through the
@@ -162,6 +167,7 @@ def batch_mol_graphs(
         rev = inv[rev[perm]]
         edge_mask = edge_mask[perm]
 
+    _LAST_EDGE_PERM[0] = perm
     return BatchMolGraph(
         V=V,
         E=E,
@@ -241,4 +247,135 @@ def collate_multicomponent(
         w=first.w,
         lt_mask=first.lt_mask,
         gt_mask=first.gt_mask,
+    )
+
+
+class MABTrainingBatch(NamedTuple):
+    """Triple-head training batch (cf. reference ``collate.py:113-195``):
+    targets/weights/masks are per kind (mol [B,t], atom [N_pad,ta] aligned to
+    node rows, bond [E_pad,tb] duplicated onto both directed edges)."""
+
+    bmg: BatchMolGraph
+    V_d: np.ndarray | None
+    E_d: np.ndarray | None
+    X_d: np.ndarray | None
+    Ys: tuple  # (mol_Y|None, atom_Y|None, bond_Y|None)
+    ws: tuple  # per-kind weights, aligned to the target tables
+    lt_masks: tuple
+    gt_masks: tuple
+    constraints: tuple | None  # (atom_constraints [B,ca]|None, bond [B,cb]|None)
+
+
+def collate_mol_atom_bond_batch(data: Iterable, pad: PadSpec | None = None) -> MABTrainingBatch:
+    """Collate MolAtomBond datapoint tuples (from MolAtomBondDataset):
+    (mg, V_d, E_d, x_d, ys=(mol,atom,bond), weight, lt, gt, constraints)."""
+    rows = list(data)
+    mgs = [r.mg for r in rows]
+    pad = pad or PadSpec.for_graphs(mgs)
+    bmg = batch_mol_graphs(mgs, pad)
+    perm = _LAST_EDGE_PERM[0]
+    b_real, b_pad = len(rows), pad.n_graphs
+
+    def pack_nodes(values, width):
+        out = np.zeros((pad.n_nodes, width), dtype=np.float32)
+        v0 = 0
+        for mg, val in zip(mgs, values):
+            if val is not None:
+                out[v0 : v0 + val.shape[0]] = val
+            v0 += mg.V.shape[0]
+        return out
+
+    # ---- extra descriptors
+    V_d = None
+    if rows[0].V_d is not None:
+        V_d = pack_nodes([r.V_d for r in rows], rows[0].V_d.shape[1])
+    E_d = None
+    if rows[0].E_d is not None:
+        w = rows[0].E_d.shape[1]
+        tmp = np.zeros((pad.n_edges, w), dtype=np.float32)
+        e0 = 0
+        for mg, r in zip(mgs, rows):
+            ne = mg.E.shape[0]
+            if r.E_d is not None:
+                tmp[e0 : e0 + ne] = np.repeat(r.E_d, 2, axis=0)
+            e0 += ne
+        E_d = tmp[perm]
+    X_d = None
+    if rows[0].x_d is not None:
+        X_d = np.zeros((b_pad, len(rows[0].x_d)), dtype=np.float32)
+        X_d[:b_real] = np.array([r.x_d for r in rows], dtype=np.float32)
+
+    # ---- per-kind targets
+    mol_ys = [r.ys[0] for r in rows]
+    atom_ys = [r.ys[1] for r in rows]
+    bond_ys = [r.ys[2] for r in rows]
+
+    mol_Y = None
+    if mol_ys[0] is not None:
+        t = len(mol_ys[0])
+        mol_Y = np.full((b_pad, t), np.nan, dtype=np.float32)
+        mol_Y[:b_real] = np.array(mol_ys, dtype=np.float32)
+    atom_Y = None
+    if atom_ys[0] is not None:
+        t = atom_ys[0].shape[1]
+        atom_Y = np.full((pad.n_nodes, t), np.nan, dtype=np.float32)
+        v0 = 0
+        for mg, ay in zip(mgs, atom_ys):
+            atom_Y[v0 : v0 + ay.shape[0]] = ay
+            v0 += mg.V.shape[0]
+    bond_Y = None
+    if bond_ys[0] is not None:
+        t = bond_ys[0].shape[1] if bond_ys[0].ndim > 1 else 1
+        tmp = np.full((pad.n_edges, t), np.nan, dtype=np.float32)
+        e0 = 0
+        for mg, by in zip(mgs, bond_ys):
+            by = by.reshape(-1, t)
+            tmp[e0 : e0 + 2 * by.shape[0]] = np.repeat(by, 2, axis=0)
+            e0 += mg.E.shape[0]
+        bond_Y = tmp[perm]
+
+    # ---- per-kind weights (datapoint weight broadcast to its atoms/bonds)
+    w_dp = np.array([r.weight for r in rows], dtype=np.float32)
+    w_mol = np.zeros((b_pad, 1), dtype=np.float32)
+    w_mol[:b_real, 0] = w_dp
+    w_atom = np.zeros((pad.n_nodes, 1), dtype=np.float32)
+    v0 = 0
+    for mg, w in zip(mgs, w_dp):
+        w_atom[v0 : v0 + mg.V.shape[0]] = w
+        v0 += mg.V.shape[0]
+    w_bond = np.zeros((pad.n_edges, 1), dtype=np.float32)
+    e0 = 0
+    for mg, w in zip(mgs, w_dp):
+        w_bond[e0 : e0 + mg.E.shape[0]] = w
+        e0 += mg.E.shape[0]
+    w_bond = w_bond[perm]
+    # bond losses count each bond once: zero out non-primary directions
+    primary = (np.arange(pad.n_edges) < np.asarray(bmg.rev)) & np.asarray(bmg.edge_mask)
+    w_bond = w_bond * primary[:, None]
+
+    # ---- constraints
+    atom_c = bond_c = None
+    if rows[0].constraints is not None:
+        ac = [r.constraints[0] for r in rows]
+        bc = [r.constraints[1] for r in rows]
+        if ac[0] is not None:
+            atom_c = np.zeros((b_pad, len(ac[0])), dtype=np.float32)
+            atom_c[:b_real] = np.array(ac, dtype=np.float32)
+        if bc[0] is not None:
+            bond_c = np.zeros((b_pad, len(bc[0])), dtype=np.float32)
+            bond_c[:b_real] = np.array(bc, dtype=np.float32)
+
+    lt_masks = (None, None, None)
+    gt_masks = (None, None, None)
+
+    return MABTrainingBatch(
+        bmg=bmg,
+        V_d=V_d,
+        E_d=E_d,
+        X_d=X_d,
+        Ys=(mol_Y, atom_Y, bond_Y),
+        ws=(w_mol, w_atom, w_bond),
+        lt_masks=lt_masks,
+        gt_masks=gt_masks,
+        constraints=(atom_c, bond_c) if (atom_c is not None or bond_c is not None) else None,
     )

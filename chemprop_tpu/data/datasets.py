@@ -17,7 +17,11 @@ from sklearn.preprocessing import StandardScaler
 
 from chemprop_tpu.chem.mol import Mol
 from chemprop_tpu.chem.morgan import canonical_key
-from chemprop_tpu.data.datapoints import MoleculeDatapoint, ReactionDatapoint
+from chemprop_tpu.data.datapoints import (
+    MolAtomBondDatapoint,
+    MoleculeDatapoint,
+    ReactionDatapoint,
+)
 from chemprop_tpu.types import MolGraph
 from chemprop_tpu.featurizers.molgraph.molecule import SimpleMoleculeMolGraphFeaturizer
 from chemprop_tpu.utils.utils import parallel_execute
@@ -409,3 +413,110 @@ class MulticomponentDataset(_DatasetMixin):
     def cache(self, cache: bool) -> None:
         for d in self.datasets:
             d.cache = cache
+
+
+class MABDatum(NamedTuple):
+    mg: MolGraph
+    V_d: np.ndarray | None
+    E_d: np.ndarray | None
+    x_d: np.ndarray | None
+    ys: tuple  # (mol_y, atom_y, bond_y)
+    weight: float
+    constraints: tuple | None
+
+
+@dataclass
+class MolAtomBondDataset(MoleculeDataset):
+    """Dataset over :class:`MolAtomBondDatapoint` with per-kind target
+    normalization and constraint rescaling (cf. reference
+    ``chemprop/data/datasets.py:436-651``)."""
+
+    data: list[MolAtomBondDatapoint] = None
+
+    def __getitem__(self, idx: int) -> MABDatum:
+        d = self.data[idx]
+        mg = self._cache[idx] if self._cache is not None else self._featurize(idx)
+        constraints = None
+        if d.atom_constraints is not None or d.bond_constraints is not None:
+            constraints = (self._scaled_atom_c[idx], self._scaled_bond_c[idx])
+        return MABDatum(
+            mg,
+            self.V_ds[idx],
+            self.E_ds[idx],
+            self.X_d[idx],
+            (self.Y[idx] if self.Y[idx] is not None else None,
+             self.atom_Y[idx],
+             self.bond_Y[idx]),
+            d.weight,
+            constraints,
+        )
+
+    # ------------------------------------------------------ per-kind views
+    @property
+    def _atom_Y(self):
+        return [d.atom_y for d in self.data]
+
+    @property
+    def atom_Y(self):
+        return self._scaled_atom_Y
+
+    @property
+    def _bond_Y(self):
+        return [d.bond_y for d in self.data]
+
+    @property
+    def bond_Y(self):
+        return self._scaled_bond_Y
+
+    @property
+    def _E_ds(self):
+        return [d.E_d for d in self.data]
+
+    @property
+    def E_ds(self):
+        return self._scaled_E_ds
+
+    @property
+    def names(self):
+        return [d.name for d in self.data]
+
+    def reset(self) -> None:
+        super().reset()
+        self._scaled_atom_Y = self._atom_Y
+        self._scaled_bond_Y = self._bond_Y
+        self._scaled_E_ds = self._E_ds
+        self._scaled_atom_c = [d.atom_constraints for d in self.data]
+        self._scaled_bond_c = [d.bond_constraints for d in self.data]
+
+    def normalize_targets(self, kind: str = "mol", scaler: StandardScaler | None = None):
+        """Per-kind target normalization; atom/bond constraints are rescaled
+        consistently: if y' = (y-mu)/sigma then C' = (C - n*mu)/sigma where n
+        is the number of atoms/bonds (reference ``datasets.py:576-592``)."""
+        match kind:
+            case "mol":
+                return super().normalize_targets(scaler)
+            case "atom":
+                ys = self._atom_Y
+            case "bond":
+                ys = self._bond_Y
+            case _:
+                raise ValueError(f"invalid kind {kind!r}")
+        if ys[0] is None:
+            return scaler
+        flat = np.concatenate([y for y in ys], axis=0)
+        if scaler is None:
+            scaler = StandardScaler().fit(flat)
+        scaled = [scaler.transform(y) if y.size else y for y in ys]
+        if kind == "atom":
+            self._scaled_atom_Y = scaled
+            self._scaled_atom_c = [
+                None if c is None else (c - len(y) * scaler.mean_) / scaler.scale_
+                for c, y in zip(self._scaled_atom_c, ys)
+            ]
+        else:
+            self._scaled_bond_Y = scaled
+            self._scaled_bond_c = [
+                None if c is None else (c - len(y) * scaler.mean_) / scaler.scale_
+                for c, y in zip(self._scaled_bond_c, ys)
+            ]
+        return scaler

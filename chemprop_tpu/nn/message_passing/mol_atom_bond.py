@@ -1,0 +1,140 @@
+"""Mol/Atom/Bond (MAB) message passing: the D-MPNN loop returning both vertex
+and edge embeddings with separate finalize paths (cf. reference
+``chemprop/nn/message_passing/mol_atom_bond.py:16-388``):
+
+    H_v = dropout(tau(W_vo([V ; M_v])))  [; W_vd with descriptors]
+    H_e = dropout(tau(W_eo([E ; H])))    [; W_ed with descriptors]
+
+Either output can be suppressed (``return_vertex/edge_embeddings``).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from chemprop_tpu.conf import DEFAULT_HIDDEN_DIM
+from chemprop_tpu.data.collate import BatchMolGraph
+from chemprop_tpu.nn.message_passing.base import _gather_rev, _gather_src
+from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
+from chemprop_tpu.nn.utils import get_activation_function
+from chemprop_tpu.ops.segment import segment_sum
+
+
+class _MABMessagePassingBase(nn.Module):
+    d_h: int = DEFAULT_HIDDEN_DIM
+    bias: bool = False
+    depth: int = 3
+    dropout: float = 0.0
+    activation: str = "relu"
+    undirected: bool = False
+    d_vd: int | None = None
+    d_ed: int | None = None
+    return_vertex_embeddings: bool = True
+    return_edge_embeddings: bool = True
+    V_d_transform: ScaleTransform | None = None
+    E_d_transform: ScaleTransform | None = None
+    graph_transform: GraphTransform | None = None
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def output_dims(self) -> tuple[int | None, int | None]:
+        d_v_out = (
+            (self.d_h + self.d_vd if self.d_vd else self.d_h)
+            if self.return_vertex_embeddings
+            else None
+        )
+        d_e_out = (
+            (self.d_h + self.d_ed if self.d_ed else self.d_h)
+            if self.return_edge_embeddings
+            else None
+        )
+        return d_v_out, d_e_out
+
+    def setup(self):
+        self.W_i = nn.Dense(self.d_h, use_bias=self.bias, name="W_i")
+        self.W_h = nn.Dense(self.d_h, use_bias=self.bias, name="W_h")
+        if self.return_vertex_embeddings:
+            self.W_vo = nn.Dense(self.d_h, use_bias=True, name="W_vo")
+            if self.d_vd:
+                self.W_vd = nn.Dense(self.d_h + self.d_vd, use_bias=True, name="W_vd")
+        if self.return_edge_embeddings:
+            self.W_eo = nn.Dense(self.d_h, use_bias=True, name="W_eo")
+            if self.d_ed:
+                self.W_ed = nn.Dense(self.d_h + self.d_ed, use_bias=True, name="W_ed")
+        self.drop = nn.Dropout(self.dropout)
+        self.tau = get_activation_function(self.activation)
+
+    def _initialize(self, bmg):
+        raise NotImplementedError
+
+    def _message(self, H, bmg):
+        raise NotImplementedError
+
+    def __call__(
+        self,
+        bmg: BatchMolGraph,
+        V_d: jax.Array | None = None,
+        E_d: jax.Array | None = None,
+        is_training: bool = True,
+    ) -> tuple[jax.Array | None, jax.Array | None]:
+        if self.graph_transform is not None:
+            bmg = self.graph_transform(bmg, is_training)
+        H_0 = self._initialize(bmg).astype(self.compute_dtype)
+        H = self.tau(H_0)
+        for _ in range(1, self.depth):
+            if self.undirected:
+                H = (H + _gather_rev(H, bmg)) / 2
+            M = self._message(H, bmg)
+            H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not is_training)
+
+        H_v = H_e = None
+        if self.return_vertex_embeddings:
+            M_v = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)
+            H_v = self.tau(
+                self.W_vo(jnp.concatenate([bmg.V.astype(self.compute_dtype), M_v], axis=1))
+            )
+            H_v = self.drop(H_v, deterministic=not is_training)
+            if V_d is not None:
+                if self.V_d_transform is not None:
+                    V_d = self.V_d_transform(V_d, is_training)
+                H_v = self.W_vd(jnp.concatenate([H_v, V_d.astype(self.compute_dtype)], axis=1))
+                H_v = self.drop(H_v, deterministic=not is_training)
+            H_v = H_v.astype(jnp.float32)
+        if self.return_edge_embeddings:
+            H_e = self.tau(
+                self.W_eo(jnp.concatenate([bmg.E.astype(self.compute_dtype), H], axis=1))
+            )
+            H_e = self.drop(H_e, deterministic=not is_training)
+            if E_d is not None:
+                if self.E_d_transform is not None:
+                    E_d = self.E_d_transform(E_d, is_training)
+                H_e = self.W_ed(jnp.concatenate([H_e, E_d.astype(self.compute_dtype)], axis=1))
+                H_e = self.drop(H_e, deterministic=not is_training)
+            H_e = H_e.astype(jnp.float32)
+        return H_v, H_e
+
+
+class MABBondMessagePassing(_MABMessagePassingBase):
+    def _initialize(self, bmg):
+        VE = jnp.concatenate(
+            [_gather_src(bmg.V, bmg).astype(self.compute_dtype), bmg.E.astype(self.compute_dtype)],
+            axis=1,
+        )
+        return self.W_i(VE)
+
+    def _message(self, H, bmg):
+        M_node = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)
+        return _gather_src(M_node, bmg) - _gather_rev(H, bmg)
+
+
+class MABAtomMessagePassing(_MABMessagePassingBase):
+    def _initialize(self, bmg):
+        return _gather_src(self.W_i(bmg.V.astype(self.compute_dtype)), bmg)
+
+    def _message(self, H, bmg):
+        HE = jnp.concatenate([H, bmg.E.astype(self.compute_dtype)], axis=1)
+        return _gather_src(
+            segment_sum(HE, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted), bmg
+        )

@@ -1,0 +1,170 @@
+"""Trainer specialization for MolAtomBond models: the loss is the sum of the
+per-head criterion values (cf. reference ``chemprop/models/mol_atom_bond.py:
+318-339``), each masked by target finiteness over its own table (mol rows,
+node rows, directed-edge rows)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from chemprop_tpu.train.trainer import Trainer, TrainState, _device_put_batch
+
+
+@dataclass
+class MABTrainer(Trainer):
+    def _losses(self, model, preds, batch):
+        criterions = model.criterions()
+        total = 0.0
+        for preds_k, crit, Y, w, lt, gt in zip(
+            preds, criterions, batch.Ys, batch.ws, batch.lt_masks, batch.gt_masks
+        ):
+            if preds_k is None or crit is None or Y is None:
+                continue
+            mask = jnp.isfinite(Y)
+            targets = jnp.nan_to_num(Y)
+            lt_ = jnp.zeros_like(mask) if lt is None else lt
+            gt_ = jnp.zeros_like(mask) if gt is None else gt
+            total = total + crit(preds_k, targets, mask, w[:, 0], lt_, gt_)
+        return total
+
+    def _make_train_step(self) -> Callable:
+        model, tx = self.model, self.tx
+
+        def train_step(state: TrainState, batch):
+            rng, dropout_rng = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                mutable = False
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    mutable = ["batch_stats"]
+                out = model.apply(
+                    variables,
+                    batch.bmg,
+                    batch.V_d,
+                    batch.E_d,
+                    batch.X_d,
+                    batch.constraints,
+                    is_training=True,
+                    method="train_step_preds",
+                    rngs={"dropout": dropout_rng},
+                    mutable=mutable,
+                )
+                preds, new_model_state = out if mutable else (out, {})
+                return self._losses(model, preds, batch), new_model_state
+
+            (loss, new_model_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(
+                    params=params,
+                    batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+                    opt_state=opt_state,
+                    step=state.step + 1,
+                    rng=rng,
+                ),
+                loss,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _make_eval_step(self) -> Callable:
+        model = self.model
+
+        def eval_step(params, batch_stats, batch):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            preds = model.apply(
+                variables,
+                batch.bmg,
+                batch.V_d,
+                batch.E_d,
+                batch.X_d,
+                batch.constraints,
+                is_training=False,
+                method="train_step_preds",
+            )
+            loss = self._losses(model, preds, batch)
+            return {"total": loss, "n": jnp.ones(())}, preds
+
+        return jax.jit(eval_step)
+
+    def _run_validation(self, val_loader, eval_step) -> float:
+        total, n = 0.0, 0
+        for batch in val_loader:
+            batch = _device_put_batch(batch, self.data_sharding)
+            state, _ = eval_step(self.state.params, self.state.batch_stats, batch)
+            total += float(state["total"])
+            n += 1
+        return total / max(n, 1)
+
+    def init_state(self, batch, steps_per_epoch: int) -> TrainState:
+        import jax
+
+        rng = jax.random.PRNGKey(self.seed)
+        rng, init_rng = jax.random.split(rng)
+        variables = self.model.init(
+            init_rng,
+            batch.bmg,
+            batch.V_d,
+            batch.E_d,
+            batch.X_d,
+            batch.constraints,
+            is_training=False,
+        )
+        from flax.core import FrozenDict
+
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        self.tx = self._build_optimizer(steps_per_epoch)
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            rng=rng,
+        )
+
+    def predict(self, loader, variables=None, **kwargs):
+        """Returns (mol_preds, atom_preds, bond_preds) with padding stripped
+        (bond predictions on primary directed edges, one per bond)."""
+        if variables is None:
+            variables = self.best_variables or {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            }
+        apply = jax.jit(
+            lambda v, b: self.model.apply(
+                v, b.bmg, b.V_d, b.E_d, b.X_d, b.constraints, is_training=False
+            )
+        )
+        mol_chunks, atom_chunks, bond_chunks = [], [], []
+        for batch in loader:
+            mol_p, atom_p, bond_p = apply(variables, batch)
+            bmg = batch.bmg
+            if mol_p is not None:
+                counts = np.zeros(bmg.n_graphs + 1)
+                np.add.at(counts, np.asarray(bmg.batch), 1)
+                keep = counts[: bmg.n_graphs] > 0  # real graphs have nodes
+                mol_chunks.append(np.asarray(mol_p)[keep])
+            if atom_p is not None:
+                atom_chunks.append(np.asarray(atom_p)[np.asarray(bmg.node_mask)])
+            if bond_p is not None:
+                primary = (
+                    np.arange(bmg.E.shape[0]) < np.asarray(bmg.rev)
+                ) & np.asarray(bmg.edge_mask)
+                bond_chunks.append(np.asarray(bond_p)[primary])
+        cat = lambda cs: np.concatenate(cs, 0) if cs else None
+        return cat(mol_chunks), cat(atom_chunks), cat(bond_chunks)
