@@ -144,6 +144,29 @@ class MoleculeDataset(_DatasetMixin):
         else:
             self._cache = None
 
+    def populate_cache_native(self, smiles: list[str] | None = None, keep_h: bool = False) -> bool:
+        """Fill the MolGraph cache via the C++ batch featurizer (13x the
+        Python path; only valid for the default V2 featurizer without extra
+        atom/bond features). Returns False (and leaves the cache unset) if
+        the native path does not apply."""
+        from chemprop_tpu.featurizers.native import (
+            featurize_batch_native,
+            molgraphs_from_native,
+            native_available,
+        )
+
+        if self.featurizer.extra_atom_fdim or self.featurizer.extra_bond_fdim:
+            return False
+        if self.featurizer.shape != (72, 14) or not native_available():
+            return False
+        if smiles is None:
+            if any(d.name is None for d in self.data):
+                return False
+            smiles = [d.name for d in self.data]
+        nb = featurize_batch_native(smiles, keep_h=keep_h)
+        self._cache = molgraphs_from_native(nb)
+        return True
+
     @property
     def mols(self) -> list[Mol]:
         return [d.mol for d in self.data]
