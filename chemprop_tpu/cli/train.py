@@ -104,6 +104,13 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
     g.add_argument("--no-batch-norm", action="store_true", help=argparse.SUPPRESS)
     g.add_argument("--no-cache", action="store_true")
+
+    # transfer learning / resume (reference --checkpoint/--freeze-encoder/
+    # --frzn-ffn-layers, cli/train.py:1826-1833; resume is new here)
+    g.add_argument("--checkpoint", type=Path, help="warm-start weights from a checkpoint")
+    g.add_argument("--freeze-encoder", action="store_true")
+    g.add_argument("--frzn-ffn-layers", type=int, default=0)
+    g.add_argument("--resume", type=Path, help="resume a run from a last.ckpt")
     return parser
 
 
@@ -332,6 +339,16 @@ def main(args) -> int:
             model_dir = rep_dir / (f"model_{member}" if args.ensemble_size > 1 else ".")
             model_dir.mkdir(parents=True, exist_ok=True)
             model = build_model(args, train_dset, output_transform, X_d_t, V_d_t, graph_t)
+            freeze = None
+            if args.freeze_encoder or args.frzn_ffn_layers:
+                frzn_blocks = {f"block{i}" for i in range(args.frzn_ffn_layers)}
+
+                def freeze(path: str) -> bool:
+                    if args.freeze_encoder and path.startswith("message_passing"):
+                        return True
+                    parts = path.split("/")
+                    return len(parts) > 2 and parts[-2] in frzn_blocks and "ffn" in parts
+
             trainer = Trainer(
                 model,
                 max_epochs=args.epochs,
@@ -344,7 +361,27 @@ def main(args) -> int:
                 checkpoint_dir=model_dir / "checkpoints",
                 seed=args.seed + member,
                 log_every=1,
+                freeze=freeze,
             )
+            if args.checkpoint is not None:
+                from chemprop_tpu.models.serialize import load_checkpoint
+
+                _, warm, _ = load_checkpoint(args.checkpoint)
+                first = next(iter(train_loader))
+                trainer.state = trainer.init_state(first, len(train_loader))
+                from flax import serialization
+
+                trainer.state = trainer.state.replace(
+                    params=serialization.from_state_dict(trainer.state.params, warm["params"]),
+                    batch_stats=serialization.from_state_dict(
+                        trainer.state.batch_stats, warm.get("batch_stats", {})
+                    ),
+                )
+            if args.resume is not None:
+                first = next(iter(train_loader))
+                trainer.start_epoch = trainer.resume_from(
+                    args.resume, first, len(train_loader)
+                )
             trainer.fit(train_loader, val_loader)
             save_model(
                 model_dir / "best.ckpt", model, trainer.best_variables, output_columns=target_cols

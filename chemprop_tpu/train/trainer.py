@@ -41,6 +41,14 @@ from chemprop_tpu.train.schedulers import build_noam_like_schedule
 logger = logging.getLogger(__name__)
 
 
+def _set_path(tree: dict, path, value) -> None:
+    node = tree
+    for k in path[:-1]:
+        key = getattr(k, "key", str(k))
+        node = node.setdefault(key, {})
+    node[getattr(path[-1], "key", str(path[-1]))] = value
+
+
 @struct.dataclass
 class TrainState:
     params: Any
@@ -74,8 +82,12 @@ class Trainer:
     log_every: int = 0
     mesh: Any = None  # jax.sharding.Mesh: shard batches / replicate params
     data_sharding: Any = None  # NamedSharding pytree for input batches
+    # transfer learning: predicate on the flattened param path; matching
+    # subtrees get zero updates (reference --freeze-encoder / --frzn-ffn-layers)
+    freeze: Callable[[str], bool] | None = None
 
     # populated during fit
+    start_epoch: int = 0
     state: TrainState | None = None
     best_variables: dict | None = None
     history: list[dict] = field(default_factory=list)
@@ -90,6 +102,18 @@ class Trainer:
         tx = optax.adam(self.lr_schedule)
         if self.grad_clip:
             tx = optax.chain(optax.clip_by_global_norm(self.grad_clip), tx)
+        if self.freeze is not None:
+            freeze = self.freeze
+
+            def label(params):
+                flat = jax.tree_util.tree_flatten_with_path(params)[0]
+                labels = {}
+                for path, _ in flat:
+                    key = "/".join(getattr(k, "key", str(k)) for k in path)
+                    _set_path(labels, path, "freeze" if freeze(key) else "train")
+                return labels
+
+            tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, label)
         return tx
 
     def init_state(self, batch: TrainingBatch, steps_per_epoch: int) -> TrainState:
@@ -204,7 +228,7 @@ class Trainer:
         best_epoch = -1
         epochs_since_improvement = 0
 
-        for epoch in range(self.max_epochs):
+        for epoch in range(self.start_epoch, self.max_epochs):
             t0 = time.time()
             # ---- train
             n_edges = 0
@@ -326,11 +350,43 @@ class Trainer:
         from chemprop_tpu.models.serialize import save_checkpoint
 
         path = Path(self.checkpoint_dir) / f"{tag}.ckpt"
-        variables = (
-            self.best_variables
-            if tag == "best" and self.best_variables is not None
-            else jax.device_get(
+        if tag == "best" and self.best_variables is not None:
+            variables = dict(self.best_variables)
+        else:
+            variables = jax.device_get(
                 {"params": self.state.params, "batch_stats": self.state.batch_stats}
             )
-        )
+        if tag == "last":
+            # full training state so runs can resume (the reference cannot:
+            # its --resume-experiment is an unimplemented TODO,
+            # cli/train.py:187-192)
+            variables = dict(variables)
+            variables["opt_state"] = jax.device_get(self.state.opt_state)
+            variables["step"] = jax.device_get(self.state.step)
+            variables["rng"] = jax.device_get(self.state.rng)
+            variables["epoch"] = np.int32(len(self.history))
         save_checkpoint(path, self.model, variables)
+
+    def resume_from(self, path: str | Path, batch: TrainingBatch, steps_per_epoch: int) -> int:
+        """Restore full training state from a ``last.ckpt``; returns the epoch
+        to resume from."""
+        from flax import serialization
+        from chemprop_tpu.models.serialize import load_checkpoint
+
+        _, restored, _ = load_checkpoint(path)
+        template = self.init_state(batch, steps_per_epoch)
+        params = serialization.from_state_dict(template.params, restored["params"])
+        batch_stats = serialization.from_state_dict(
+            template.batch_stats, restored.get("batch_stats", {})
+        )
+        opt_state = serialization.from_state_dict(
+            template.opt_state, restored["opt_state"]
+        )
+        self.state = template.replace(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.asarray(restored["step"], jnp.int32),
+            rng=jnp.asarray(restored["rng"]),
+        )
+        return int(restored.get("epoch", 0))
