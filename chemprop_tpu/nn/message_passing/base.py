@@ -120,7 +120,12 @@ class BondMessagePassing(_MessagePassingBase):
 
     def _message(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
         M_node = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)
-        return _gather_src(M_node, bmg) - _gather_rev(H, bmg)
+        if bmg.edges_sorted:
+            # M_node[src] - H[rev] == (M_node[dst] - H)[rev]: one sorted
+            # (streaming) gather + one permutation instead of a random gather
+            # plus a permutation — and the same identity holds in reverse
+            return _gather_rev(M_node[bmg.dst] - H, bmg)
+        return M_node[bmg.src] - H[bmg.rev]
 
 
 class AtomMessagePassing(_MessagePassingBase):

@@ -126,7 +126,9 @@ class MABBondMessagePassing(_MABMessagePassingBase):
 
     def _message(self, H, bmg):
         M_node = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)
-        return _gather_src(M_node, bmg) - _gather_rev(H, bmg)
+        if bmg.edges_sorted:
+            return _gather_rev(M_node[bmg.dst] - H, bmg)
+        return M_node[bmg.src] - H[bmg.rev]
 
 
 class MABAtomMessagePassing(_MABMessagePassingBase):

@@ -24,13 +24,15 @@ from chemprop_tpu.ops.segment import segment_sum
 
 @jax.custom_vjp
 def gather_src(M: jax.Array, src: jax.Array, rev: jax.Array, dst: jax.Array) -> jax.Array:
-    """``M[src]`` for a node table M; backward uses the rev/dst identity
-    (requires edges sorted by dst — the collate default)."""
-    return M[src]
+    """``M[src]`` for a node table M, computed as ``M[dst][rev]``: with edges
+    sorted by dst the first gather streams node rows in order (near-bandwidth)
+    and only the rev permutation is irregular — strictly cheaper than the
+    random gather by src. Backward uses the same identity."""
+    return M[dst][rev]
 
 
 def _gather_src_fwd(M, src, rev, dst):
-    return M[src], (M.shape[0], rev, dst)
+    return M[dst][rev], (M.shape[0], rev, dst)
 
 
 def _gather_src_bwd(res, g):
