@@ -54,13 +54,25 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
 
 def find_models(model_paths: list[Path]) -> list[Path]:
+    """Expand directories to model checkpoints (cf. reference
+    ``cli/common.py:274-288``). A training output dir yields its ``best.ckpt``
+    once (not the ``checkpoints/`` duplicate, and never the full-state
+    ``last.ckpt``, which carries optimizer state for resume, not inference);
+    other dirs yield every ``*.ckpt``/``*.pt`` below them minus those."""
     found = []
     for p in model_paths:
         p = Path(p)
         if p.suffix in (".ckpt", ".pt"):
             found.append(p)
         elif p.is_dir():
-            found.extend(sorted(p.rglob("*.ckpt")))
+            if (p / "best.ckpt").exists():
+                found.append(p / "best.ckpt")
+            else:
+                found.extend(
+                    f
+                    for f in sorted(list(p.rglob("*.ckpt")) + list(p.rglob("*.pt")))
+                    if f.name != "last.ckpt"
+                )
         else:
             raise ValueError(f"cannot interpret model path {p}")
     return found

@@ -30,26 +30,28 @@ def add_predict_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     g.add_argument(
         "--uncertainty-method",
         choices=["none", "ensemble", "mve", "evidential-total", "evidential-epistemic",
-                 "evidential-aleatoric", "classification", "quantile-regression", "dropout"],
+                 "evidential-aleatoric", "classification", "classification-dirichlet",
+                 "multiclass-dirichlet", "quantile-regression", "dropout"],
         default="none",
     )
     g.add_argument("--cal-path", type=Path, help="calibration set CSV")
     g.add_argument(
         "--calibration-method",
         choices=["none", "zscaling", "zelikman-interval", "mve-weighting", "platt", "isotonic",
-                 "conformal-regression"],
+                 "conformal-regression", "conformal-multilabel", "conformal-multiclass",
+                 "conformal-adaptive", "isotonic-multiclass"],
         default="none",
     )
     g.add_argument("--evaluation-methods", nargs="+")
     return parser
 
 
-def _build_loader(args, path):
+def _build_loader(args, path, with_targets: bool = False):
     smis, rxns, Y, weights, lt, gt, _, input_cols, target_cols = parse_csv(
         path,
         args.smiles_columns,
         args.reaction_columns,
-        target_cols=[] if path == args.data_path else None,
+        target_cols=None if with_targets else [],
         no_header_row=args.no_header_row,
     )
     mol_featurizers = [
@@ -88,11 +90,11 @@ def main(args) -> int:
     stacked = np.stack(individual)  # [m, n, ...]
     mean_preds = stacked.mean(0)
 
-    uncs = _estimate_uncertainty(args, stacked)
+    uncs = _estimate_uncertainty(args, stacked, model)
     if uncs is not None and args.calibration_method != "none" and args.cal_path:
         from chemprop_tpu.uncertainty import CalibratorRegistry
 
-        cal_loader, cal_dset, cal_Y = _build_loader(args, args.cal_path)
+        cal_loader, cal_dset, cal_Y = _build_loader(args, args.cal_path, with_targets=True)
         cal_stack = np.stack(
             [
                 Trainer(m := load_model(p)[0]).predict(cal_loader, variables=load_model(p)[1])
@@ -100,7 +102,7 @@ def main(args) -> int:
             ]
         )
         cal_preds = cal_stack.mean(0)
-        cal_uncs = _estimate_uncertainty(args, cal_stack)
+        cal_uncs = _estimate_uncertainty(args, cal_stack, model)
         mask = np.isfinite(cal_Y)
         calibrator = CalibratorRegistry[args.calibration_method]()
         calibrator.fit(
@@ -110,14 +112,30 @@ def main(args) -> int:
 
     out = args.output or args.data_path.with_name(args.data_path.stem + "_preds.csv")
     out.parent.mkdir(parents=True, exist_ok=True)
-    point = _point(mean_preds)
-    cols = output_columns or [f"pred_{j}" for j in range(point.shape[1])]
     df = pd.DataFrame({"name": dset.names})
-    for j, c in enumerate(cols[: point.shape[1]]):
-        df[c] = point[:, j]
-    if uncs is not None:
+
+    from chemprop_tpu.nn.predictors import MulticlassClassificationFFN, MulticlassDirichletFFN
+
+    if isinstance(model.predictor, MulticlassClassificationFFN):
+        # class label + formatted per-class probability columns
+        # (cf. reference ``cli/predict.py:509-515``)
+        probs = mean_preds[..., :-1] if isinstance(model.predictor, MulticlassDirichletFFN) else mean_preds
+        labels = probs.argmax(axis=-1)
+        cols = output_columns or [f"pred_{j}" for j in range(labels.shape[1])]
+        for j, c in enumerate(cols[: labels.shape[1]]):
+            df[c] = labels[:, j]
+            df[f"{c}_prob"] = [",".join(f"{p:.6f}" for p in row) for row in probs[:, j]]
+    else:
+        point = _point(mean_preds)
+        cols = output_columns or [f"pred_{j}" for j in range(point.shape[1])]
         for j, c in enumerate(cols[: point.shape[1]]):
-            df[f"{c}_unc"] = uncs[:, j]
+            df[c] = point[:, j]
+    if uncs is not None:
+        for j, c in enumerate(cols[: uncs.shape[1]]):
+            if uncs.ndim == 3:  # conformal sets: one 0/1 (or in,out) entry per class
+                df[f"{c}_unc"] = [",".join(f"{u:g}" for u in row) for row in uncs[:, j]]
+            else:
+                df[f"{c}_unc"] = uncs[:, j]
     df.to_csv(out, index=False)
     logger.info(f"wrote predictions for {len(df)} rows to {out}")
     print(f"wrote {out}")
@@ -131,13 +149,16 @@ def _point(preds: np.ndarray) -> np.ndarray:
     return preds
 
 
-def _estimate_uncertainty(args, stacked: np.ndarray) -> np.ndarray | None:
-    """[m, n, t(, u)] model outputs -> [n, t] uncertainties."""
+def _estimate_uncertainty(args, stacked: np.ndarray, model=None) -> np.ndarray | None:
+    """[m, n, t(, u)] model outputs -> [n, t] (or [n, t, c]) uncertainties."""
     m = args.uncertainty_method
     if m == "none":
         return None
+    from chemprop_tpu.nn.predictors import MulticlassDirichletFFN
     from chemprop_tpu.uncertainty import UncertaintyEstimatorRegistry
 
+    if m == "classification" and isinstance(getattr(model, "predictor", None), MulticlassDirichletFFN):
+        stacked = stacked[..., :-1]  # drop the appended Dirichlet u channel
     estimator = UncertaintyEstimatorRegistry[m]()
     return estimator(stacked)
 

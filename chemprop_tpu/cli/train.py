@@ -410,7 +410,15 @@ def _score_test(preds, test_dset, args, target_cols) -> dict:
     Y = test_dset._Y.astype(np.float32)
     mask = np.isfinite(Y)
     if preds.ndim == 3:
-        preds_for_metric = preds[..., 0] if args.task_type.startswith("regression") else preds
+        if args.task_type.startswith("regression") or args.task_type == "classification-dirichlet":
+            # (mean, ...) multi-head regression, or binary dirichlet (p, u):
+            # the point prediction is channel 0
+            preds_for_metric = preds[..., 0]
+        elif args.task_type == "multiclass-dirichlet":
+            # the dirichlet head appends the uncertainty channel u = c/S
+            preds_for_metric = preds[..., :-1]
+        else:
+            preds_for_metric = preds
     else:
         preds_for_metric = preds
     metric_names = args.metrics or _default_metrics(args.task_type)

@@ -189,4 +189,9 @@ def save_model(path: str | Path, model: MPNN, variables: dict, output_columns=No
 
 
 def load_model(path: str | Path) -> tuple[MPNN, dict, dict]:
-    return load_checkpoint(path)
+    """Like :func:`load_checkpoint` but keeps only the flax variable
+    collections — a full-state resume checkpoint (``last.ckpt``) also carries
+    ``opt_state``/``step``/``rng``/``epoch``, which ``model.apply`` rejects."""
+    model, variables, extra = load_checkpoint(path)
+    variables = {k: v for k, v in variables.items() if k in ("params", "batch_stats")}
+    return model, variables, extra

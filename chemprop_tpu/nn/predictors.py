@@ -219,9 +219,13 @@ class MulticlassDirichletFFN(MulticlassClassificationFFN):
     _T_default_metric = MulticlassMCCMetric
 
     def __call__(self, Z, is_training: bool = True):
+        # [n, t, c+1]: class probabilities + Dirichlet uncertainty u = c/S,
+        # matching the reference estimator's patched forward
+        # (reference ``uncertainty/estimator.py:806-820``)
         Y = self.ffn(Z, is_training).reshape(Z.shape[0], -1, self.n_classes)
         alpha = jax.nn.softplus(Y) + 1
-        return alpha / alpha.sum(-1, keepdims=True)
+        S = alpha.sum(-1, keepdims=True)
+        return jnp.concatenate([alpha / S, self.n_classes / S], axis=-1)
 
     def train_step(self, Z, is_training: bool = True):
         Y = self.ffn(Z, is_training).reshape(Z.shape[0], -1, self.n_classes)

@@ -176,27 +176,132 @@ class IsotonicCalibrator(CalibratorBase):
         return out
 
 
+def _higher_quantile(x: np.ndarray, q: float) -> float:
+    """torch.quantile(..., interpolation="higher") equivalent."""
+    return float(np.quantile(x, min(max(q, 0.0), 1.0), method="higher"))
+
+
 @CalibratorRegistry.register("conformal-multilabel")
 class ConformalMultilabelCalibrator(CalibratorBase):
-    """Conformal set membership threshold per task for multilabel
-    classification (cf. reference ``calibrator.py:451-577``)."""
+    """Conformal in-set/out-set pair for multilabel classification
+    (Cauchois et al. 2020; cf. reference ``calibrator.py:451-546``):
+    nonconformity score is ``-p``; the in-threshold is the ``alpha/2``
+    quantile of the per-sample min score over true-negative labels, the
+    out-threshold the ``1 - alpha/2`` quantile of the per-sample max score
+    over true-positive labels. ``apply`` returns ``[n, t, 2]`` with the
+    (in, out) 0/1 set memberships stacked on the last axis."""
 
     def __init__(self, alpha: float = 0.1):
+        if not 0 <= alpha <= 1:
+            raise ValueError(f"alpha must be in [0, 1], got {alpha}")
         self.alpha = alpha
 
     def fit(self, preds, uncs, targets, mask):
-        t = uncs.shape[1]
-        self.tin = np.zeros(t)
-        for j in range(t):
-            m = mask[:, j]
-            pos = uncs[m, j][targets[m, j] > 0.5]
-            if len(pos) == 0:
-                self.tin[j] = 0.0
-                continue
-            n = len(pos)
-            q = max(0.0, np.floor((n + 1) * self.alpha) - 1) / max(n, 1)
-            self.tin[j] = np.quantile(pos, q)
+        if targets.shape[1] < 2:
+            raise ValueError(f"conformal-multilabel needs > 1 task, got {targets.shape[1]}")
+        scores = -np.asarray(uncs, dtype=np.float64)
+        targets = np.asarray(targets)
+        mask = np.asarray(mask, dtype=bool)
+
+        has_zeros = np.any(targets == 0, axis=1)
+        s_in = np.where((targets[has_zeros] == 0) & mask[has_zeros], scores[has_zeros], np.inf)
+        cal_in = s_in.min(axis=1)
+
+        has_ones = np.any(targets == 1, axis=1)
+        s_out = np.where((targets[has_ones] == 1) & mask[has_ones], scores[has_ones], -np.inf)
+        cal_out = s_out.max(axis=1)
+
+        self.tin = _higher_quantile(cal_in, self.alpha / 2)
+        self.tout = _higher_quantile(cal_out, 1 - self.alpha / 2)
         return self
 
     def apply(self, uncs):
-        return (uncs >= self.tin[None, :]).astype(float)
+        scores = -np.asarray(uncs)
+        return np.stack(
+            [(scores <= self.tin).astype(int), (scores <= self.tout).astype(int)], axis=2
+        )
+
+
+@CalibratorRegistry.register("conformal-multiclass")
+class MulticlassConformalCalibrator(CalibratorBase):
+    """Split-conformal prediction sets for multiclass classification
+    (cf. reference ``calibrator.py:578-646``). ``uncs`` is ``[n, t, c]``
+    class probabilities, ``targets`` ``[n, t]`` class ids; the
+    nonconformity score is ``-p_true``; ``apply`` returns the 0/1 set
+    membership per class, shape ``[n, t, c]``."""
+
+    def __init__(self, alpha: float = 0.1):
+        if not 0 <= alpha <= 1:
+            raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+        self.alpha = alpha
+
+    @staticmethod
+    def nonconformity_scores(preds: np.ndarray) -> np.ndarray:
+        return -preds
+
+    def fit(self, preds, uncs, targets, mask):
+        t = uncs.shape[1]
+        self.qhats = np.zeros(t)
+        scores = self.nonconformity_scores(np.asarray(uncs, dtype=np.float64))
+        targets = np.asarray(targets).astype(int)
+        for j in range(t):
+            m = np.asarray(mask[:, j], dtype=bool)
+            s_j = scores[m, j]  # [nj, c]
+            y_j = targets[m, j]
+            s_true = np.take_along_axis(s_j, y_j[:, None], axis=1)[:, 0]
+            n = len(s_true)
+            if self.alpha >= 1 / (n + 1):
+                q = np.ceil((n + 1) * (1 - self.alpha)) / n
+            else:
+                q = 1.0
+            self.qhats[j] = _higher_quantile(s_true, q)
+        return self
+
+    def apply(self, uncs):
+        scores = self.nonconformity_scores(np.asarray(uncs))
+        return (scores <= self.qhats[None, :, None]).astype(int)
+
+
+@CalibratorRegistry.register("conformal-adaptive")
+class AdaptiveMulticlassConformalCalibrator(MulticlassConformalCalibrator):
+    """Adaptive prediction sets: nonconformity score is the cumulative
+    probability mass of classes at least as likely as each class
+    (cf. reference ``calibrator.py:648-666``)."""
+
+    @staticmethod
+    def nonconformity_scores(preds: np.ndarray) -> np.ndarray:
+        sort_index = np.argsort(-preds, axis=2)
+        sorted_preds = np.take_along_axis(preds, sort_index, axis=2)
+        sorted_scores = np.cumsum(sorted_preds, axis=2)
+        unsorted = np.empty_like(sorted_scores)
+        np.put_along_axis(unsorted, sort_index, sorted_scores, axis=2)
+        return unsorted
+
+
+@CalibratorRegistry.register("isotonic-multiclass")
+class IsotonicMulticlassCalibrator(CalibratorBase):
+    """One-vs-all isotonic recalibration of ``[n, t, c]`` class
+    probabilities, renormalized over classes (Guo et al. 2017; cf.
+    reference ``calibrator.py:668-713``)."""
+
+    def fit(self, preds, uncs, targets, mask):
+        from sklearn.isotonic import IsotonicRegression
+
+        targets = np.asarray(targets).astype(int)
+        self.models = []
+        for j in range(uncs.shape[1]):
+            m = np.asarray(mask[:, j], dtype=bool)
+            per_class = []
+            for k in range(uncs.shape[2]):
+                iso = IsotonicRegression(y_min=0, y_max=1, out_of_bounds="clip")
+                iso.fit(uncs[m, j, k], (targets[m, j] == k).astype(float))
+                per_class.append(iso)
+            self.models.append(per_class)
+        return self
+
+    def apply(self, uncs):
+        out = np.zeros_like(uncs)
+        for j, per_class in enumerate(self.models):
+            for k, iso in enumerate(per_class):
+                out[:, j, k] = iso.predict(uncs[:, j, k])
+        return out / np.maximum(out.sum(axis=-1, keepdims=True), 1e-12)

@@ -87,8 +87,33 @@ class EvidentialAleatoricEstimator(_EvidentialBase):
 
 @UncertaintyEstimatorRegistry.register("classification")
 class ClassEstimator:
+    """The predicted probabilities themselves (binary [m, n, t] ->
+    [n, t]; multiclass [m, n, t, c] -> [n, t, c])."""
+
     def __call__(self, stacked: np.ndarray) -> np.ndarray:
-        return stacked.mean(axis=0) if stacked.ndim == 3 else stacked[..., 0].mean(axis=0)
+        return stacked.mean(axis=0)
+
+
+@UncertaintyEstimatorRegistry.register("classification-dirichlet")
+class ClassificationDirichletEstimator:
+    """Binary Dirichlet head outputs [m, n, t, 2] = (p, u); uncertainty is
+    the mean Dirichlet ``u = K / sum(alpha)`` (cf. reference ``:648-721``)."""
+
+    def __call__(self, stacked: np.ndarray) -> np.ndarray:
+        if stacked.ndim != 4 or stacked.shape[-1] != 2:
+            raise ValueError("classification-dirichlet requires [m, n, t, 2] outputs")
+        return stacked[..., 1].mean(axis=0)
+
+
+@UncertaintyEstimatorRegistry.register("multiclass-dirichlet")
+class MulticlassDirichletEstimator:
+    """Multiclass Dirichlet head outputs [m, n, t, c+1] = (p_1..p_c, u);
+    uncertainty is the mean ``u`` channel (cf. reference ``:724-816``)."""
+
+    def __call__(self, stacked: np.ndarray) -> np.ndarray:
+        if stacked.ndim != 4:
+            raise ValueError("multiclass-dirichlet requires [m, n, t, c+1] outputs")
+        return stacked[..., -1].mean(axis=0)
 
 
 @UncertaintyEstimatorRegistry.register("quantile-regression")

@@ -104,13 +104,42 @@ class RegressionConformalCoverageEvaluator:
 
 @UncertaintyEvaluatorRegistry.register("conformal-coverage-classification")
 class MultilabelConformalCoverageEvaluator:
-    """For 0/1 conformal sets: fraction of positives included."""
+    """Coverage of conformal in/out sets for multilabel classification
+    (cf. reference ``evaluator.py:274-292``): fraction of samples where
+    ``in_set <= target <= out_set``. ``uncs`` is ``[n, t, 2]`` with
+    (in, out) stacked on the last axis (the conformal-multilabel
+    calibrator's output)."""
 
     def evaluate(self, preds, uncs, targets, mask):
-        def f(p, in_set, y):
-            pos = y > 0.5
-            if pos.sum() == 0:
-                return float("nan")
-            return float(np.mean(in_set[pos] > 0.5))
+        in_set, out_set = uncs[..., 0], uncs[..., 1]
+        covered = (in_set <= targets) & (targets <= out_set)
+        mask = np.asarray(mask, dtype=bool)
+        return (covered & mask).sum(0) / np.maximum(mask.sum(0), 1)
 
-        return _per_task(f, preds, uncs, targets, mask)
+
+@UncertaintyEvaluatorRegistry.register("nll-multiclass")
+class NLLMulticlassEvaluator:
+    """Mean NLL of the true class given ``[n, t, c]`` class probabilities
+    (cf. reference ``evaluator.py:318-352``)."""
+
+    def evaluate(self, preds, uncs, targets, mask):
+        targets = np.asarray(targets).astype(int)
+        nlls = []
+        for j in range(uncs.shape[1]):
+            m = np.asarray(mask[:, j], dtype=bool)
+            p_true = np.take_along_axis(uncs[m, j], targets[m, j][:, None], axis=1)[:, 0]
+            nlls.append(float(np.mean(-np.log(np.maximum(p_true, 1e-12)))))
+        return np.array(nlls)
+
+
+@UncertaintyEvaluatorRegistry.register("conformal-coverage-multiclass")
+class MulticlassConformalCoverageEvaluator:
+    """Coverage of multiclass conformal prediction sets: fraction of samples
+    whose true class is in the 0/1 set ``uncs [n, t, c]`` (cf. reference
+    ``evaluator.py:354-368``)."""
+
+    def evaluate(self, preds, uncs, targets, mask):
+        targets = np.asarray(targets).astype(int)
+        in_set = np.take_along_axis(uncs, targets[..., None], axis=2)[..., 0] > 0
+        mask = np.asarray(mask, dtype=bool)
+        return (in_set & mask).sum(0) / np.maximum(mask.sum(0), 1)
