@@ -5,6 +5,7 @@ optional uncertainty estimation/calibration, write predictions CSV."""
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 from pathlib import Path
 
@@ -43,6 +44,18 @@ def add_predict_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
         default="none",
     )
     g.add_argument("--evaluation-methods", nargs="+")
+    g.add_argument(
+        "--callback",
+        choices=["myerson"],
+        help="interpretability callback run during predict "
+        "(cf. reference --callback / MyersonExplainerCallback)",
+    )
+    g.add_argument(
+        "--callback-params",
+        type=json.loads,
+        default={},
+        help='JSON kwargs for the callback, e.g. \'{"sampling_threshold": 12, "save_as_json": true}\'',
+    )
     return parser
 
 
@@ -139,7 +152,43 @@ def main(args) -> int:
     df.to_csv(out, index=False)
     logger.info(f"wrote predictions for {len(df)} rows to {out}")
     print(f"wrote {out}")
+
+    if getattr(args, "callback", None) == "myerson":
+        _run_myerson_callback(args, model_paths, dset, out)
     return 0
+
+
+def _run_myerson_callback(args, model_paths, dset, out: Path) -> None:
+    """Myerson atom attributions for every input molecule, one file per
+    model (cf. reference ``callbacks/interpret.py:25-164``). Writes
+    ``<output stem>_myerson_explanation[_i].npz`` (or ``.json``)."""
+    from chemprop_tpu.interpret import MyersonExplainer
+    from chemprop_tpu.nn.predictors import BinaryClassificationFFN, RegressionFFN
+
+    params = dict(args.callback_params)
+    save_as_json = params.pop("save_as_json", False)
+    logger.warning("the 'myerson' callback is computationally expensive on large inputs")
+    for m_i, path in enumerate(model_paths):
+        model, variables, _ = load_model(path)
+        if not isinstance(model.predictor, (RegressionFFN, BinaryClassificationFFN)):
+            raise NotImplementedError(
+                "Myerson explanations support regression and binary classification heads, "
+                f"got {type(model.predictor).__name__}"
+            )
+        explainer = MyersonExplainer(model, variables, **params)
+        explanations = []
+        for i in range(len(dset)):
+            phi = explainer.explain(dset[i].mg)
+            explanations.append(phi[:, 0] if phi.shape[-1] == 1 else phi)
+        suffix = "" if len(model_paths) == 1 else f"_{m_i}"
+        base = out.parent / f"{out.stem}_myerson_explanation{suffix}"
+        if save_as_json:
+            with open(base.with_suffix(".json"), "w") as f:
+                json.dump([e.tolist() for e in explanations], f, indent=4)
+            logger.info(f"Myerson explanations saved to {base.with_suffix('.json')}")
+        else:
+            np.savez_compressed(base.with_suffix(".npz"), *explanations)
+            logger.info(f"Myerson explanations saved to {base.with_suffix('.npz')}")
 
 
 def _point(preds: np.ndarray) -> np.ndarray:
