@@ -424,7 +424,12 @@ def _score_test(preds, test_dset, args, target_cols) -> dict:
     metric_names = args.metrics or _default_metrics(args.task_type)
     scores = {}
     for name in metric_names:
-        metric = Factory.build(MetricRegistry[name], n_classes=args.multiclass_num_classes)
+        metric = Factory.build(
+            MetricRegistry[name],
+            n_classes=args.multiclass_num_classes,
+            # predict-space preds are probabilities, not logits
+            assume_logits=False,
+        )
         try:
             if metric.needs_collection:
                 scores[name] = float(

@@ -231,9 +231,10 @@ class CrossEntropyLoss(ChempropMetric):
 @LossFunctionRegistry.register("binary-mcc")
 @dataclass
 class BinaryMCCLoss(ChempropMetric):
-    """Soft MCC from probabilistic confusion counts."""
+    """Soft MCC from probabilistic confusion counts. ``assume_logits`` is a
+    static flag: True for train-space logits, False for probabilities."""
 
-    assume_logits: bool = field(default=True, init=False)
+    assume_logits: bool = True
 
     def init_state(self):
         z = jnp.zeros((1,))
@@ -271,11 +272,16 @@ class BinaryMCCMetric(BinaryMCCLoss):
 @LossFunctionRegistry.register("multiclass-mcc")
 @dataclass
 class MulticlassMCCLoss(ChempropMetric):
-    """Soft multiclass MCC (sklearn formulation over soft counts)."""
+    """Soft multiclass MCC, per task (sklearn formulation over weighted
+    counts; cf. reference ``metrics.py:374-455``). ``assume_logits`` is a
+    static flag (the reference range-checks at runtime, which is hostile to
+    jit): True for train-space logits, False for probabilities."""
 
     n_classes: int = 3
+    assume_logits: bool = True
 
     def init_state(self):
+        # per-task stats; scalar zeros broadcast up on first update
         return {
             "p": jnp.zeros((1, self.n_classes)),
             "t": jnp.zeros((1, self.n_classes)),
@@ -284,28 +290,29 @@ class MulticlassMCCLoss(ChempropMetric):
         }
 
     def update_state(self, state, preds, targets, mask, weights, lt_mask, gt_mask):
-        probs = jax.nn.softmax(preds, axis=-1)
+        probs = jax.nn.softmax(preds, axis=-1) if self.assume_logits else preds
         C = probs.shape[-1]
         tgt = jnp.clip(targets.astype(jnp.int32), 0, C - 1)
-        bin_targets = jax.nn.one_hot(tgt, C)
+        bin_targets = jax.nn.one_hot(tgt, C)  # [b, t, C]
         bin_preds = jax.nn.one_hot(jnp.argmax(probs, -1), C)
-        mdw = (weights.reshape(-1, 1) * mask)[..., None]
+        mdw = (weights.reshape(-1, 1) * mask)[..., None]  # [b, t, 1]
         return {
-            "p": state["p"] + (bin_preds * mdw).sum((0, 1))[None],
-            "t": state["t"] + (bin_targets * mdw).sum((0, 1))[None],
-            "c": state["c"] + (bin_preds * bin_targets * mdw).sum(),
-            "s": state["s"] + (probs * mdw).sum(),
+            "p": state["p"] + (bin_preds * mdw).sum(0),  # [t, C]
+            "t": state["t"] + (bin_targets * mdw).sum(0),
+            "c": state["c"] + (bin_preds * bin_targets * mdw).sum(-1).sum(0),  # [t]
+            "s": state["s"] + (probs * mdw).sum(-1).sum(0),
         }
 
     def compute(self, state):
-        p, t, c, s = state["p"][0], state["t"][0], state["c"], state["s"]
+        p, t, c, s = state["p"], state["t"], state["c"], state["s"]
         s2 = jnp.square(s)
-        cov_ytyp = c * s - jnp.dot(p, t)
-        cov_ypyp = s2 - jnp.dot(p, p)
-        cov_ytyt = s2 - jnp.dot(t, t)
+        cov_ytyp = c * s - jnp.einsum("tc,tc->t", p, t)
+        cov_ypyp = s2 - jnp.einsum("tc,tc->t", p, p)
+        cov_ytyt = s2 - jnp.einsum("tc,tc->t", t, t)
         x = cov_ypyp * cov_ytyt
         mcc = jnp.where(x == 0, 0.0, cov_ytyp / jnp.sqrt(jnp.maximum(x, 1e-12)))
-        return (1 - mcc).reshape(())
+        mcc = mcc * _as_task_weights(self.task_weights)[0]
+        return 1 - mcc.mean()
 
 
 @MetricRegistry.register("multiclass-mcc")
