@@ -272,8 +272,15 @@ def main(args) -> int:
     )
 
     # save resolved config
+    def _jsonable(v):
+        try:
+            json.dumps(v)
+            return v
+        except TypeError:
+            return str(v)
+
     with open(out_dir / "config.json", "w") as f:
-        json.dump({k: str(v) for k, v in vars(args).items() if k != "func"}, f, indent=2)
+        json.dump({k: _jsonable(v) for k, v in vars(args).items() if k != "func"}, f, indent=2)
 
     if splits_col_values is not None:
         tr = [i for i, s in enumerate(splits_col_values) if s == "train"]

@@ -1,0 +1,207 @@
+"""CLI end-to-end tests (cf. reference ``tests/cli/*``): run subcommands via
+``main()`` on the bundled CSVs and check output artifacts. The convert test
+additionally pins converted-model predictions to the reference math executed
+in eager torch from the same checkpoint weights — true cross-framework
+parity, not just a smoke test."""
+
+import csv
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from chemprop_tpu.cli.main import main as cli_main
+
+
+def run_cli(monkeypatch, argv):
+    monkeypatch.setattr(sys, "argv", ["chemprop-tpu", *argv])
+    assert cli_main() in (0, None)
+
+
+@pytest.fixture(scope="module")
+def mol_csv(data_dir, tmp_path_factory):
+    """A 24-row subset of the lipo regression CSV for fast train runs."""
+    rows = list(csv.reader(open(data_dir / "regression" / "mol" / "mol.csv")))
+    p = tmp_path_factory.mktemp("data") / "mol24.csv"
+    with open(p, "w", newline="") as f:
+        csv.writer(f).writerows(rows[:25])
+    return p
+
+
+@pytest.fixture(scope="module")
+def train_dir(mol_csv, tmp_path_factory, module_monkeypatch):
+    out = tmp_path_factory.mktemp("train_out")
+    module_monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "chemprop-tpu", "train", "-i", str(mol_csv), "--epochs", "2",
+            "--batch-size", "16", "-o", str(out),
+        ],
+    )
+    assert cli_main() in (0, None)
+    return out
+
+
+@pytest.fixture(scope="module")
+def module_monkeypatch():
+    mp = pytest.MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
+class TestTrainArtifacts:
+    def test_artifacts_exist(self, train_dir):
+        for name in [
+            "best.ckpt", "config.json", "splits.json", "test_scores.json",
+            "test_predictions.csv", "history.json",
+        ]:
+            assert any(train_dir.rglob(name)), name
+
+    def test_scores_finite(self, train_dir):
+        scores = json.load(open(next(train_dir.rglob("test_scores.json"))))
+        assert all(np.isfinite(v) for s in scores for v in s.values())
+
+    def test_config_roundtrip(self, train_dir):
+        cfg = json.load(open(next(train_dir.rglob("config.json"))))
+        assert cfg["epochs"] == 2
+
+
+class TestPredictFingerprint:
+    def test_predict_writes_all_rows(self, monkeypatch, mol_csv, train_dir, tmp_path):
+        out = tmp_path / "preds.csv"
+        run_cli(
+            monkeypatch,
+            ["predict", "-i", str(mol_csv), "--model-paths", str(train_dir), "-o", str(out)],
+        )
+        rows = list(csv.DictReader(open(out)))
+        assert len(rows) == 24
+        vals = [float(r["lipo"]) for r in rows]
+        assert np.isfinite(vals).all()
+
+    def test_predict_with_uncertainty_dropout(self, monkeypatch, mol_csv, train_dir, tmp_path):
+        out = tmp_path / "preds_unc.csv"
+        run_cli(
+            monkeypatch,
+            [
+                "predict", "-i", str(mol_csv), "--model-paths",
+                str(train_dir / "best.ckpt"), str(train_dir / "best.ckpt"),
+                "--uncertainty-method", "dropout", "-o", str(out),
+            ],
+        )
+        rows = list(csv.DictReader(open(out)))
+        assert "lipo_unc" in rows[0]
+
+    def test_fingerprint_csv(self, monkeypatch, mol_csv, train_dir, tmp_path):
+        out = tmp_path / "fps.csv"
+        run_cli(
+            monkeypatch,
+            ["fingerprint", "-i", str(mol_csv), "--model-paths", str(train_dir), "-o", str(out)],
+        )
+        rows = list(csv.reader(open(out)))
+        assert len(rows) == 25  # header + 24
+        assert len(rows[1]) >= 300  # fp_0..fp_299 (+ name column)
+
+
+class TestClassificationTrain:
+    def test_train_classification(self, monkeypatch, data_dir, tmp_path):
+        out = tmp_path / "clf"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(data_dir / "classification" / "mol.csv"),
+                "--task-type", "classification", "--epochs", "1", "--batch-size", "32",
+                "--metrics", "roc", "-o", str(out),
+            ],
+        )
+        scores = json.load(open(next(out.rglob("test_scores.json"))))
+        assert 0.0 <= list(scores[-1].values())[0] <= 1.0
+
+
+class TestHpopt:
+    def test_hpopt_smoke(self, monkeypatch, mol_csv, tmp_path):
+        out = tmp_path / "hpopt"
+        run_cli(
+            monkeypatch,
+            [
+                "hpopt", "-i", str(mol_csv), "--epochs", "1", "--batch-size", "16",
+                "--num-trials", "2", "--hpopt-save-dir", str(out),
+            ],
+        )
+        best = json.load(open(out / "best_config.json"))
+        assert best  # non-empty config chosen
+        progress = json.load(open(out / "all_progress.json"))
+        assert len(progress) == 2
+
+
+def _reference_forward_torch(ckpt_path, mgs):
+    """The reference model's math in eager torch from the checkpoint weights:
+    BondMessagePassing(depth 3) + mean agg + eval-mode batchnorm + FFN +
+    unscale transform (cf. reference ``nn/message_passing/base.py:196-212``,
+    ``models/model.py:126-146``)."""
+    import torch
+
+    from chemprop_tpu.models.torch_convert import load_torch_checkpoint
+
+    sd = {k: torch.tensor(np.array(v)) for k, v in load_torch_checkpoint(ckpt_path)["state_dict"].items()}
+    outs = []
+    for mg in mgs:
+        V = torch.tensor(mg.V)
+        E = torch.tensor(mg.E)
+        src = torch.tensor(mg.edge_index[0].astype(np.int64))
+        dst = torch.tensor(mg.edge_index[1].astype(np.int64))
+        rev = torch.tensor(mg.rev_edge_index.astype(np.int64))
+        nv = V.shape[0]
+
+        H0 = torch.cat([V[src], E], 1) @ sd["message_passing.W_i.weight"].T
+        H = torch.relu(H0)
+        for _ in range(1, 3):
+            M = torch.zeros(nv, 300).index_add_(0, dst, H)[src] - H[rev]
+            H = torch.relu(H0 + M @ sd["message_passing.W_h.weight"].T)
+        Mv = torch.zeros(nv, 300).index_add_(0, dst, H)
+        Hv = torch.relu(
+            torch.cat([V, Mv], 1) @ sd["message_passing.W_o.weight"].T
+            + sd["message_passing.W_o.bias"]
+        )
+        agg = Hv.mean(0, keepdim=True)
+        bn = (agg - sd["bn.running_mean"]) / torch.sqrt(sd["bn.running_var"] + 1e-5)
+        bn = bn * sd["bn.weight"] + sd["bn.bias"]
+        z = torch.relu(bn @ sd["predictor.ffn.0.0.weight"].T + sd["predictor.ffn.0.0.bias"])
+        y = z @ sd["predictor.ffn.1.2.weight"].T + sd["predictor.ffn.1.2.bias"]
+        y = y * sd["predictor.output_transform.scale"] + sd["predictor.output_transform.mean"]
+        outs.append(float(y[0, 0]))
+    return np.array(outs)
+
+
+class TestConvert:
+    def test_convert_matches_reference_math(self, monkeypatch, data_dir, tmp_path):
+        smis = ["CCO", "c1ccccc1O", "CC(=O)Nc1ccc(O)cc1", "CNC(C)Cc1ccccc1"]
+        src_ckpt = data_dir / "example_model_v2_regression_mol.pt"
+        out_ckpt = tmp_path / "converted.ckpt"
+        run_cli(monkeypatch, ["convert", "-i", str(src_ckpt), "-o", str(out_ckpt)])
+
+        # our converted model's predictions via the predict CLI
+        in_csv = tmp_path / "in.csv"
+        with open(in_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["smiles"])
+            w.writerows([[s] for s in smis])
+        preds_csv = tmp_path / "preds.csv"
+        run_cli(
+            monkeypatch,
+            ["predict", "-i", str(in_csv), "--model-paths", str(out_ckpt), "-o", str(preds_csv)],
+        )
+        rows = list(csv.DictReader(open(preds_csv)))
+        # this example checkpoint predates output_columns, so the predict CLI
+        # falls back to generic column names
+        got = np.array([float(r["pred_0"]) for r in rows])
+
+        # reference math in torch on identical featurized graphs
+        from chemprop_tpu.data import MoleculeDatapoint
+        from chemprop_tpu.featurizers.molgraph.molecule import SimpleMoleculeMolGraphFeaturizer
+
+        feat = SimpleMoleculeMolGraphFeaturizer()
+        mgs = [feat(MoleculeDatapoint.from_smi(s, y=np.zeros(1)).mol) for s in smis]
+        want = _reference_forward_torch(src_ckpt, mgs)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
