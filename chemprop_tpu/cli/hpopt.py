@@ -44,6 +44,16 @@ def add_hpopt_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         help=f"subset of: {sorted(SEARCH_SPACE)} or 'all'/'basic'/'learning_rate'",
     )
     g.add_argument("--hpopt-save-dir", type=Path, default=None)
+    g.add_argument(
+        "--scheduler",
+        choices=["fifo", "asha"],
+        default="fifo",
+        help="fifo = full-budget random search (reference FIFOScheduler); "
+        "asha = successive halving: all trials start on a small epoch "
+        "budget, the top 1/eta per rung resume (full training state) with "
+        "eta x the budget (reference ASHAScheduler)",
+    )
+    g.add_argument("--asha-eta", type=int, default=3)
     return parser
 
 
@@ -80,40 +90,77 @@ def _sample(rng: np.random.Generator, keys: list[str]) -> dict:
     return cfg
 
 
-def main(args) -> int:
+def _run_trial(args, out_dir, trial: int, cfg: dict, epochs: int, resume: bool) -> float:
+    """Train one trial to ``epochs`` total (resuming its full state if
+    ``resume``); returns its best validation score (inf on failure)."""
     from chemprop_tpu.cli import train as train_cli
 
+    targs = copy.deepcopy(args)
+    for k, v in cfg.items():
+        if k == "final_lr_ratio":
+            targs.final_lr = v * targs.max_lr
+        else:
+            setattr(targs, k, v)
+    targs.output_dir = out_dir / f"trial_{trial}"
+    targs.num_replicates = 1
+    targs.ensemble_size = 1
+    targs.epochs = epochs
+    last = sorted(targs.output_dir.rglob("last.ckpt"))
+    if resume and last:
+        targs.resume = last[0]
+    logger.info(f"trial {trial}: epochs={epochs} resume={resume and bool(last)} {cfg}")
+    try:
+        train_cli.main(targs)
+        with open(sorted(targs.output_dir.rglob("history.json"))[0]) as f:
+            history = json.load(f)
+        return min(h.get("val_loss", h["train_loss"]) for h in history)
+    except Exception as e:
+        logger.warning(f"trial {trial} failed: {e}")
+        return float("inf")
+
+
+def main(args) -> int:
     out_dir = args.hpopt_save_dir or (args.output_dir or Path("chemprop_tpu_hpopt"))
     out_dir.mkdir(parents=True, exist_ok=True)
     keys = _expand_keywords(args.search_parameter_keywords)
     rng = np.random.default_rng(args.data_seed)
+    configs = [_sample(rng, keys) for _ in range(args.num_trials)]
 
     results = []
     best = (np.inf, None, None)
-    for trial in range(args.num_trials):
-        cfg = _sample(rng, keys)
-        targs = copy.deepcopy(args)
-        for k, v in cfg.items():
-            if k == "final_lr_ratio":
-                targs.final_lr = v * targs.max_lr
-            else:
-                setattr(targs, k, v)
-        targs.output_dir = out_dir / f"trial_{trial}"
-        targs.num_replicates = 1
-        targs.ensemble_size = 1
-        logger.info(f"trial {trial}: {cfg}")
-        try:
-            train_cli.main(targs)
-            hist_files = sorted(targs.output_dir.rglob("history.json"))
-            with open(hist_files[0]) as f:
-                history = json.load(f)
-            score = min(h.get("val_loss", h["train_loss"]) for h in history)
-        except Exception as e:
-            logger.warning(f"trial {trial} failed: {e}")
-            score = float("inf")
-        results.append({"trial": trial, "config": cfg, "score": score})
-        if score < best[0]:
-            best = (score, cfg, trial)
+
+    if args.scheduler == "asha":
+        # synchronous successive halving: every survivor resumes its full
+        # training state (params + Adam moments + LR step) at eta x budget
+        eta = max(2, args.asha_eta)
+        n_rungs = 0
+        while eta ** (n_rungs + 1) <= args.num_trials and args.epochs // eta ** (n_rungs + 1) >= 1:
+            n_rungs += 1
+        survivors = list(range(args.num_trials))
+        budget = max(1, args.epochs // eta**n_rungs)
+        rung = 0
+        while True:
+            scored = []
+            for trial in survivors:
+                score = _run_trial(args, out_dir, trial, configs[trial], budget, resume=rung > 0)
+                scored.append((score, trial))
+                results.append(
+                    {"trial": trial, "rung": rung, "epochs": budget,
+                     "config": configs[trial], "score": score}
+                )
+            scored.sort(key=lambda t: t[0])
+            if budget >= args.epochs or len(scored) == 1:
+                best = (scored[0][0], configs[scored[0][1]], scored[0][1])
+                break
+            survivors = [t for _, t in scored[: max(1, -(-len(scored) // eta))]]
+            budget = min(args.epochs, budget * eta)
+            rung += 1
+    else:
+        for trial, cfg in enumerate(configs):
+            score = _run_trial(args, out_dir, trial, cfg, args.epochs, resume=False)
+            results.append({"trial": trial, "config": cfg, "score": score})
+            if score < best[0]:
+                best = (score, cfg, trial)
 
     with open(out_dir / "all_progress.json", "w") as f:
         json.dump(results, f, indent=2)

@@ -134,6 +134,25 @@ class TestHpopt:
         progress = json.load(open(out / "all_progress.json"))
         assert len(progress) == 2
 
+    def test_hpopt_asha(self, monkeypatch, mol_csv, tmp_path):
+        out = tmp_path / "asha"
+        run_cli(
+            monkeypatch,
+            [
+                "hpopt", "-i", str(mol_csv), "--epochs", "4", "--batch-size", "16",
+                "--num-trials", "4", "--scheduler", "asha", "--asha-eta", "2",
+                "--hpopt-save-dir", str(out),
+            ],
+        )
+        progress = json.load(open(out / "all_progress.json"))
+        rungs = {p["rung"] for p in progress}
+        assert rungs == {0, 1, 2}
+        # rung 0 ran all trials on the small budget; later rungs fewer
+        assert sum(p["rung"] == 0 for p in progress) == 4
+        assert sum(p["rung"] == 1 for p in progress) == 2
+        assert sum(p["rung"] == 2 for p in progress) == 1
+        assert (out / "best_config.json").exists()
+
 
 def _reference_forward_torch(ckpt_path, mgs):
     """The reference model's math in eager torch from the checkpoint weights:
