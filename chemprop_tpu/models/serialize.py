@@ -26,7 +26,10 @@ from chemprop_tpu.models.model import MPNN
 from chemprop_tpu.nn import agg as agg_mod
 from chemprop_tpu.nn import metrics as metrics_mod
 from chemprop_tpu.nn import predictors as predictors_mod
+from chemprop_tpu.nn.ffn import ConstrainerFFN
 from chemprop_tpu.nn.message_passing import base as mp_mod
+from chemprop_tpu.nn.message_passing import mol_atom_bond as mab_mod
+from chemprop_tpu.nn.message_passing.multi import MulticomponentMessagePassing
 from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform, UnscaleTransform
 
 MAGIC = b"CPTPU001"
@@ -49,6 +52,10 @@ _MODULE_CLASSES = {
         predictors_mod.MulticlassClassificationFFN,
         predictors_mod.MulticlassDirichletFFN,
         predictors_mod.SpectralFFN,
+        MulticomponentMessagePassing,
+        mab_mod.MABBondMessagePassing,
+        mab_mod.MABAtomMessagePassing,
+        ConstrainerFFN,
     ]
 }
 
@@ -60,6 +67,10 @@ _METRIC_CLASSES = {
 
 
 def _encode_value(v: Any) -> Any:
+    if type(v).__name__ in _MODULE_CLASSES:
+        return {"__submodule__": module_config(v)}
+    if isinstance(v, (list, tuple)) and v and type(v[0]).__name__ in _MODULE_CLASSES:
+        return [{"__submodule__": module_config(m)} for m in v]
     if isinstance(v, ScaleTransform):
         kind = "unscale" if isinstance(v, UnscaleTransform) else "scale"
         return {"__transform__": kind, **v.to_dict()}
@@ -91,6 +102,10 @@ def _encode_value(v: Any) -> Any:
 
 
 def _decode_value(v: Any) -> Any:
+    if isinstance(v, dict) and "__submodule__" in v:
+        return module_from_config(v["__submodule__"])
+    if isinstance(v, list) and v and isinstance(v[0], dict) and "__submodule__" in v[0]:
+        return [module_from_config(m["__submodule__"]) for m in v]
     if isinstance(v, dict) and "__transform__" in v:
         match v["__transform__"]:
             case "scale":
@@ -131,9 +146,26 @@ def module_from_config(cfg: dict):
     return cls(**kwargs)
 
 
-def model_config(model: MPNN) -> dict:
+def model_config(model) -> dict:
+    from chemprop_tpu.models.mol_atom_bond import MolAtomBondMPNN
+
+    if isinstance(model, MolAtomBondMPNN):
+        return {
+            "format": "chemprop_tpu.mpnn.v1",
+            "model_cls": "MolAtomBondMPNN",
+            "message_passing": module_config(model.message_passing),
+            "agg": None if model.agg is None else module_config(model.agg),
+            "mol_predictor": _maybe_config(model.mol_predictor),
+            "atom_predictor": _maybe_config(model.atom_predictor),
+            "bond_predictor": _maybe_config(model.bond_predictor),
+            "atom_constrainer": _maybe_config(model.atom_constrainer),
+            "bond_constrainer": _maybe_config(model.bond_constrainer),
+            "batch_norm": model.batch_norm,
+            "X_d_transform": _encode_value(model.X_d_transform),
+        }
     return {
         "format": "chemprop_tpu.mpnn.v1",
+        "model_cls": type(model).__name__,
         "message_passing": module_config(model.message_passing),
         "agg": module_config(model.agg),
         "predictor": module_config(model.predictor),
@@ -142,8 +174,33 @@ def model_config(model: MPNN) -> dict:
     }
 
 
-def model_from_config(cfg: dict) -> MPNN:
-    return MPNN(
+def _maybe_config(m):
+    return None if m is None else module_config(m)
+
+
+def _maybe_from_config(cfg):
+    return None if cfg is None else module_from_config(cfg)
+
+
+def model_from_config(cfg: dict):
+    from chemprop_tpu.models.mol_atom_bond import MolAtomBondMPNN
+    from chemprop_tpu.models.multi import MulticomponentMPNN
+
+    model_cls = cfg.get("model_cls", "MPNN")
+    if model_cls == "MolAtomBondMPNN":
+        return MolAtomBondMPNN(
+            message_passing=module_from_config(cfg["message_passing"]),
+            agg=_maybe_from_config(cfg.get("agg")),
+            mol_predictor=_maybe_from_config(cfg.get("mol_predictor")),
+            atom_predictor=_maybe_from_config(cfg.get("atom_predictor")),
+            bond_predictor=_maybe_from_config(cfg.get("bond_predictor")),
+            atom_constrainer=_maybe_from_config(cfg.get("atom_constrainer")),
+            bond_constrainer=_maybe_from_config(cfg.get("bond_constrainer")),
+            batch_norm=cfg.get("batch_norm", False),
+            X_d_transform=_decode_value(cfg.get("X_d_transform")),
+        )
+    cls = MulticomponentMPNN if model_cls == "MulticomponentMPNN" else MPNN
+    return cls(
         message_passing=module_from_config(cfg["message_passing"]),
         agg=module_from_config(cfg["agg"]),
         predictor=module_from_config(cfg["predictor"]),
