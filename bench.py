@@ -54,8 +54,11 @@ def bench_jax(batch, n_real_edges) -> float:
     from chemprop_tpu.nn import BondMessagePassing, MeanAggregation, RegressionFFN
     from chemprop_tpu.train import Trainer
 
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(os.environ.get("BENCH_DTYPE", "float32"))
     model = MPNN(
-        message_passing=BondMessagePassing(),
+        message_passing=BondMessagePassing(compute_dtype=dtype),
         agg=MeanAggregation(),
         predictor=RegressionFFN(),
         batch_norm=False,

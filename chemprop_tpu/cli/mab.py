@@ -1,0 +1,350 @@
+"""Mol/Atom/Bond CLI paths (cf. reference ``chemprop/cli/utils/
+MAB_parsing.py:14-260`` + the MAB branches of ``cli/train.py`` and
+``cli/predict.py``): per-atom/bond targets are list literals in CSV cells;
+optional per-molecule sum constraints come from a parallel CSV whose columns
+are named ``<target>_constraint``."""
+
+from __future__ import annotations
+
+import ast
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from chemprop_tpu.data import DataLoader, MolAtomBondDatapoint
+from chemprop_tpu.data.datasets import MolAtomBondDataset
+from chemprop_tpu.models.mol_atom_bond import MolAtomBondMPNN
+from chemprop_tpu.models.serialize import save_model
+from chemprop_tpu.nn import AggregationRegistry, PredictorRegistry
+from chemprop_tpu.nn.ffn import ConstrainerFFN
+from chemprop_tpu.nn.message_passing.mol_atom_bond import (
+    MABAtomMessagePassing,
+    MABBondMessagePassing,
+)
+from chemprop_tpu.nn.transforms import UnscaleTransform
+from chemprop_tpu.train.mab_trainer import MABTrainer
+from chemprop_tpu.utils.registry import Factory
+
+logger = logging.getLogger(__name__)
+
+
+def _parse_list_cell(v) -> list[float]:
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return []
+    out = ast.literal_eval(str(v))
+    return list(out) if isinstance(out, (list, tuple)) else [out]
+
+
+def build_MAB_datapoints(args) -> tuple[list[MolAtomBondDatapoint], list[str], list[str], list[str]]:
+    """CSV (+ optional constraints CSV) -> MolAtomBondDatapoints; returns
+    (datapoints, mol_cols, atom_cols, bond_cols)."""
+    df = pd.read_csv(args.data_path)
+    smiles_col = (args.smiles_columns or [df.columns[0]])[0]
+    mol_cols = list(args.target_columns or [])
+    atom_cols = list(args.atom_target_columns or [])
+    bond_cols = list(args.bond_target_columns or [])
+
+    atom_con_df = bond_con_df = None
+    if args.constraints_path is not None:
+        con_df = pd.read_csv(args.constraints_path)
+        atom_con_df = {
+            c: con_df[f"{c}_constraint"] if f"{c}_constraint" in con_df else None
+            for c in atom_cols
+        }
+        bond_con_df = {
+            c: con_df[f"{c}_constraint"] if f"{c}_constraint" in con_df else None
+            for c in bond_cols
+        }
+
+    dps = []
+    for i, row in df.iterrows():
+        smi = row[smiles_col]
+        mol_y = (
+            np.array([float(row[c]) for c in mol_cols], dtype=np.float64) if mol_cols else None
+        )
+        atom_y = bond_y = None
+        if atom_cols:
+            per_col = [_parse_list_cell(row[c]) for c in atom_cols]
+            atom_y = np.array(list(zip(*per_col)), dtype=np.float64).reshape(-1, len(atom_cols))
+        if bond_cols:
+            per_col = [_parse_list_cell(row[c]) for c in bond_cols]
+            bond_y = np.array(list(zip(*per_col)), dtype=np.float64).reshape(-1, len(bond_cols))
+
+        atom_c = bond_c = None
+        if atom_con_df is not None and any(v is not None for v in atom_con_df.values()):
+            atom_c = np.array(
+                [np.nan if atom_con_df[c] is None else float(atom_con_df[c][i]) for c in atom_cols]
+            )
+        if bond_con_df is not None and any(v is not None for v in bond_con_df.values()):
+            bond_c = np.array(
+                [np.nan if bond_con_df[c] is None else float(bond_con_df[c][i]) for c in bond_cols]
+            )
+
+        # atom-mapped SMILES give targets in map order: reorder atoms to match
+        reorder = ":" in smi and any(ch.isdigit() for ch in smi.split(":")[-1][:3])
+        weight = float(row[args.weight_column]) if args.weight_column else 1.0
+        dps.append(
+            MolAtomBondDatapoint.from_smi(
+                smi,
+                keep_h=args.keep_h,
+                add_h=args.add_h,
+                ignore_stereo=args.ignore_stereo,
+                reorder_atoms=reorder,
+                y=mol_y,
+                atom_y=atom_y,
+                bond_y=bond_y,
+                atom_constraints=atom_c,
+                bond_constraints=bond_c,
+                weight=weight,
+            )
+        )
+    return dps, mol_cols, atom_cols, bond_cols
+
+
+def build_MAB_model(args, train_dset, output_transforms):
+    mol_t, atom_t, bond_t = output_transforms
+    mp_cls = MABAtomMessagePassing if args.atom_messages else MABBondMessagePassing
+    d_h = args.message_hidden_dim
+    n_mol = len(args.target_columns or [])
+    n_atom = len(args.atom_target_columns or [])
+    n_bond = len(args.bond_target_columns or [])
+    message_passing = mp_cls(
+        d_h=d_h,
+        bias=args.message_bias,
+        depth=args.depth,
+        dropout=args.dropout,
+        activation=args.activation,
+        undirected=args.undirected,
+        return_vertex_embeddings=bool(n_mol or n_atom),
+        return_edge_embeddings=bool(n_bond),
+    )
+    agg = (
+        Factory.build(
+            AggregationRegistry[args.aggregation], norm=args.aggregation_norm, output_size=d_h
+        )
+        if n_mol
+        else None
+    )
+
+    def head(n_tasks, input_dim, transform):
+        if not n_tasks:
+            return None
+        return Factory.build(
+            PredictorRegistry[args.task_type],
+            input_dim=input_dim,
+            n_tasks=n_tasks,
+            hidden_dim=args.ffn_hidden_dim,
+            n_layers=args.ffn_num_layers,
+            dropout=args.dropout,
+            activation=args.activation,
+            task_weights=args.task_weights,
+            threshold=args.threshold,
+            n_classes=args.multiclass_num_classes,
+            output_transform=transform,
+        )
+
+    data = train_dset.data
+    has_atom_c = any(d.atom_constraints is not None for d in data)
+    has_bond_c = any(d.bond_constraints is not None for d in data)
+    return MolAtomBondMPNN(
+        message_passing=message_passing,
+        agg=agg,
+        mol_predictor=head(n_mol, d_h, mol_t),
+        atom_predictor=head(n_atom, d_h, atom_t),
+        bond_predictor=head(n_bond, 2 * d_h, bond_t),
+        atom_constrainer=(
+            ConstrainerFFN(n_constraints=n_atom, fp_dim=d_h, hidden_dim=args.ffn_hidden_dim)
+            if has_atom_c
+            else None
+        ),
+        bond_constrainer=(
+            ConstrainerFFN(n_constraints=n_bond, fp_dim=2 * d_h, hidden_dim=args.ffn_hidden_dim)
+            if has_bond_c
+            else None
+        ),
+        batch_norm=args.batch_norm,
+    )
+
+
+def main_MAB(args) -> int:
+    from chemprop_tpu.cli.train import build_splits
+
+    out_dir = args.output_dir or Path(f"chemprop_tpu_training/{args.data_path.stem}")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    dps, mol_cols, atom_cols, bond_cols = build_MAB_datapoints(args)
+
+    trains, vals, tests = build_splits(args, [dps])
+    with open(out_dir / "splits.json", "w") as f:
+        json.dump(
+            [
+                {"train": list(map(int, t)), "val": list(map(int, v)), "test": list(map(int, s))}
+                for t, v, s in zip(trains, vals, tests)
+            ],
+            f,
+        )
+
+    all_scores = []
+    for rep, (tr_i, va_i, te_i) in enumerate(zip(trains, vals, tests)):
+        train_dset = MolAtomBondDataset([dps[i] for i in tr_i])
+        val_dset = MolAtomBondDataset([dps[i] for i in va_i]) if len(va_i) else None
+        test_dset = MolAtomBondDataset([dps[i] for i in te_i]) if len(te_i) else None
+
+        transforms = [None, None, None]
+        if args.task_type.startswith("regression"):
+            for k, (kind, cols) in enumerate(
+                zip(("mol", "atom", "bond"), (mol_cols, atom_cols, bond_cols))
+            ):
+                if not cols:
+                    continue
+                scaler = train_dset.normalize_targets(kind)
+                if scaler is not None:
+                    if val_dset is not None:
+                        val_dset.normalize_targets(kind, scaler)
+                    transforms[k] = UnscaleTransform.from_standard_scaler(scaler)
+        if not args.no_cache:
+            train_dset.cache = True
+            if val_dset is not None:
+                val_dset.cache = True
+
+        train_loader = DataLoader(
+            train_dset, batch_size=args.batch_size, shuffle=True, seed=args.data_seed
+        )
+        val_loader = (
+            DataLoader(val_dset, batch_size=args.batch_size) if val_dset is not None else None
+        )
+
+        rep_dir = out_dir / (f"replicate_{rep}" if len(trains) > 1 else ".")
+        for member in range(args.ensemble_size):
+            model_dir = rep_dir / (f"model_{member}" if args.ensemble_size > 1 else ".")
+            model_dir.mkdir(parents=True, exist_ok=True)
+            model = build_MAB_model(args, train_dset, transforms)
+            trainer = MABTrainer(
+                model,
+                max_epochs=args.epochs,
+                warmup_epochs=args.warmup_epochs,
+                init_lr=args.init_lr,
+                max_lr=args.max_lr,
+                final_lr=args.final_lr,
+                grad_clip=args.grad_clip,
+                patience=args.patience,
+                checkpoint_dir=model_dir / "checkpoints",
+                seed=args.seed + member,
+                log_every=1,
+            )
+            trainer.fit(train_loader, val_loader)
+            save_model(
+                model_dir / "best.ckpt",
+                model,
+                trainer.best_variables,
+                output_columns=mol_cols + atom_cols + bond_cols,
+            )
+            with open(model_dir / "history.json", "w") as f:
+                json.dump(trainer.history, f, indent=2)
+
+            if test_dset is not None and len(test_dset):
+                test_loader = DataLoader(test_dset, batch_size=args.batch_size)
+                preds = trainer.predict(test_loader)
+                scores = _score_MAB(preds, test_dset, mol_cols, atom_cols, bond_cols)
+                all_scores.append(scores)
+                logger.info(f"replicate {rep} model {member} test scores: {scores}")
+                write_MAB_preds(
+                    model_dir / "test_predictions.csv",
+                    test_dset,
+                    preds,
+                    mol_cols,
+                    atom_cols,
+                    bond_cols,
+                )
+
+    if all_scores:
+        with open(out_dir / "test_scores.json", "w") as f:
+            json.dump(all_scores, f, indent=2)
+        print(json.dumps(all_scores[-1]))
+    return 0
+
+
+def _rmse(preds, targets):
+    mask = np.isfinite(targets)
+    if not mask.any():
+        return float("nan")
+    return float(np.sqrt(np.mean((preds[mask] - targets[mask]) ** 2)))
+
+
+def _score_MAB(preds, dset, mol_cols, atom_cols, bond_cols) -> dict:
+    mol_p, atom_p, bond_p = preds
+    scores = {}
+    if mol_p is not None and mol_cols:
+        Y = np.array([d.y for d in dset.data], dtype=float)
+        scores["mol_rmse"] = _rmse(_point(mol_p), Y)
+    if atom_p is not None and atom_cols:
+        Y = np.concatenate([d.atom_y for d in dset.data], axis=0)
+        scores["atom_rmse"] = _rmse(_point(atom_p), Y)
+    if bond_p is not None and bond_cols:
+        Y = np.concatenate([d.bond_y for d in dset.data], axis=0)
+        scores["bond_rmse"] = _rmse(_point(bond_p), Y)
+    return scores
+
+
+def _point(p):
+    return p[..., 0] if p.ndim == 3 else p
+
+
+def write_MAB_preds(path, dset, preds, mol_cols, atom_cols, bond_cols) -> None:
+    """Predictions CSV: scalar mol columns + list-literal atom/bond columns
+    (one list per molecule, in canonical atom/bond order)."""
+    mol_p, atom_p, bond_p = preds
+    rows: dict[str, list] = {"smiles": [d.name for d in dset.data]}
+    if mol_p is not None:
+        P = _point(mol_p)
+        for j, c in enumerate(mol_cols or [f"mol_{j}" for j in range(P.shape[1])]):
+            rows[c] = P[:, j].tolist()
+    n_atoms = [d.mol.num_atoms for d in dset.data]
+    n_bonds = [d.mol.num_bonds for d in dset.data]
+    if atom_p is not None:
+        P = _point(atom_p)
+        offs = np.cumsum([0] + n_atoms)
+        for j, c in enumerate(atom_cols or [f"atom_{j}" for j in range(P.shape[1])]):
+            rows[c] = [
+                str([round(float(v), 6) for v in P[offs[i] : offs[i + 1], j]])
+                for i in range(len(dset.data))
+            ]
+    if bond_p is not None:
+        P = _point(bond_p)
+        offs = np.cumsum([0] + n_bonds)
+        for j, c in enumerate(bond_cols or [f"bond_{j}" for j in range(P.shape[1])]):
+            rows[c] = [
+                str([round(float(v), 6) for v in P[offs[i] : offs[i + 1], j]])
+                for i in range(len(dset.data))
+            ]
+    pd.DataFrame(rows).to_csv(path, index=False)
+
+
+def predict_MAB(args, model, variables, extra) -> int:
+    """MAB predict path: smiles-only CSV -> triple-head predictions CSV."""
+    df = pd.read_csv(args.data_path)
+    smiles_col = (args.smiles_columns or [df.columns[0]])[0]
+    dps = [
+        MolAtomBondDatapoint.from_smi(
+            s, keep_h=args.keep_h, add_h=args.add_h, ignore_stereo=args.ignore_stereo
+        )
+        for s in df[smiles_col]
+    ]
+    dset = MolAtomBondDataset(dps)
+    loader = DataLoader(dset, batch_size=args.batch_size)
+    trainer = MABTrainer(model)
+    preds = trainer.predict(loader, variables=variables)
+
+    cols = extra.get("output_columns") or []
+    n_mol = model.mol_predictor.n_tasks if model.mol_predictor is not None else 0
+    n_atom = model.atom_predictor.n_tasks if model.atom_predictor is not None else 0
+    mol_cols = cols[:n_mol] or None
+    atom_cols = cols[n_mol : n_mol + n_atom] or None
+    bond_cols = cols[n_mol + n_atom :] or None
+    out = args.output or args.data_path.with_name(args.data_path.stem + "_preds.csv")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    write_MAB_preds(out, dset, preds, mol_cols, atom_cols, bond_cols)
+    print(f"wrote {out}")
+    return 0

@@ -90,6 +90,15 @@ def _build_loader(args, path, with_targets: bool = False):
 
 def main(args) -> int:
     model_paths = find_models(args.model_paths)
+
+    from chemprop_tpu.models.mol_atom_bond import MolAtomBondMPNN
+
+    first_model, first_vars, first_extra = load_model(model_paths[0])
+    if isinstance(first_model, MolAtomBondMPNN):
+        from chemprop_tpu.cli.mab import predict_MAB
+
+        return predict_MAB(args, first_model, first_vars, first_extra)
+
     loader, dset, _ = _build_loader(args, args.data_path)
 
     individual = []

@@ -111,6 +111,16 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--freeze-encoder", action="store_true")
     g.add_argument("--frzn-ffn-layers", type=int, default=0)
     g.add_argument("--resume", type=Path, help="resume a run from a last.ckpt")
+
+    # mol+atom+bond multi-head targets (reference --atom/bond-target-columns,
+    # cli/train.py:420-430 + cli/utils/MAB_parsing.py)
+    g.add_argument("--atom-target-columns", nargs="+")
+    g.add_argument("--bond-target-columns", nargs="+")
+    g.add_argument(
+        "--constraints-path",
+        type=Path,
+        help="CSV of per-molecule sum constraints; columns '<target>_constraint'",
+    )
     return parser
 
 
@@ -243,6 +253,11 @@ def normalize_inputs(train_dset, val_dset, args):
 
 
 def main(args) -> int:
+    if getattr(args, "atom_target_columns", None) or getattr(args, "bond_target_columns", None):
+        from chemprop_tpu.cli.mab import main_MAB
+
+        return main_MAB(args)
+
     out_dir = args.output_dir or Path(f"chemprop_tpu_training/{args.data_path.stem}")
     out_dir.mkdir(parents=True, exist_ok=True)
 

@@ -264,6 +264,7 @@ class MABTrainingBatch(NamedTuple):
     lt_masks: tuple
     gt_masks: tuple
     constraints: tuple | None  # (atom_constraints [B,ca]|None, bond [B,cb]|None)
+    edge_origin: np.ndarray | None = None  # [E_pad] pre-sort edge index (origin//2 = bond id)
 
 
 def collate_mol_atom_bond_batch(data: Iterable, pad: PadSpec | None = None) -> MABTrainingBatch:
@@ -378,4 +379,5 @@ def collate_mol_atom_bond_batch(data: Iterable, pad: PadSpec | None = None) -> M
         lt_masks=lt_masks,
         gt_masks=gt_masks,
         constraints=(atom_c, bond_c) if (atom_c is not None or bond_c is not None) else None,
+        edge_origin=np.asarray(perm),
     )

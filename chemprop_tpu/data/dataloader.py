@@ -56,6 +56,9 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _make_batch(self, idxs: list[int]) -> TrainingBatch:
+        from chemprop_tpu.data.collate import collate_mol_atom_bond_batch
+        from chemprop_tpu.data.datasets import MABDatum
+
         data = [self.dataset[i] for i in idxs]
         if data and isinstance(data[0], list):  # multicomponent rows
             pads = self.pad_spec
@@ -69,6 +72,8 @@ class DataLoader:
         pad = self.pad_spec
         if pad is None:
             pad = PadSpec.for_graphs([d.mg for d in data], n_graphs=self.batch_size)
+        if data and isinstance(data[0], MABDatum):
+            return collate_mol_atom_bond_batch(data, pad)
         return collate_batch(data, pad)
 
     def _index_batches(self) -> Iterator[list[int]]:

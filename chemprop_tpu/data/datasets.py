@@ -462,14 +462,17 @@ class MolAtomBondDataset(MoleculeDataset):
         constraints = None
         if d.atom_constraints is not None or d.bond_constraints is not None:
             constraints = (self._scaled_atom_c[idx], self._scaled_bond_c[idx])
+        # target-less datapoints (predict time): np.array([None, ...]) yields
+        # float64 NaN scalars, which must read as "no mol targets"
+        y = self.Y[idx]
+        if not isinstance(y, np.ndarray) or y.ndim == 0:
+            y = None
         return MABDatum(
             mg,
             self.V_ds[idx],
             self.E_ds[idx],
             self.X_d[idx],
-            (self.Y[idx] if self.Y[idx] is not None else None,
-             self.atom_Y[idx],
-             self.bond_Y[idx]),
+            (y, self.atom_Y[idx], self.bond_Y[idx]),
             d.weight,
             constraints,
         )

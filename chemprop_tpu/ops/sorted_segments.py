@@ -82,12 +82,16 @@ def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int):
             # passes (vs 6 for Precision.HIGHEST) with f32 accumulation
             P = (ids[None, :] == rows).astype(jnp.bfloat16)
             x = data_buf[slot]
-            hi = x.astype(jnp.bfloat16)
-            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc_ref[...] += (
-                jax.lax.dot(P, hi, preferred_element_type=jnp.float32)
-                + jax.lax.dot(P, lo, preferred_element_type=jnp.float32)
-            ).astype(acc_ref.dtype)
+            if x.dtype == jnp.bfloat16:
+                # bf16 inputs: one MXU pass with f32 accumulation is exact
+                acc_ref[...] += jax.lax.dot(P, x, preferred_element_type=jnp.float32)
+            else:
+                hi = x.astype(jnp.bfloat16)
+                lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc_ref[...] += (
+                    jax.lax.dot(P, hi, preferred_element_type=jnp.float32)
+                    + jax.lax.dot(P, lo, preferred_element_type=jnp.float32)
+                ).astype(acc_ref.dtype)
 
             @pl.when(k + DEPTH < n_chunks)
             def _():
@@ -169,11 +173,14 @@ def _dispatch(data, ids, num_segments):
 
 
 def _fwd(data, ids, num_segments):
-    return _dispatch(data, ids, num_segments), ids
+    # zero-size residual carries the primal dtype (a dtype object itself is
+    # not a valid JAX residual type)
+    return _dispatch(data, ids, num_segments), (ids, jnp.zeros((0,), data.dtype))
 
 
-def _bwd(num_segments, ids, g):
-    return g[ids], None
+def _bwd(num_segments, res, g):
+    ids, proto = res
+    return g[ids].astype(proto.dtype), None
 
 
 sorted_segment_sum.defvjp(_fwd, _bwd)

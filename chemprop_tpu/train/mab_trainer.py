@@ -165,6 +165,12 @@ class MABTrainer(Trainer):
                 primary = (
                     np.arange(bmg.E.shape[0]) < np.asarray(bmg.rev)
                 ) & np.asarray(bmg.edge_mask)
-                bond_chunks.append(np.asarray(bond_p)[primary])
+                sel = np.asarray(bond_p)[primary]
+                if batch.edge_origin is not None:
+                    # restore canonical bond order (edges were sorted by dst
+                    # at collate; origin//2 is the pre-sort bond id)
+                    bond_ids = np.asarray(batch.edge_origin)[primary] // 2
+                    sel = sel[np.argsort(bond_ids, kind="stable")]
+                bond_chunks.append(sel)
         cat = lambda cs: np.concatenate(cs, 0) if cs else None
         return cat(mol_chunks), cat(atom_chunks), cat(bond_chunks)

@@ -154,6 +154,57 @@ class TestHpopt:
         assert (out / "best_config.json").exists()
 
 
+class TestMolAtomBondCLI:
+    def test_train_predict_mab(self, monkeypatch, data_dir, tmp_path):
+        out = tmp_path / "mab"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(data_dir / "mol_atom_bond" / "regression.csv"),
+                "--target-columns", "mol_y1", "mol_y2",
+                "--atom-target-columns", "atom_y1", "atom_y2",
+                "--bond-target-columns", "bond_y1", "bond_y2",
+                "--weight-column", "weight", "--keep-h",
+                "--epochs", "2", "--batch-size", "8", "-o", str(out),
+            ],
+        )
+        scores = json.load(open(next(out.rglob("test_scores.json"))))
+        assert {"mol_rmse", "atom_rmse", "bond_rmse"} <= set(scores[-1])
+
+        preds = tmp_path / "mab_preds.csv"
+        run_cli(
+            monkeypatch,
+            [
+                "predict", "-i", str(data_dir / "mol_atom_bond" / "regression.csv"),
+                "--model-paths", str(out), "--keep-h", "-o", str(preds),
+            ],
+        )
+        import ast
+
+        rows = list(csv.DictReader(open(preds)))
+        assert len(rows) == 11
+        # H2 has 2 atoms and 1 bond: list lengths must match the molecule
+        r0 = rows[0]
+        assert len(ast.literal_eval(r0["atom_y1"])) == 2
+        assert len(ast.literal_eval(r0["bond_y1"])) == 1
+
+    def test_train_mab_constrained(self, monkeypatch, data_dir, tmp_path):
+        out = tmp_path / "mab_con"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(data_dir / "mol_atom_bond" / "constrained_regression.csv"),
+                "--target-columns", "mol_y",
+                "--atom-target-columns", "atom_y1", "atom_y2",
+                "--bond-target-columns", "bond_y1", "bond_y2",
+                "--constraints-path",
+                str(data_dir / "mol_atom_bond" / "constrained_regression_constraints.csv"),
+                "--keep-h", "--epochs", "2", "--batch-size", "8", "-o", str(out),
+            ],
+        )
+        assert any(out.rglob("best.ckpt"))
+
+
 def _reference_forward_torch(ckpt_path, mgs):
     """The reference model's math in eager torch from the checkpoint weights:
     BondMessagePassing(depth 3) + mean agg + eval-mode batchnorm + FFN +
