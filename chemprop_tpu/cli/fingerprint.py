@@ -32,6 +32,13 @@ def main(args) -> int:
     import jax
 
     model_paths = find_models(args.model_paths)
+
+    from chemprop_tpu.models.mol_atom_bond import MolAtomBondMPNN
+
+    first_model, first_vars, _ = load_model(model_paths[0])
+    if isinstance(first_model, MolAtomBondMPNN):
+        return _main_MAB(args, model_paths)
+
     loader, dset, _ = _build_loader(args, args.data_path)
 
     for k, path in enumerate(model_paths):
@@ -58,6 +65,67 @@ def main(args) -> int:
             df.insert(0, "name", dset.names)
             df.to_csv(out, index=False)
         print(f"wrote {out} {fps.shape}")
+    return 0
+
+
+def _main_MAB(args, model_paths) -> int:
+    """MAB fingerprints: one file per kind (mol/atom/bond), matching the
+    reference's MAB fingerprint output (``cli/fingerprint.py:185-223``)."""
+    import jax
+    import pandas as pd
+
+    from chemprop_tpu.cli.mab import _point  # noqa: F401 (naming parity)
+    from chemprop_tpu.data import DataLoader, MolAtomBondDatapoint
+    from chemprop_tpu.data.datasets import MolAtomBondDataset
+
+    df = pd.read_csv(args.data_path)
+    smiles_col = (args.smiles_columns or [df.columns[0]])[0]
+    dps = [
+        MolAtomBondDatapoint.from_smi(
+            s, keep_h=args.keep_h, add_h=args.add_h, ignore_stereo=args.ignore_stereo
+        )
+        for s in df[smiles_col]
+    ]
+    dset = MolAtomBondDataset(dps)
+    loader = DataLoader(dset, batch_size=args.batch_size)
+
+    for k, path in enumerate(model_paths):
+        model, variables, _ = load_model(path)
+        apply = jax.jit(
+            lambda v, b: model.apply(
+                v, b.bmg, b.V_d, b.E_d, b.X_d, is_training=False, method="fingerprint"
+            )
+        )
+        mol_chunks, atom_chunks, bond_chunks = [], [], []
+        for batch in loader:
+            H_g, H_v, H_e = apply(variables, batch)
+            bmg = batch.bmg
+            if H_g is not None:
+                counts = np.zeros(bmg.n_graphs + 1)
+                np.add.at(counts, np.asarray(bmg.batch), 1)
+                mol_chunks.append(np.asarray(H_g)[counts[: bmg.n_graphs] > 0])
+            if H_v is not None:
+                atom_chunks.append(np.asarray(H_v)[np.asarray(bmg.node_mask)])
+            if H_e is not None:
+                primary = (
+                    np.arange(bmg.E.shape[0]) < np.asarray(bmg.rev)
+                ) & np.asarray(bmg.edge_mask)
+                sel = np.asarray(H_e)[primary]
+                if batch.edge_origin is not None:
+                    bond_ids = np.asarray(batch.edge_origin)[primary] // 2
+                    sel = sel[np.argsort(bond_ids, kind="stable")]
+                bond_chunks.append(sel)
+
+        base = args.output or args.data_path.with_name(args.data_path.stem + "_fingerprint.npz")
+        if len(model_paths) > 1:
+            base = base.with_name(f"{base.stem}_model_{k}{base.suffix}")
+        base.parent.mkdir(parents=True, exist_ok=True)
+        arrays = {}
+        for kind, chunks in (("mol", mol_chunks), ("atom", atom_chunks), ("bond", bond_chunks)):
+            if chunks:
+                arrays[kind] = np.concatenate(chunks, 0)
+        np.savez(base.with_suffix(".npz"), **arrays)
+        print(f"wrote {base.with_suffix('.npz')} " + str({k: v.shape for k, v in arrays.items()}))
     return 0
 
 
