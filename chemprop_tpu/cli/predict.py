@@ -158,7 +158,10 @@ def main(args) -> int:
                 df[f"{c}_unc"] = [",".join(f"{u:g}" for u in row) for row in uncs[:, j]]
             else:
                 df[f"{c}_unc"] = uncs[:, j]
-    df.to_csv(out, index=False)
+    if out.suffix == ".pkl":
+        df.reset_index(drop=True).to_pickle(out)
+    else:
+        df.to_csv(out, index=False)
     logger.info(f"wrote predictions for {len(df)} rows to {out}")
     print(f"wrote {out}")
 
