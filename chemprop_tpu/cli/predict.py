@@ -132,6 +132,23 @@ def main(args) -> int:
         )
         uncs = calibrator.apply(uncs)
 
+    if args.evaluation_methods and uncs is not None:
+        # uncertainty evaluation against the input CSV's own targets
+        # (cf. reference ``cli/predict.py:464-479``)
+        from chemprop_tpu.uncertainty import UncertaintyEvaluatorRegistry
+
+        _, _, eval_Y = _build_loader(args, args.data_path, with_targets=True)
+        eval_mask = np.isfinite(eval_Y)
+        evaluations = {}
+        for name in args.evaluation_methods:
+            evaluator = UncertaintyEvaluatorRegistry[name]()
+            vals = evaluator.evaluate(
+                _point(mean_preds), uncs, np.nan_to_num(eval_Y).astype(np.float32), eval_mask
+            )
+            evaluations[name] = np.asarray(vals).tolist()
+            logger.info(f"uncertainty evaluation {name}: {evaluations[name]}")
+        print(json.dumps({"uncertainty_evaluations": evaluations}))
+
     out = args.output or args.data_path.with_name(args.data_path.stem + "_preds.csv")
     out.parent.mkdir(parents=True, exist_ok=True)
     df = pd.DataFrame({"name": dset.names})
