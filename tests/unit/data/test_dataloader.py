@@ -1,0 +1,84 @@
+"""DataLoader/bucketing tests (cf. reference ``tests/unit/data/test_dataloader``
+plus what the reference cannot test: static-shape bucketing policy)."""
+
+import numpy as np
+import pytest
+
+from chemprop_tpu.data import DataLoader, MoleculeDatapoint, MoleculeDataset
+from chemprop_tpu.data.collate import PadSpec, pad_to_bucket
+
+SMIS = ["CCO", "c1ccccc1", "CC(=O)Nc1ccc(O)cc1", "CNC(C)Cc1ccccc1", "C1CCNCC1", "CCN"]
+
+
+@pytest.fixture()
+def dataset():
+    dps = [MoleculeDatapoint.from_smi(s, y=np.array([float(i)])) for i, s in enumerate(SMIS)]
+    return MoleculeDataset(dps)
+
+
+class TestPadToBucket:
+    def test_min_bucket(self):
+        assert pad_to_bucket(1) == 128
+        assert pad_to_bucket(128) == 128
+
+    def test_multiples_up_to_4x(self):
+        assert pad_to_bucket(129) == 256
+        assert pad_to_bucket(300) == 384
+        assert pad_to_bucket(512) == 512
+
+    def test_geometric_above(self):
+        b1 = pad_to_bucket(1000)
+        assert b1 >= 1000 and b1 % 128 == 0
+        # padding waste stays bounded (< ~30%)
+        for n in [700, 1500, 5000, 20000, 100000]:
+            b = pad_to_bucket(n)
+            assert b >= n and (b - n) / n < 0.30
+
+    def test_monotonic(self):
+        prev = 0
+        for n in range(1, 3000, 17):
+            b = pad_to_bucket(n)
+            assert b >= prev - 1e-9
+            prev = b
+
+    def test_few_distinct_shapes(self):
+        buckets = {pad_to_bucket(n) for n in range(1, 10000)}
+        assert len(buckets) < 20  # bounded number of compiled programs
+
+
+class TestDataLoader:
+    def test_batch_count(self, dataset):
+        assert len(DataLoader(dataset, batch_size=4, prefetch=0)) == 2
+        assert len(DataLoader(dataset, batch_size=4, drop_last=True, prefetch=0)) == 1
+
+    def test_padding_masks(self, dataset):
+        loader = DataLoader(dataset, batch_size=4, prefetch=0)
+        batches = list(loader)
+        assert len(batches) == 2
+        # last batch has 2 real samples of 4
+        assert batches[1].pad_mask.sum() == 2
+        # padding rows get NaN targets and zero weight
+        assert np.isnan(np.asarray(batches[1].Y)[2:]).all()
+        assert (np.asarray(batches[1].w)[2:] == 0).all()
+
+    def test_constant_shapes_with_pad_spec(self, dataset):
+        pad = PadSpec(128, 128, 4)
+        loader = DataLoader(dataset, batch_size=4, pad_spec=pad, prefetch=0)
+        shapes = {(b.bmg.V.shape, b.bmg.E.shape) for b in loader}
+        assert len(shapes) == 1
+
+    def test_prefetch_equivalence(self, dataset):
+        pad = PadSpec(128, 128, 4)
+        a = list(DataLoader(dataset, batch_size=4, pad_spec=pad, prefetch=0))
+        b = list(DataLoader(dataset, batch_size=4, pad_spec=pad, prefetch=2))
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x.bmg.V), np.asarray(y.bmg.V))
+            np.testing.assert_array_equal(np.asarray(x.Y), np.asarray(y.Y))
+
+    def test_seeded_shuffle_reproducible(self, dataset):
+        mk = lambda: [
+            np.asarray(b.Y)[b.pad_mask].ravel().tolist()
+            for b in DataLoader(dataset, batch_size=3, shuffle=True, seed=5, prefetch=0)
+        ]
+        assert mk() == mk()
