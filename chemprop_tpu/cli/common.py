@@ -23,6 +23,7 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     )
     group.add_argument(
         "--rxn-mode",
+        "--reaction-mode",
         default="reac_diff",
         choices=[
             "reac_prod",
@@ -37,20 +38,61 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     group.add_argument("--add-h", action="store_true")
     group.add_argument("--ignore-stereo", action="store_true")
     group.add_argument(
+        "--reorder-atoms",
+        action="store_true",
+        help="reorder atoms by atom map numbers (cf. reference common.py:95)",
+    )
+    group.add_argument(
         "--molecule-featurizers",
+        "--features-generators",
         nargs="+",
-        choices=["morgan_binary", "morgan_count", "charge"],
+        choices=sorted(_molecule_featurizer_keys()),
         help="extra global descriptor featurizers",
     )
     group.add_argument("--descriptors-path", type=Path, help=".npz of extra descriptors X_d")
+    group.add_argument(
+        "--descriptors-columns",
+        nargs="+",
+        help="input-CSV column names holding extra datapoint descriptors (e.g. temperature)",
+    )
     group.add_argument("--atom-features-path", type=Path, help=".npz extra atom features V_f")
     group.add_argument("--bond-features-path", type=Path, help=".npz extra bond features E_f")
     group.add_argument(
         "--atom-descriptors-path", type=Path, help=".npz extra atom descriptors V_d"
     )
+    group.add_argument(
+        "--bond-descriptors-path",
+        type=Path,
+        help=".npz extra bond descriptors E_d (mol/atom/bond models only)",
+    )
+    group.add_argument("--no-descriptor-scaling", action="store_true")
+    group.add_argument("--no-atom-feature-scaling", action="store_true")
+    group.add_argument("--no-atom-descriptor-scaling", action="store_true")
+    group.add_argument("--no-bond-feature-scaling", action="store_true")
+    group.add_argument("--no-bond-descriptor-scaling", action="store_true")
+    group.add_argument(
+        "--use-cuikmolmaker-featurization",
+        action="store_true",
+        help="use the native C++ batch featurizer (csrc/featurizer.cpp) for "
+        "accelerated atom/bond featurization (cuik-molmaker equivalent)",
+    )
     group.add_argument("-n", "--num-workers", type=int, default=0)
     group.add_argument("-b", "--batch-size", type=int, default=64)
+    group.add_argument(
+        "--accelerator", default="auto", help="JAX platform to use: auto|tpu|cpu"
+    )
+    group.add_argument(
+        "--devices",
+        default="auto",
+        help="number of devices for data-parallel training ('auto' = all local)",
+    )
     return parser
+
+
+def _molecule_featurizer_keys() -> list[str]:
+    from chemprop_tpu.featurizers.molecule import MoleculeFeaturizerRegistry
+
+    return list(MoleculeFeaturizerRegistry.keys())
 
 
 def find_models(model_paths: list[Path]) -> list[Path]:

@@ -50,14 +50,28 @@ def build_MAB_datapoints(args) -> tuple[list[MolAtomBondDatapoint], list[str], l
     atom_con_df = bond_con_df = None
     if args.constraints_path is not None:
         con_df = pd.read_csv(args.constraints_path)
-        atom_con_df = {
-            c: con_df[f"{c}_constraint"] if f"{c}_constraint" in con_df else None
-            for c in atom_cols
-        }
-        bond_con_df = {
-            c: con_df[f"{c}_constraint"] if f"{c}_constraint" in con_df else None
-            for c in bond_cols
-        }
+        c2t = getattr(args, "constraints_to_targets", None)
+        if c2t:
+            # k-th constraints-CSV column constrains the k-th named target
+            # (reference --constraints-to-targets, common.py:173-177)
+            col_for = {t: con_df.iloc[:, k] for k, t in enumerate(c2t)}
+        else:
+            col_for = {
+                c[: -len("_constraint")]: con_df[c]
+                for c in con_df.columns
+                if c.endswith("_constraint")
+            }
+        atom_con_df = {c: col_for.get(c) for c in atom_cols}
+        bond_con_df = {c: col_for.get(c) for c in bond_cols}
+
+    from chemprop_tpu.cli.parsing import load_input_feats
+
+    n = len(df)
+    X_d = load_input_feats(getattr(args, "descriptors_path", None), n)
+    V_fs = load_input_feats(getattr(args, "atom_features_path", None), n)
+    E_fs = load_input_feats(getattr(args, "bond_features_path", None), n)
+    V_ds = load_input_feats(getattr(args, "atom_descriptors_path", None), n)
+    E_ds = load_input_feats(getattr(args, "bond_descriptors_path", None), n)
 
     dps = []
     for i, row in df.iterrows():
@@ -84,7 +98,9 @@ def build_MAB_datapoints(args) -> tuple[list[MolAtomBondDatapoint], list[str], l
             )
 
         # atom-mapped SMILES give targets in map order: reorder atoms to match
-        reorder = ":" in smi and any(ch.isdigit() for ch in smi.split(":")[-1][:3])
+        reorder = getattr(args, "reorder_atoms", False) or (
+            ":" in smi and any(ch.isdigit() for ch in smi.split(":")[-1][:3])
+        )
         weight = float(row[args.weight_column]) if args.weight_column else 1.0
         dps.append(
             MolAtomBondDatapoint.from_smi(
@@ -99,18 +115,61 @@ def build_MAB_datapoints(args) -> tuple[list[MolAtomBondDatapoint], list[str], l
                 atom_constraints=atom_c,
                 bond_constraints=bond_c,
                 weight=weight,
+                x_d=X_d[i] if X_d is not None else None,
+                V_f=V_fs[i] if V_fs is not None else None,
+                E_f=E_fs[i] if E_fs is not None else None,
+                V_d=V_ds[i] if V_ds is not None else None,
+                E_d=E_ds[i] if E_ds is not None else None,
             )
         )
     return dps, mol_cols, atom_cols, bond_cols
 
 
-def build_MAB_model(args, train_dset, output_transforms):
+def normalize_MAB_inputs(train_dset, val_dset, args):
+    """Fit input scalers on train, apply to train+val; returns
+    (X_d_t, V_d_t, E_d_t, graph_t) eval-time transforms."""
+    from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
+
+    transforms = {}
+    specs = [
+        ("X_d", "d_xd", "no_descriptor_scaling"),
+        ("V_d", "d_vd", "no_atom_descriptor_scaling"),
+        ("E_d", "d_ed", "no_bond_descriptor_scaling"),
+        ("V_f", "d_vf", "no_atom_feature_scaling"),
+        ("E_f", "d_ef", "no_bond_feature_scaling"),
+    ]
+    for key, dim_attr, toggle in specs:
+        if getattr(train_dset, dim_attr, 0) <= 0 or getattr(args, toggle, False):
+            continue
+        scaler = train_dset.normalize_inputs(key)
+        if scaler is None:
+            continue
+        if val_dset is not None:
+            val_dset.normalize_inputs(key, scaler)
+        if key == "V_f":
+            pad = train_dset.featurizer.atom_fdim - train_dset.d_vf
+        elif key == "E_f":
+            pad = train_dset.featurizer.bond_fdim - train_dset.d_ef
+        else:
+            pad = 0
+        transforms[key] = ScaleTransform.from_standard_scaler(scaler, pad=pad)
+    graph_t = None
+    if "V_f" in transforms or "E_f" in transforms:
+        graph_t = GraphTransform(transforms.get("V_f"), transforms.get("E_f"))
+    return transforms.get("X_d"), transforms.get("V_d"), transforms.get("E_d"), graph_t
+
+
+def build_MAB_model(args, train_dset, output_transforms, input_transforms=(None,) * 4):
     mol_t, atom_t, bond_t = output_transforms
+    X_d_t, V_d_t, E_d_t, graph_t = input_transforms
     mp_cls = MABAtomMessagePassing if args.atom_messages else MABBondMessagePassing
     d_h = args.message_hidden_dim
     n_mol = len(args.target_columns or [])
     n_atom = len(args.atom_target_columns or [])
     n_bond = len(args.bond_target_columns or [])
+    data = train_dset.data
+    d_vd = data[0].V_d.shape[1] if data and data[0].V_d is not None else None
+    d_ed = data[0].E_d.shape[1] if data and data[0].E_d is not None else None
     message_passing = mp_cls(
         d_h=d_h,
         bias=args.message_bias,
@@ -118,54 +177,72 @@ def build_MAB_model(args, train_dset, output_transforms):
         dropout=args.dropout,
         activation=args.activation,
         undirected=args.undirected,
+        d_vd=d_vd,
+        d_ed=d_ed,
+        V_d_transform=V_d_t,
+        E_d_transform=E_d_t,
+        graph_transform=graph_t,
         return_vertex_embeddings=bool(n_mol or n_atom),
         return_edge_embeddings=bool(n_bond),
     )
+    vertex_dim = d_h + (d_vd or 0)
+    edge_dim = d_h + (d_ed or 0)
+    d_xd = data[0].x_d.shape[0] if data and data[0].x_d is not None else 0
     agg = (
         Factory.build(
-            AggregationRegistry[args.aggregation], norm=args.aggregation_norm, output_size=d_h
+            AggregationRegistry[args.aggregation],
+            norm=args.aggregation_norm,
+            output_size=vertex_dim,
         )
         if n_mol
         else None
     )
 
-    def head(n_tasks, input_dim, transform):
+    def head(kind, n_tasks, input_dim, transform):
+        """Per-head FFN config: --atom-ffn-*/--bond-ffn-* override the shared
+        --ffn-* values (reference cli/train.py:327-371)."""
         if not n_tasks:
             return None
+        hidden = getattr(args, f"{kind}_ffn_hidden_dim", None)
+        n_layers = getattr(args, f"{kind}_ffn_num_layers", None)
+        weights = getattr(args, f"{kind}_task_weights", None)
+        n_classes = getattr(args, f"{kind}_multiclass_num_classes", None)
         return Factory.build(
             PredictorRegistry[args.task_type],
             input_dim=input_dim,
             n_tasks=n_tasks,
-            hidden_dim=args.ffn_hidden_dim,
-            n_layers=args.ffn_num_layers,
+            hidden_dim=hidden if hidden is not None else args.ffn_hidden_dim,
+            n_layers=n_layers if n_layers is not None else args.ffn_num_layers,
             dropout=args.dropout,
             activation=args.activation,
-            task_weights=args.task_weights,
+            task_weights=weights if weights is not None else args.task_weights,
             threshold=args.threshold,
-            n_classes=args.multiclass_num_classes,
+            n_classes=n_classes if n_classes is not None else args.multiclass_num_classes,
             output_transform=transform,
         )
 
-    data = train_dset.data
+    def constrainer(kind, n_constraints, fp_dim):
+        hidden = getattr(args, f"{kind}_constrainer_ffn_hidden_dim", None)
+        n_layers = getattr(args, f"{kind}_constrainer_ffn_num_layers", None)
+        return ConstrainerFFN(
+            n_constraints=n_constraints,
+            fp_dim=fp_dim,
+            hidden_dim=hidden if hidden is not None else args.ffn_hidden_dim,
+            n_layers=n_layers if n_layers is not None else 1,
+        )
+
     has_atom_c = any(d.atom_constraints is not None for d in data)
     has_bond_c = any(d.bond_constraints is not None for d in data)
     return MolAtomBondMPNN(
         message_passing=message_passing,
         agg=agg,
-        mol_predictor=head(n_mol, d_h, mol_t),
-        atom_predictor=head(n_atom, d_h, atom_t),
-        bond_predictor=head(n_bond, 2 * d_h, bond_t),
-        atom_constrainer=(
-            ConstrainerFFN(n_constraints=n_atom, fp_dim=d_h, hidden_dim=args.ffn_hidden_dim)
-            if has_atom_c
-            else None
-        ),
-        bond_constrainer=(
-            ConstrainerFFN(n_constraints=n_bond, fp_dim=2 * d_h, hidden_dim=args.ffn_hidden_dim)
-            if has_bond_c
-            else None
-        ),
+        mol_predictor=head("mol", n_mol, vertex_dim + d_xd, mol_t),
+        atom_predictor=head("atom", n_atom, vertex_dim, atom_t),
+        bond_predictor=head("bond", n_bond, 2 * edge_dim, bond_t),
+        atom_constrainer=constrainer("atom", n_atom, vertex_dim) if has_atom_c else None,
+        bond_constrainer=constrainer("bond", n_bond, 2 * edge_dim) if has_bond_c else None,
         batch_norm=args.batch_norm,
+        X_d_transform=X_d_t,
     )
 
 
@@ -191,6 +268,8 @@ def main_MAB(args) -> int:
         train_dset = MolAtomBondDataset([dps[i] for i in tr_i])
         val_dset = MolAtomBondDataset([dps[i] for i in va_i]) if len(va_i) else None
         test_dset = MolAtomBondDataset([dps[i] for i in te_i]) if len(te_i) else None
+
+        input_transforms = normalize_MAB_inputs(train_dset, val_dset, args)
 
         transforms = [None, None, None]
         if args.task_type.startswith("regression"):
@@ -220,7 +299,7 @@ def main_MAB(args) -> int:
         for member in range(args.ensemble_size):
             model_dir = rep_dir / (f"model_{member}" if args.ensemble_size > 1 else ".")
             model_dir.mkdir(parents=True, exist_ok=True)
-            model = build_MAB_model(args, train_dset, transforms)
+            model = build_MAB_model(args, train_dset, transforms, input_transforms)
             trainer = MABTrainer(
                 model,
                 max_epochs=args.epochs,

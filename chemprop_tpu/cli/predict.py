@@ -60,11 +60,13 @@ def add_predict_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
 
 
 def _build_loader(args, path, with_targets: bool = False):
+    descriptors_cols = list(getattr(args, "descriptors_columns", None) or [])
     smis, rxns, Y, weights, lt, gt, _, input_cols, target_cols = parse_csv(
         path,
         args.smiles_columns,
         args.reaction_columns,
         target_cols=None if with_targets else [],
+        ignore_cols=descriptors_cols if with_targets else None,
         no_header_row=args.no_header_row,
     )
     mol_featurizers = [
@@ -72,13 +74,25 @@ def _build_loader(args, path, with_targets: bool = False):
     ]
     n = len(next(iter(smis.values()), next(iter(rxns.values()), [])))
     X_d = load_input_feats(args.descriptors_path, n)
+    if descriptors_cols:
+        import pandas as pd
+
+        df = pd.read_csv(path, header=None if args.no_header_row else 0)
+        col_X = df[descriptors_cols].to_numpy(dtype=np.float64)
+        X_d = (
+            list(col_X)
+            if X_d is None
+            else [np.concatenate([a, b]) for a, b in zip(X_d, col_X)]
+        )
+    V_fs = load_input_feats(getattr(args, "atom_features_path", None), n)
+    E_fs = load_input_feats(getattr(args, "bond_features_path", None), n)
     V_ds = load_input_feats(args.atom_descriptors_path, n)
     components = make_datapoints(
         smis, rxns,
         Y if Y.size else np.full((n, 1), np.nan),
         weights, lt, gt,
         keep_h=args.keep_h, add_h=args.add_h, ignore_stereo=args.ignore_stereo,
-        molecule_featurizers=mol_featurizers, X_d=X_d, V_ds=V_ds,
+        molecule_featurizers=mol_featurizers, X_d=X_d, V_fs=V_fs, E_fs=E_fs, V_ds=V_ds,
     )
     dset = build_datasets(
         components,

@@ -56,9 +56,26 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("-l", "--loss-function", choices=sorted(LossFunctionRegistry.keys()))
     g.add_argument("--metrics", "--metric", nargs="+", choices=sorted(MetricRegistry.keys()))
     g.add_argument("--task-weights", nargs="+", type=float)
-    g.add_argument("--v-kl", type=float, default=0.2)
+    g.add_argument(
+        "--v-kl",
+        "--evidential-regularization",
+        type=float,
+        default=0.0,
+        help="evidential-loss regularization weight (reference default 0.0)",
+    )
+    g.add_argument("--eps", type=float, default=1e-8, help="evidential regularization epsilon")
+    g.add_argument(
+        "--alpha", type=float, default=0.1, help="target error bounds for quantile interval loss"
+    )
     g.add_argument("--threshold", type=float)
     g.add_argument("--multiclass-num-classes", type=int, default=3)
+    g.add_argument(
+        "--tracking-metric",
+        default="val_loss",
+        help="metric tracked for early stopping/checkpointing ('val_loss' or any "
+        "metric name; MAB runs may suffix '-mol'/'-atom'/'-bond')",
+    )
+    g.add_argument("--show-individual-scores", action="store_true")
 
     # message passing
     g.add_argument("--message-hidden-dim", type=int, default=300)
@@ -73,8 +90,9 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--batch-norm", action="store_true")
     g.add_argument("--mpn-shared", action="store_true")
 
-    # FFN
-    g.add_argument("--ffn-hidden-dim", type=int, default=300)
+    # FFN (--ffn-hidden-dim accepts per-layer widths like the reference's
+    # _process_ffn_hidden_dims, cli/train.py:599-607)
+    g.add_argument("--ffn-hidden-dim", type=int, nargs="+", default=300)
     g.add_argument("--ffn-num-layers", type=int, default=1)
 
     # training
@@ -85,9 +103,20 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--final-lr", type=float, default=1e-4)
     g.add_argument("--grad-clip", type=float)
     g.add_argument("--patience", type=int, default=None)
+    g.add_argument(
+        "--min-delta",
+        type=float,
+        default=0.0,
+        help="minimum tracked-metric change that counts as improvement",
+    )
     g.add_argument("--class-balance", action="store_true")
     g.add_argument("--seed", "--pytorch-seed", type=int, default=0)
     g.add_argument("--data-seed", type=int, default=0)
+    g.add_argument(
+        "--remove-checkpoints",
+        action="store_true",
+        help="delete the per-epoch checkpoints/ dir after training",
+    )
 
     # splits
     g.add_argument(
@@ -97,9 +126,22 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         choices=["random", "scaffold_balanced", "random_with_repeated_smiles", "kennard_stone", "kmeans"],
     )
     g.add_argument("--split-sizes", nargs=3, type=float, default=[0.8, 0.1, 0.1])
+    g.add_argument(
+        "--split-key-molecule",
+        type=int,
+        default=0,
+        help="index of the component used for constrained splits (scaffold etc.)",
+    )
     g.add_argument("--splits-column")
     g.add_argument("--splits-file", type=Path)
     g.add_argument("--num-replicates", type=int, default=1)
+    g.add_argument(
+        "-k",
+        "--num-folds",
+        help="[removed in v2.1.0 of the reference — use --num-replicates]",
+    )
+    g.add_argument("--save-smiles-splits", action="store_true")
+    g.add_argument("--save-data-splits", action="store_true")
     g.add_argument("--ensemble-size", type=int, default=1)
 
     g.add_argument("--no-batch-norm", action="store_true", help=argparse.SUPPRESS)
@@ -108,20 +150,93 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     # transfer learning / resume (reference --checkpoint/--freeze-encoder/
     # --frzn-ffn-layers, cli/train.py:1826-1833; resume is new here)
     g.add_argument("--checkpoint", type=Path, help="warm-start weights from a checkpoint")
+    g.add_argument(
+        "--model-frzn",
+        type=Path,
+        help="[deprecated in the reference; = --checkpoint + --freeze-encoder]",
+    )
+    g.add_argument(
+        "--from-foundation",
+        help="warm-start the encoder from a foundation model: a local path to a "
+        "CheMeleon-style .pt/.ckpt (downloading is unavailable in this build)",
+    )
     g.add_argument("--freeze-encoder", action="store_true")
     g.add_argument("--frzn-ffn-layers", type=int, default=0)
     g.add_argument("--resume", type=Path, help="resume a run from a last.ckpt")
 
     # mol+atom+bond multi-head targets (reference --atom/bond-target-columns,
     # cli/train.py:420-430 + cli/utils/MAB_parsing.py)
+    g.add_argument(
+        "--mol-target-columns",
+        nargs="+",
+        help="molecule-level target columns when atom/bond targets are also given "
+        "(alias of --target-columns in MAB runs)",
+    )
     g.add_argument("--atom-target-columns", nargs="+")
     g.add_argument("--bond-target-columns", nargs="+")
     g.add_argument(
         "--constraints-path",
         type=Path,
-        help="CSV of per-molecule sum constraints; columns '<target>_constraint'",
+        help="CSV of per-molecule sum constraints; either columns named "
+        "'<target>_constraint' or raw columns mapped via --constraints-to-targets",
+    )
+    g.add_argument(
+        "--constraints-to-targets",
+        nargs="+",
+        help="atom/bond target column names corresponding to each constraints-CSV column",
+    )
+    # per-head FFN config (reference cli/train.py:327-400)
+    g.add_argument("--atom-task-weights", nargs="+", type=float)
+    g.add_argument("--bond-task-weights", nargs="+", type=float)
+    g.add_argument("--atom-ffn-hidden-dim", type=int, nargs="+", default=None)
+    g.add_argument("--atom-ffn-num-layers", type=int, default=None)
+    g.add_argument("--bond-ffn-hidden-dim", type=int, nargs="+", default=None)
+    g.add_argument("--bond-ffn-num-layers", type=int, default=None)
+    g.add_argument("--atom-multiclass-num-classes", type=int, default=3)
+    g.add_argument("--bond-multiclass-num-classes", type=int, default=3)
+    g.add_argument("--atom-constrainer-ffn-hidden-dim", type=int, nargs="+", default=None)
+    g.add_argument("--atom-constrainer-ffn-num-layers", type=int, default=None)
+    g.add_argument("--bond-constrainer-ffn-hidden-dim", type=int, nargs="+", default=None)
+    g.add_argument("--bond-constrainer-ffn-num-layers", type=int, default=None)
+    g.add_argument(
+        "--activation-args",
+        nargs="+",
+        type=float,
+        help="positional args for the activation (e.g. leakyrelu negative slope)",
     )
     return parser
+
+
+def process_train_args(args) -> None:
+    """Normalize parsed args in place (cf. reference process_train_args)."""
+    if getattr(args, "num_folds", None) is not None:
+        raise ValueError(
+            "the -k/--num-folds argument was removed in reference v2.1.0 — "
+            "use --num-replicates instead"
+        )
+    if getattr(args, "model_frzn", None) is not None:
+        if args.checkpoint is not None:
+            raise ValueError("--checkpoint and --model-frzn cannot be used together")
+        args.checkpoint = args.model_frzn
+        args.freeze_encoder = True
+    if getattr(args, "from_foundation", None) is not None and args.checkpoint is not None:
+        raise ValueError("--checkpoint and --from-foundation are mutually exclusive")
+    if args.frzn_ffn_layers and args.checkpoint is None and args.from_foundation is None:
+        raise ValueError(
+            "--frzn-ffn-layers requires --checkpoint (or --model-frzn/--from-foundation)"
+        )
+    if getattr(args, "mol_target_columns", None):
+        if args.target_columns:
+            raise ValueError("--mol-target-columns and --target-columns are aliases; give one")
+        args.target_columns = args.mol_target_columns
+    # per-layer FFN widths: a single value stays scalar, a list implies n_layers
+    for stem in ("ffn", "atom_ffn", "bond_ffn", "atom_constrainer_ffn", "bond_constrainer_ffn"):
+        dims = getattr(args, f"{stem}_hidden_dim", None)
+        if isinstance(dims, list):
+            if len(dims) == 1:
+                setattr(args, f"{stem}_hidden_dim", dims[0])
+            else:
+                setattr(args, f"{stem}_num_layers", len(dims))
 
 
 def build_model(args, train_dset, output_transform=None, X_d_transform=None, V_d_transform=None, graph_transform=None):
@@ -160,15 +275,23 @@ def build_model(args, train_dset, output_transform=None, X_d_transform=None, V_d
         output_size=mp_out_dim,
     )
 
-    criterion = None
-    if args.loss_function is not None:
-        criterion = Factory.build(
-            LossFunctionRegistry[args.loss_function],
-            task_weights=args.task_weights or 1.0,
-            v_kl=args.v_kl,
-            threshold=args.threshold,
-            n_classes=args.multiclass_num_classes,
-        )
+    # always build the criterion here so the loss hyperparameters
+    # (--v-kl/--eps/--alpha/...) reach the default loss too (reference
+    # cli/train.py:1560-1580)
+    loss_cls = (
+        LossFunctionRegistry[args.loss_function]
+        if args.loss_function is not None
+        else PredictorRegistry[args.task_type]._T_default_criterion
+    )
+    criterion = Factory.build(
+        loss_cls,
+        task_weights=args.task_weights or 1.0,
+        v_kl=args.v_kl,
+        eps=getattr(args, "eps", 1e-8),
+        alpha=getattr(args, "alpha", 0.1),
+        threshold=args.threshold,
+        n_classes=args.multiclass_num_classes,
+    )
     predictor = Factory.build(
         PredictorRegistry[args.task_type],
         input_dim=mp_out_dim + train_dset.d_xd,
@@ -204,7 +327,8 @@ def build_splits(args, components):
         vals = [s.get("val", []) for s in splits]
         tests = [s.get("test", []) for s in splits]
         return trains, vals, tests
-    mols = [dp.mol if hasattr(dp, "mol") else dp.rct for dp in components[0]]
+    key = min(getattr(args, "split_key_molecule", 0), len(components) - 1)
+    mols = [dp.mol if hasattr(dp, "mol") else dp.rct for dp in components[key]]
     return make_split_indices(
         mols, args.split, tuple(args.split_sizes), args.data_seed, args.num_replicates
     )
@@ -219,28 +343,28 @@ def normalize_inputs(train_dset, val_dset, args):
     multicomponent = isinstance(train_dset, MulticomponentDataset)
     d0 = train_dset.datasets[0] if multicomponent else train_dset
 
-    if d0.d_xd > 0:
+    if d0.d_xd > 0 and not getattr(args, "no_descriptor_scaling", False):
         scaler = train_dset.normalize_inputs("X_d")
         scaler = scaler[0] if isinstance(scaler, list) else scaler
         if scaler is not None:
             val_dset and val_dset.normalize_inputs("X_d", scaler)
             X_d_transform = ScaleTransform.from_standard_scaler(scaler)
     if not isinstance(d0, ReactionDataset):
-        if d0.d_vd > 0:
+        if d0.d_vd > 0 and not getattr(args, "no_atom_descriptor_scaling", False):
             scaler = train_dset.normalize_inputs("V_d")
             scaler = scaler[0] if isinstance(scaler, list) else scaler
             if scaler is not None:
                 val_dset and val_dset.normalize_inputs("V_d", scaler)
                 V_d_transform = ScaleTransform.from_standard_scaler(scaler)
         V_t = E_t = None
-        if d0.d_vf > 0:
+        if d0.d_vf > 0 and not getattr(args, "no_atom_feature_scaling", False):
             scaler = train_dset.normalize_inputs("V_f")
             scaler = scaler[0] if isinstance(scaler, list) else scaler
             if scaler is not None:
                 val_dset and val_dset.normalize_inputs("V_f", scaler)
                 pad = d0.featurizer.atom_fdim - d0.d_vf
                 V_t = ScaleTransform.from_standard_scaler(scaler, pad=pad)
-        if d0.d_ef > 0:
+        if d0.d_ef > 0 and not getattr(args, "no_bond_feature_scaling", False):
             scaler = train_dset.normalize_inputs("E_f")
             scaler = scaler[0] if isinstance(scaler, list) else scaler
             if scaler is not None:
@@ -253,6 +377,7 @@ def normalize_inputs(train_dset, val_dset, args):
 
 
 def main(args) -> int:
+    process_train_args(args)
     if getattr(args, "atom_target_columns", None) or getattr(args, "bond_target_columns", None):
         from chemprop_tpu.cli.mab import main_MAB
 
@@ -261,12 +386,16 @@ def main(args) -> int:
     out_dir = args.output_dir or Path(f"chemprop_tpu_training/{args.data_path.stem}")
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    mesh = _select_devices(args)
+
+    ignore_cols = list(args.ignore_columns or [])
+    descriptors_cols = list(getattr(args, "descriptors_columns", None) or [])
     smis, rxns, Y, weights, lt, gt, splits_col_values, input_cols, target_cols = parse_csv(
         args.data_path,
         args.smiles_columns,
         args.reaction_columns,
         args.target_columns,
-        args.ignore_columns,
+        ignore_cols + descriptors_cols,
         args.weight_column,
         bounded=args.loss_function is not None and "bounded" in args.loss_function,
         splits_col=args.splits_column,
@@ -277,6 +406,16 @@ def main(args) -> int:
     ]
     n = len(Y)
     X_d = load_input_feats(args.descriptors_path, n)
+    if descriptors_cols:
+        import pandas as pd
+
+        df = pd.read_csv(args.data_path, header=None if args.no_header_row else 0)
+        col_X = df[descriptors_cols].to_numpy(dtype=np.float64)
+        X_d = (
+            list(col_X)
+            if X_d is None
+            else [np.concatenate([a, b]) for a, b in zip(X_d, col_X)]
+        )
     V_fs = load_input_feats(args.atom_features_path, n)
     E_fs = load_input_feats(args.bond_features_path, n)
     V_ds = load_input_feats(args.atom_descriptors_path, n)
@@ -330,6 +469,13 @@ def main(args) -> int:
         val_dset = mk(val_data) if len(va_i) else None
         test_dset = mk(test_data) if len(te_i) else None
 
+        if args.save_smiles_splits or args.save_data_splits:
+            split_dir = out_dir / (f"replicate_{rep}" if len(trains) > 1 else ".")
+            split_dir.mkdir(parents=True, exist_ok=True)
+            _save_split_csvs(
+                split_dir, args, (tr_i, va_i, te_i), smis, rxns, Y, target_cols
+            )
+
         X_d_t, V_d_t, graph_t = normalize_inputs(train_dset, val_dset, args)
 
         output_transform = None
@@ -341,9 +487,20 @@ def main(args) -> int:
             logger.info(f"train target μ={scaler.mean_} σ={scaler.scale_}")
 
         if not args.no_cache:
-            train_dset.cache = True
-            if val_dset is not None:
-                val_dset.cache = True
+            for d in (train_dset, val_dset):
+                if d is None:
+                    continue
+                if getattr(args, "use_cuikmolmaker_featurization", False) and hasattr(
+                    d, "populate_cache_native"
+                ):
+                    if not d.populate_cache_native(keep_h=args.keep_h):
+                        logger.warning(
+                            "native featurizer unavailable/incompatible; "
+                            "falling back to Python featurization cache"
+                        )
+                        d.cache = True
+                else:
+                    d.cache = True
 
         train_loader = DataLoader(
             train_dset,
@@ -371,6 +528,17 @@ def main(args) -> int:
                     parts = path.split("/")
                     return len(parts) > 2 and parts[-2] in frzn_blocks and "ffn" in parts
 
+            monitor, mode, val_metrics = "val_loss", "min", {}
+            tracking = getattr(args, "tracking_metric", "val_loss")
+            if tracking and tracking != "val_loss":
+                tm = Factory.build(
+                    MetricRegistry[tracking],
+                    n_classes=args.multiclass_num_classes,
+                    assume_logits=False,
+                )
+                val_metrics[tracking] = tm
+                monitor = f"val_{tracking}"
+                mode = "max" if tm.higher_is_better else "min"
             trainer = Trainer(
                 model,
                 max_epochs=args.epochs,
@@ -380,11 +548,18 @@ def main(args) -> int:
                 final_lr=args.final_lr,
                 grad_clip=args.grad_clip,
                 patience=args.patience,
+                min_delta=getattr(args, "min_delta", 0.0),
+                monitor=monitor,
+                mode=mode,
+                val_metrics=val_metrics,
+                mesh=mesh,
                 checkpoint_dir=model_dir / "checkpoints",
                 seed=args.seed + member,
                 log_every=1,
                 freeze=freeze,
             )
+            if getattr(args, "from_foundation", None) is not None:
+                _warm_start_encoder(trainer, args, train_loader)
             if args.checkpoint is not None:
                 from chemprop_tpu.models.serialize import load_checkpoint
 
@@ -410,6 +585,10 @@ def main(args) -> int:
             )
             with open(model_dir / "history.json", "w") as f:
                 json.dump(trainer.history, f, indent=2)
+            if getattr(args, "remove_checkpoints", False):
+                import shutil
+
+                shutil.rmtree(model_dir / "checkpoints", ignore_errors=True)
 
             if test_dset is not None and len(test_dset):
                 test_loader = DataLoader(test_dset, batch_size=args.batch_size)
@@ -424,6 +603,87 @@ def main(args) -> int:
             json.dump(all_scores, f, indent=2)
         print(json.dumps(all_scores[-1]))
     return 0
+
+
+def _select_devices(args):
+    """--accelerator/--devices: pick the JAX platform and build a
+    data-parallel mesh when >1 device is requested (the reference forwards
+    these to the Lightning Trainer; here they pick the jax.sharding.Mesh)."""
+    accelerator = getattr(args, "accelerator", "auto")
+    if accelerator not in (None, "auto"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", accelerator.lower())
+        except Exception as e:
+            logger.warning(f"could not select platform {accelerator}: {e}")
+    devices = getattr(args, "devices", "auto")
+    if devices in (None, "auto", 1, "1"):
+        return None
+    import jax
+
+    from chemprop_tpu.parallel import make_mesh
+
+    n = int(devices)
+    avail = jax.devices()
+    if n > len(avail):
+        logger.warning(f"requested {n} devices, only {len(avail)} available")
+        n = len(avail)
+    return make_mesh(avail[:n]) if n > 1 else None
+
+
+def _save_split_csvs(split_dir, args, split_idxs, smis, rxns, Y, target_cols) -> None:
+    """Write {train,val,test}_smiles.csv (and *_full.csv with targets when
+    --save-data-splits; cf. reference cli/train.py:1100-1226 split saving)."""
+    import pandas as pd
+
+    input_cols = list(smis.keys()) + list(rxns.keys())
+    frame = {c: smis.get(c, rxns.get(c)) for c in input_cols}
+    for name, idxs in zip(("train", "val", "test"), split_idxs):
+        idxs = list(map(int, idxs))
+        if not idxs:
+            continue
+        if args.save_smiles_splits:
+            df = pd.DataFrame({c: [frame[c][i] for i in idxs] for c in input_cols})
+            df.to_csv(split_dir / f"{name}_smiles.csv", index=False)
+        if args.save_data_splits:
+            data = {c: [frame[c][i] for i in idxs] for c in input_cols}
+            for j, t in enumerate(target_cols):
+                data[t] = [Y[i, j] for i in idxs]
+            pd.DataFrame(data).to_csv(split_dir / f"{name}_full.csv", index=False)
+
+
+def _warm_start_encoder(trainer, args, train_loader) -> None:
+    """--from-foundation: graft a foundation model's message-passing weights
+    into a fresh model (reference CheMeleon flow, cli/train.py:1466-1498;
+    downloading is unavailable here, so the flag takes a local path)."""
+    from flax import serialization
+
+    path = Path(args.from_foundation)
+    if not path.exists():
+        raise FileNotFoundError(
+            f"--from-foundation expects a local checkpoint path in this build "
+            f"(no network access to fetch named foundation models); got {path}"
+        )
+    if path.suffix == ".pt":
+        from chemprop_tpu.models.torch_convert import convert_model
+
+        _, fvars, _ = convert_model(path)
+    else:
+        from chemprop_tpu.models.serialize import load_checkpoint
+
+        _, fvars, _ = load_checkpoint(path)
+    fparams = fvars["params"]
+    if "message_passing" not in fparams:
+        raise ValueError(f"{path} has no message_passing params to warm-start from")
+    first = next(iter(train_loader))
+    trainer.state = trainer.init_state(first, len(train_loader))
+    mp = serialization.from_state_dict(
+        trainer.state.params["message_passing"], fparams["message_passing"]
+    )
+    params = dict(trainer.state.params)
+    params["message_passing"] = mp
+    trainer.state = trainer.state.replace(params=type(trainer.state.params)(params))
 
 
 def _score_test(preds, test_dset, args, target_cols) -> dict:
@@ -445,6 +705,21 @@ def _score_test(preds, test_dset, args, target_cols) -> dict:
         preds_for_metric = preds
     metric_names = args.metrics or _default_metrics(args.task_type)
     scores = {}
+
+    def _one(metric, p, y, m) -> float:
+        if metric.needs_collection:
+            return float(metric.compute_from_arrays(np.asarray(p), y, m))
+        state = metric.update_state(
+            metric.init_state(),
+            jnp.asarray(p),
+            jnp.nan_to_num(jnp.asarray(y)),
+            jnp.asarray(m),
+            jnp.ones(len(y)),
+            None,
+            None,
+        )
+        return float(metric.compute(state))
+
     for name in metric_names:
         metric = Factory.build(
             MetricRegistry[name],
@@ -453,25 +728,17 @@ def _score_test(preds, test_dset, args, target_cols) -> dict:
             assume_logits=False,
         )
         try:
-            if metric.needs_collection:
-                scores[name] = float(
-                    metric.compute_from_arrays(np.asarray(preds_for_metric), Y, mask)
-                )
-            else:
-                p = preds_for_metric
-                state = metric.update_state(
-                    metric.init_state(),
-                    jnp.asarray(p),
-                    jnp.nan_to_num(jnp.asarray(Y)),
-                    jnp.asarray(mask),
-                    jnp.ones(len(Y)),
-                    None,
-                    None,
-                )
-                scores[name] = float(metric.compute(state))
+            scores[name] = _one(metric, preds_for_metric, Y, mask)
         except Exception as e:  # scoring must never kill a finished run
             logger.warning(f"metric {name} failed: {e}")
             scores[name] = float("nan")
+        if getattr(args, "show_individual_scores", False) and Y.shape[1] > 1:
+            for j, col in enumerate(target_cols[: Y.shape[1]]):
+                try:
+                    p_j = np.asarray(preds_for_metric)[:, j : j + 1]
+                    scores[f"{name}_{col}"] = _one(metric, p_j, Y[:, j : j + 1], mask[:, j : j + 1])
+                except Exception:
+                    scores[f"{name}_{col}"] = float("nan")
     return scores
 
 

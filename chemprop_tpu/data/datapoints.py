@@ -16,6 +16,8 @@ from chemprop_tpu.chem.mol import Mol
 def _nan_to_zero(x: np.ndarray | None) -> np.ndarray | None:
     if x is not None:
         x = np.asarray(x, dtype=np.float64)
+        if not x.flags.writeable:
+            x = x.copy()
         x[np.isnan(x)] = 0
     return x
 

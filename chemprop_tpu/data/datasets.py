@@ -503,6 +503,23 @@ class MolAtomBondDataset(MoleculeDataset):
         return self._scaled_E_ds
 
     @property
+    def d_ed(self) -> int:
+        return 0 if self.E_ds[0] is None else self.E_ds[0].shape[1]
+
+    def normalize_inputs(
+        self, key: str = "X_d", scaler: StandardScaler | None = None
+    ) -> StandardScaler | None:
+        if key != "E_d":
+            return super().normalize_inputs(key, scaler)
+        X = None if self.d_ed == 0 else np.concatenate(self._E_ds, axis=0)
+        if X is None:
+            return scaler
+        if scaler is None:
+            scaler = StandardScaler().fit(X)
+        self._scaled_E_ds = [scaler.transform(x) if x.size else x for x in self._E_ds]
+        return scaler
+
+    @property
     def names(self):
         return [d.name for d in self.data]
 

@@ -96,3 +96,14 @@ class MPNN(nn.Module):
         """Criterion-space predictions (e.g. logits)."""
         Z = self.fingerprint(bmg, V_d, X_d, is_training)
         return self.predictor.train_step(Z, is_training)
+
+    def val_step_preds(
+        self,
+        bmg: BatchMolGraph,
+        V_d: jax.Array | None = None,
+        X_d: jax.Array | None = None,
+        is_training: bool = False,
+    ) -> jax.Array:
+        """Validation-metric predictions: inference activations without output
+        unscaling (reference ``_evaluate_batch``, ``models/model.py:185-200``)."""
+        return self.predictor.val_step(self.fingerprint(bmg, V_d, X_d, is_training=False))

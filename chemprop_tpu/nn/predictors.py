@@ -93,6 +93,12 @@ class _FFNPredictorBase(nn.Module):
     def __call__(self, Z: jax.Array, is_training: bool = True) -> jax.Array:
         return self.ffn(Z, is_training)
 
+    def val_step(self, Z: jax.Array) -> jax.Array:
+        """Validation-metric preds: inference activations but NO output
+        unscaling — the reference keeps output_transform in train mode (a
+        no-op) during validation (``models/model.py:162-168``)."""
+        return self(Z, is_training=False)
+
     def encode(self, Z: jax.Array, i: int, is_training: bool = True) -> jax.Array:
         return self.ffn.encode(Z, i, is_training)
 
@@ -111,6 +117,9 @@ class RegressionFFN(_FFNPredictorBase):
 
     def train_step(self, Z, is_training: bool = True):
         return self._forward(Z, is_training, unscale=False)
+
+    def val_step(self, Z):
+        return self._forward(Z, is_training=False, unscale=False)
 
 
 @PredictorRegistry.register("regression-mve")

@@ -100,14 +100,14 @@ class MABTrainer(Trainer):
 
         return jax.jit(eval_step)
 
-    def _run_validation(self, val_loader, eval_step) -> float:
+    def _run_validation(self, val_loader, eval_step) -> dict[str, float]:
         total, n = 0.0, 0
         for batch in val_loader:
             batch = _device_put_batch(batch, self.data_sharding)
             state, _ = eval_step(self.state.params, self.state.batch_stats, batch)
             total += float(state["total"])
             n += 1
-        return total / max(n, 1)
+        return {"val_loss": total / max(n, 1)}
 
     def init_state(self, batch, steps_per_epoch: int) -> TrainState:
         import jax

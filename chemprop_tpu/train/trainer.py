@@ -76,9 +76,13 @@ class Trainer:
     patience: int | None = None
     monitor: str = "val_loss"
     mode: str = "min"
+    min_delta: float = 0.0
     checkpoint_dir: str | Path | None = None
     seed: int = 0
-    metrics: list[ChempropMetric] = field(default_factory=list)
+    # named validation metrics, logged per epoch as ``val_<name>`` (trackable
+    # via ``monitor``); computed on val_step_preds like the reference's
+    # _evaluate_batch (inference activations, no output unscaling)
+    val_metrics: dict[str, ChempropMetric] = field(default_factory=dict)
     log_every: int = 0
     mesh: Any = None  # jax.sharding.Mesh: shard batches / replicate params
     data_sharding: Any = None  # NamedSharding pytree for input batches
@@ -203,8 +207,11 @@ class Trainer:
             loss_state = criterion.update_state(
                 criterion.init_state(), train_preds, targets, mask, w[:, 0], lt_, gt_
             )
-            # metrics on inference-space preds (reference _evaluate_batch)
-            preds = model.apply(variables, bmg, V_d, X_d, is_training=False)
+            # metrics on inference activations without unscaling
+            # (reference _evaluate_batch)
+            preds = model.apply(
+                variables, bmg, V_d, X_d, is_training=False, method="val_step_preds"
+            )
             return loss_state, preds
 
         return jax.jit(eval_step)
@@ -251,8 +258,7 @@ class Trainer:
 
             # ---- validate
             if val_loader is not None:
-                val_loss = self._run_validation(val_loader, eval_step)
-                record["val_loss"] = val_loss
+                record.update(self._run_validation(val_loader, eval_step))
 
             self.history.append(record)
             if self.log_every and epoch % self.log_every == 0:
@@ -265,7 +271,11 @@ class Trainer:
 
             # ---- checkpoint / early stop
             score = record.get(self.monitor, train_loss)
-            improved = score < best_score if self.mode == "min" else score > best_score
+            improved = (
+                score < best_score - self.min_delta
+                if self.mode == "min"
+                else score > best_score + self.min_delta
+            )
             if improved:
                 best_score, best_epoch = score, epoch
                 epochs_since_improvement = 0
@@ -288,17 +298,52 @@ class Trainer:
             )
         return self.state
 
-    def _run_validation(self, val_loader: DataLoader, eval_step) -> float:
+    def _run_validation(self, val_loader: DataLoader, eval_step) -> dict[str, float]:
         criterion = self.model.criterion
         state = None
+        preds_chunks, Y_chunks = [], []
         for batch in val_loader:
             batch = _device_put_batch(batch, self.data_sharding)
-            loss_state, _ = eval_step(self.state.params, self.state.batch_stats, batch)
+            loss_state, preds = eval_step(self.state.params, self.state.batch_stats, batch)
             if state is None:
                 state = loss_state
             else:
                 state = jax.tree.map(lambda a, b: a + b, state, loss_state)
-        return float(criterion.compute(state)) if state is not None else float("nan")
+            if self.val_metrics:
+                preds_chunks.append(np.asarray(preds)[batch.pad_mask])
+                Y_chunks.append(np.asarray(batch.Y)[batch.pad_mask])
+        record = {
+            "val_loss": float(criterion.compute(state)) if state is not None else float("nan")
+        }
+        if self.val_metrics and preds_chunks:
+            preds = np.concatenate(preds_chunks, axis=0)
+            Y = np.concatenate(Y_chunks, axis=0)
+            # multi-target heads (MVE/evidential/quantile): point pred = chan 0
+            # (reference _evaluate_batch, models/model.py:195-196)
+            if preds.ndim == 3 and self.model.n_targets > 1:
+                preds = preds[..., 0]
+            mask = np.isfinite(Y)
+            targets = np.nan_to_num(Y)
+            for name, metric in self.val_metrics.items():
+                try:
+                    if metric.needs_collection:
+                        val = float(metric.compute_from_arrays(preds, Y, mask))
+                    else:
+                        mstate = metric.update_state(
+                            metric.init_state(),
+                            jnp.asarray(preds),
+                            jnp.asarray(targets),
+                            jnp.asarray(mask),
+                            jnp.ones(len(Y)),
+                            jnp.zeros_like(mask),
+                            jnp.zeros_like(mask),
+                        )
+                        val = float(metric.compute(mstate))
+                except Exception as e:  # a failed metric must not kill training
+                    logger.warning(f"val metric {name} failed: {e}")
+                    val = float("nan")
+                record[f"val_{name}"] = val
+        return record
 
     # --------------------------------------------------------------- predict
     def predict(

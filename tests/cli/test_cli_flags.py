@@ -1,0 +1,190 @@
+"""Coverage for the reference-parity CLI flags added on top of the core
+subcommands: tracking metric, split saving, descriptor columns, scaling
+toggles, per-head MAB config, deprecations, and arg normalization
+(cf. reference ``chemprop/cli/train.py`` / ``common.py`` flag groups)."""
+
+import csv
+import json
+import sys
+from argparse import Namespace
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from chemprop_tpu.cli.main import main as cli_main
+from chemprop_tpu.cli.train import process_train_args
+
+
+def run_cli(monkeypatch, argv):
+    monkeypatch.setattr(sys, "argv", ["chemprop-tpu", *argv])
+    assert cli_main() in (0, None)
+
+
+@pytest.fixture(scope="module")
+def mol_csv(data_dir, tmp_path_factory):
+    rows = list(csv.reader(open(data_dir / "regression" / "mol" / "mol.csv")))
+    p = tmp_path_factory.mktemp("data") / "mol24.csv"
+    with open(p, "w", newline="") as f:
+        csv.writer(f).writerows(rows[:25])
+    return p
+
+
+@pytest.fixture(scope="module")
+def mol_csv_with_descriptor(data_dir, tmp_path_factory):
+    """mol.csv plus a synthetic 'temperature' descriptor column."""
+    rows = list(csv.reader(open(data_dir / "regression" / "mol" / "mol.csv")))[:25]
+    rows[0].append("temperature")
+    for i, r in enumerate(rows[1:]):
+        r.append(str(280.0 + i))
+    p = tmp_path_factory.mktemp("data") / "mol_temp.csv"
+    with open(p, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    return p
+
+
+def _ns(**kw):
+    base = dict(
+        num_folds=None,
+        model_frzn=None,
+        checkpoint=None,
+        from_foundation=None,
+        frzn_ffn_layers=0,
+        freeze_encoder=False,
+        mol_target_columns=None,
+        target_columns=None,
+        ffn_hidden_dim=300,
+        atom_ffn_hidden_dim=None,
+        bond_ffn_hidden_dim=None,
+        atom_constrainer_ffn_hidden_dim=None,
+        bond_constrainer_ffn_hidden_dim=None,
+    )
+    base.update(kw)
+    return Namespace(**base)
+
+
+class TestProcessTrainArgs:
+    def test_num_folds_removed(self):
+        with pytest.raises(ValueError, match="num-folds"):
+            process_train_args(_ns(num_folds="5"))
+
+    def test_model_frzn_maps_to_checkpoint_freeze(self, tmp_path):
+        args = _ns(model_frzn=tmp_path / "m.ckpt")
+        process_train_args(args)
+        assert args.checkpoint == tmp_path / "m.ckpt"
+        assert args.freeze_encoder
+
+    def test_model_frzn_conflicts_with_checkpoint(self, tmp_path):
+        with pytest.raises(ValueError, match="together"):
+            process_train_args(
+                _ns(model_frzn=tmp_path / "a.ckpt", checkpoint=tmp_path / "b.ckpt")
+            )
+
+    def test_frzn_ffn_layers_requires_checkpoint(self):
+        with pytest.raises(ValueError, match="frzn-ffn-layers"):
+            process_train_args(_ns(frzn_ffn_layers=2))
+
+    def test_mol_target_columns_alias(self):
+        args = _ns(mol_target_columns=["a", "b"])
+        process_train_args(args)
+        assert args.target_columns == ["a", "b"]
+
+    def test_ffn_hidden_dim_list_sets_layers(self):
+        args = _ns(ffn_hidden_dim=[256, 128, 64], ffn_num_layers=1)
+        process_train_args(args)
+        assert args.ffn_hidden_dim == [256, 128, 64]
+        assert args.ffn_num_layers == 3
+
+    def test_ffn_hidden_dim_singleton_collapses(self):
+        args = _ns(ffn_hidden_dim=[256], ffn_num_layers=1)
+        process_train_args(args)
+        assert args.ffn_hidden_dim == 256
+        assert args.ffn_num_layers == 1
+
+
+class TestActivationArgs:
+    def test_leakyrelu_slope_from_string(self):
+        import jax.numpy as jnp
+
+        from chemprop_tpu.nn.utils import get_activation_function
+
+        f = get_activation_function("leakyrelu:0.5")
+        x = jnp.array([-2.0, 4.0])
+        assert np.allclose(np.asarray(f(x)), [-1.0, 4.0])
+
+    def test_plain_name_still_works(self):
+        import jax.numpy as jnp
+
+        from chemprop_tpu.nn.utils import get_activation_function
+
+        f = get_activation_function("relu")
+        assert np.allclose(np.asarray(f(jnp.array([-1.0, 2.0]))), [0.0, 2.0])
+
+
+class TestTrainFlagsE2E:
+    def test_tracking_metric_and_split_saving(self, monkeypatch, mol_csv, tmp_path):
+        out = tmp_path / "out"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(mol_csv), "--epochs", "2", "--batch-size", "16",
+                "-o", str(out), "--tracking-metric", "rmse", "--min-delta", "0.001",
+                "--save-smiles-splits", "--save-data-splits",
+                "--remove-checkpoints", "--show-individual-scores",
+            ],
+        )
+        history = json.load(open(next(out.rglob("history.json"))))
+        assert all("val_rmse" in rec for rec in history)
+        assert (out / "train_smiles.csv").exists()
+        assert (out / "test_full.csv").exists()
+        assert not list(out.rglob("checkpoints/*.ckpt"))
+        # smiles splits cover every row exactly once
+        n = sum(
+            len(list(csv.DictReader(open(out / f"{s}_smiles.csv"))))
+            for s in ("train", "val", "test")
+            if (out / f"{s}_smiles.csv").exists()
+        )
+        assert n == 24
+
+    def test_descriptors_columns(self, monkeypatch, mol_csv_with_descriptor, tmp_path):
+        out = tmp_path / "out"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(mol_csv_with_descriptor), "--epochs", "1",
+                "--batch-size", "16", "-o", str(out),
+                "--target-columns", "lipo",
+                "--descriptors-columns", "temperature",
+            ],
+        )
+        scores = json.load(open(next(out.rglob("test_scores.json"))))
+        assert np.isfinite(scores[-1]["rmse"])
+
+    def test_reaction_mode_alias(self, monkeypatch, data_dir, tmp_path):
+        rows = list(csv.reader(open(data_dir / "regression" / "rxn" / "rxn.csv")))[:17]
+        p = tmp_path / "rxn16.csv"
+        with open(p, "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+        out = tmp_path / "out"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(p), "--reaction-columns", "smiles",
+                "--epochs", "1", "--batch-size", "16", "-o", str(out),
+                "--reaction-mode", "reac_prod",
+            ],
+        )
+        assert (next(out.rglob("best.ckpt"))).exists()
+
+    def test_evidential_loss_flags(self, monkeypatch, mol_csv, tmp_path):
+        out = tmp_path / "out"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(mol_csv), "--epochs", "1", "--batch-size", "16",
+                "-o", str(out), "--task-type", "regression-evidential",
+                "--evidential-regularization", "0.2", "--eps", "1e-7",
+            ],
+        )
+        cfg = json.load(open(next(out.rglob("config.json"))))
+        assert cfg["v_kl"] == 0.2 and cfg["eps"] == 1e-7
