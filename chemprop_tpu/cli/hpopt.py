@@ -38,6 +38,21 @@ def add_hpopt_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g = parser.add_argument_group("Hpopt args")
     g.add_argument("--raytune-num-samples", "--num-trials", type=int, default=10, dest="num_trials")
     g.add_argument(
+        "--search-algorithm",
+        choices=["random", "hyperopt", "optuna"],
+        default="hyperopt",
+        help="random = independent draws; hyperopt/optuna = sequential TPE "
+        "(tree-structured Parzen estimator), the default sampler behind both "
+        "reference backends (cli/hpopt.py:70-92) — implemented in-repo, no ray",
+    )
+    g.add_argument("--hyperopt-random-state-seed", type=int, default=None)
+    g.add_argument(
+        "--startup-trials",
+        type=int,
+        default=5,
+        help="TPE: number of initial random trials before the estimator kicks in",
+    )
+    g.add_argument(
         "--search-parameter-keywords",
         nargs="+",
         default=["depth", "ffn_num_layers", "dropout", "message_hidden_dim", "ffn_hidden_dim"],
@@ -90,6 +105,84 @@ def _sample(rng: np.random.Generator, keys: list[str]) -> dict:
     return cfg
 
 
+class TPESampler:
+    """Sequential tree-structured Parzen estimator (Bergstra et al. 2011) —
+    the sampler behind both hyperopt and optuna defaults that the reference
+    delegates to via Ray Tune (``cli/hpopt.py:70-92``). Observations are split
+    into the best ``gamma`` fraction ("good") and the rest; each dimension
+    proposes candidates from a KDE over the good values and keeps the one
+    maximizing the good/bad density ratio. Pure numpy, deterministic."""
+
+    def __init__(self, keys, rng, n_startup=5, gamma=0.25, n_candidates=24):
+        self.keys = keys
+        self.rng = rng
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.observations: list[tuple[dict, float]] = []
+
+    def observe(self, cfg: dict, score: float) -> None:
+        if np.isfinite(score):
+            self.observations.append((cfg, score))
+
+    def suggest(self) -> dict:
+        if len(self.observations) < self.n_startup:
+            return _sample(self.rng, self.keys)
+        scores = np.array([s for _, s in self.observations])
+        n_good = max(1, int(np.ceil(self.gamma * len(scores))))
+        order = np.argsort(scores)
+        good = [self.observations[i][0] for i in order[:n_good]]
+        bad = [self.observations[i][0] for i in order[n_good:]] or good
+        return {k: self._suggest_dim(k, good, bad) for k in self.keys}
+
+    # ------------------------------------------------------------ per-dim
+    def _suggest_dim(self, key, good, bad):
+        spec = SEARCH_SPACE[key]
+        kind = spec[0]
+        if kind == "choice":
+            values = list(spec[1])
+            idx = {v: i for i, v in enumerate(dict.fromkeys(values))}
+            support = list(idx)
+            l = self._cat_probs([idx[c[key]] for c in good], len(support))
+            g = self._cat_probs([idx[c[key]] for c in bad], len(support))
+            ratio = l / g
+            # sample proportional to the density ratio (EI-equivalent for
+            # categoricals) rather than argmax, to keep exploring
+            p = ratio / ratio.sum()
+            return support[int(self.rng.choice(len(support), p=p))]
+
+        log_scale = kind == "log"
+        xform = np.log if log_scale else (lambda x: np.asarray(x, dtype=float))
+        lo, hi = xform(spec[1]), xform(spec[2])
+        gx = xform([c[key] for c in good])
+        bx = xform([c[key] for c in bad])
+        sigma = max((hi - lo) / max(len(gx), 1), 1e-6 * (hi - lo) + 1e-12)
+        cands = np.clip(
+            gx[self.rng.integers(len(gx), size=self.n_candidates)]
+            + self.rng.normal(0, sigma, self.n_candidates),
+            lo,
+            hi,
+        )
+        score = self._kde(cands, gx, sigma) / self._kde(cands, bx, sigma)
+        x = float(cands[int(np.argmax(score))])
+        if log_scale:
+            return float(np.exp(x))
+        if kind == "int":
+            return int(np.clip(round(x), spec[1], spec[2]))
+        # int_step: snap to the grid
+        step = spec[3]
+        return int(np.clip(round((x - spec[1]) / step) * step + spec[1], spec[1], spec[2]))
+
+    def _cat_probs(self, idxs, k):
+        counts = np.bincount(idxs, minlength=k).astype(float) + 1.0  # Laplace
+        return counts / counts.sum()
+
+    @staticmethod
+    def _kde(x, data, sigma):
+        d = (x[:, None] - data[None, :]) / sigma
+        return np.exp(-0.5 * d**2).mean(axis=1) / (sigma * np.sqrt(2 * np.pi)) + 1e-12
+
+
 def _run_trial(args, out_dir, trial: int, cfg: dict, epochs: int, resume: bool) -> float:
     """Train one trial to ``epochs`` total (resuming its full state if
     ``resume``); returns its best validation score (inf on failure)."""
@@ -123,7 +216,16 @@ def main(args) -> int:
     out_dir = args.hpopt_save_dir or (args.output_dir or Path("chemprop_tpu_hpopt"))
     out_dir.mkdir(parents=True, exist_ok=True)
     keys = _expand_keywords(args.search_parameter_keywords)
-    rng = np.random.default_rng(args.data_seed)
+    seed = getattr(args, "hyperopt_random_state_seed", None)
+    rng = np.random.default_rng(args.data_seed if seed is None else seed)
+    algo = getattr(args, "search_algorithm", "random")
+    sampler = (
+        TPESampler(keys, rng, n_startup=getattr(args, "startup_trials", 5))
+        if algo in ("hyperopt", "optuna")
+        else None
+    )
+    # ASHA needs its trial population upfront; TPE is sequential, so the
+    # scheduler choice picks the config source
     configs = [_sample(rng, keys) for _ in range(args.num_trials)]
 
     results = []
@@ -156,8 +258,11 @@ def main(args) -> int:
             budget = min(args.epochs, budget * eta)
             rung += 1
     else:
-        for trial, cfg in enumerate(configs):
+        for trial in range(args.num_trials):
+            cfg = sampler.suggest() if sampler is not None else configs[trial]
             score = _run_trial(args, out_dir, trial, cfg, args.epochs, resume=False)
+            if sampler is not None:
+                sampler.observe(cfg, score)
             results.append({"trial": trial, "config": cfg, "score": score})
             if score < best[0]:
                 best = (score, cfg, trial)
