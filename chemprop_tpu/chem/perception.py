@@ -45,6 +45,7 @@ _CHALCOGENS = {8, 16, 34, 52}
 
 
 def sanitize(mol: Mol) -> Mol:
+    cleanup_hypervalent(mol)
     perceive_rings(mol)
     _resolve_implicit_aromatic_bonds(mol)
     assign_implicit_hydrogens(mol)
@@ -53,6 +54,69 @@ def sanitize(mol: Mol) -> Mol:
     perceive_hybridization(mol)
     assign_bond_stereo(mol)
     return mol
+
+
+# ------------------------------------------------------------------ clean-up
+def cleanup_hypervalent(mol: Mol) -> None:
+    """RDKit ``MolOps::cleanUp`` equivalent: charge-separate the common
+    hypervalent neutral groups so perception (charges, H counts, conjugation)
+    matches what the reference sees after RDKit sanitization:
+
+    * nitro / N-oxide   R-N(=O)=O -> R-[N+](=O)[O-]
+    * azide             R-N=N=N   -> R-N=[N+]=[N-]
+    * halogen oxides    X(=O)n    -> [X+n] with [O-] (X = Cl/Br/I)
+
+    Datasets (ESOL, Tox21, ...) routinely write these groups in neutral
+    hypervalent form; RDKit normalizes them during sanitization, so the
+    reference's featurizers never see a 5-valent neutral N.
+    """
+
+    def terminal_dbl_O(i):
+        return [
+            b
+            for b in mol.atom_bonds(i)
+            if b.bond_type == BondType.DOUBLE
+            and mol.atoms[b.other_atom_idx(i)].atomic_num == 8
+            and mol.degree(b.other_atom_idx(i)) == 1
+            and mol.atoms[b.other_atom_idx(i)].formal_charge == 0
+        ]
+
+    for atom in mol.atoms:
+        if atom.formal_charge != 0:
+            continue
+        i, z = atom.idx, atom.atomic_num
+        if z == 7:
+            # nitro/N-oxide: shed excess valence onto terminal =O
+            dbl_O = terminal_dbl_O(i)
+            while mol.bond_order_sum(i) > 3 + atom.formal_charge and dbl_O:
+                b = dbl_O.pop()
+                b.bond_type = BondType.SINGLE
+                mol.atoms[b.other_atom_idx(i)].formal_charge = -1
+                atom.formal_charge += 1
+            # azide middle N: N=[N+]=[N-] (bond orders unchanged)
+            if atom.formal_charge == 0 and mol.degree(i) == 2:
+                nbs = mol.atom_bonds(i)
+                if all(
+                    b.bond_type == BondType.DOUBLE
+                    and mol.atoms[b.other_atom_idx(i)].atomic_num == 7
+                    for b in nbs
+                ):
+                    term = [
+                        b
+                        for b in nbs
+                        if mol.degree(b.other_atom_idx(i)) == 1
+                        and mol.atoms[b.other_atom_idx(i)].formal_charge == 0
+                    ]
+                    if term:
+                        atom.formal_charge = 1
+                        mol.atoms[term[-1].other_atom_idx(i)].formal_charge = -1
+        elif z in (17, 35, 53):
+            dbl_O = terminal_dbl_O(i)
+            while mol.bond_order_sum(i) > 1 + atom.formal_charge and dbl_O:
+                b = dbl_O.pop()
+                b.bond_type = BondType.SINGLE
+                mol.atoms[b.other_atom_idx(i)].formal_charge = -1
+                atom.formal_charge += 1
 
 
 # --------------------------------------------------------------------- rings
@@ -190,6 +254,19 @@ def assign_implicit_hydrogens(mol: Mol) -> None:
         if not valences:
             atom.num_implicit_hs = 0
             continue
+        # charge shifts the allowed valence (RDKit Atom::calcImplicitValence):
+        # group >= 15 gains with positive charge (N+ -> 4, O- -> 1); carbon
+        # loses with |charge| (C+ and C- -> 3); boron loses with charge
+        chg = atom.formal_charge
+        if chg:
+            z = atom.atomic_num
+            if z == 6:
+                shift = -abs(chg)
+            elif z == 5:
+                shift = -chg
+            else:
+                shift = chg
+            valences = tuple(max(0, dv + shift) for dv in valences)
         v = int(math.ceil(effective_bond_order_sum(mol, atom.idx)))
         for dv in valences:
             if dv >= v:
@@ -226,6 +303,26 @@ def perceive_kekule_aromaticity(mol: Mol) -> None:
                         b.bond_type = BondType.AROMATIC
                         b.is_aromatic = True
             changed = True
+    # An AROMATIC-typed bond must belong to a ring whose bonds are all
+    # aromatic. A ring bond between two aromatic systems that is itself part
+    # of a non-aromatic ring (e.g. the c-n linker inside triazolam's
+    # 7-membered ring, written lowercase in SMILES) kekulizes to SINGLE —
+    # matching RDKit, where kekulization assigns such linkers order 1.
+    aromatic_ring_bonds: set[int] = set()
+    for ring in getattr(mol, "rings", []):
+        ring_set = set(ring)
+        bonds = [
+            b
+            for i in ring
+            for b in mol.atom_bonds(i)
+            if b.other_atom_idx(i) in ring_set and b.is_in_ring
+        ]
+        if bonds and all(b.bond_type == BondType.AROMATIC for b in bonds):
+            aromatic_ring_bonds.update(b.idx for b in bonds)
+    for b in mol.bonds:
+        if b.bond_type == BondType.AROMATIC and b.idx not in aromatic_ring_bonds:
+            b.bond_type = BondType.SINGLE
+            b.is_aromatic = False
     # ensure aromatic flags are consistent for rings given in aromatic form
     for b in mol.bonds:
         if b.bond_type == BondType.AROMATIC:
@@ -290,46 +387,39 @@ def _lone_pairs(mol: Mol, idx: int) -> int:
 
 
 def perceive_conjugation(mol: Mol) -> None:
-    """A deterministic approximation of RDKit's conjugation model:
-
-    * aromatic bonds are conjugated;
-    * a single bond is conjugated iff one end has a multiple bond and the
-      other end has a multiple bond or a lone pair;
-    * a multiple bond is conjugated iff an adjacent bond is a multiple bond or
-      a conjugated single bond.
-    """
-    has_multiple = [False] * mol.num_atoms
+    """RDKit's conjugation model (``MolOps::setConjugation`` /
+    ``markConjAtomBonds``): around every *candidate* atom (B/C/N/O — heavier
+    atoms like P and S never conjugate, RDKit Issue211) whose sigma framework
+    (degree + H count) is 2 or 3 and that carries a multiple/aromatic bond,
+    every other bond whose far end is also a candidate with sigma framework
+    <= 3 is marked conjugated together with the multiple bond. Aromatic bonds
+    are always conjugated."""
     for b in mol.bonds:
-        if b.bond_type in (BondType.DOUBLE, BondType.TRIPLE, BondType.AROMATIC):
-            has_multiple[b.begin_atom_idx] = True
-            has_multiple[b.end_atom_idx] = True
-    # only N/O/P/S/Se/Te lone pairs conjugate (halogen lone pairs do not)
-    lp = [
-        mol.atoms[i].atomic_num in (7, 8, 15, 16, 34, 52) and _lone_pairs(mol, i) > 0
-        for i in range(mol.num_atoms)
-    ]
+        b.is_conjugated = b.bond_type == BondType.AROMATIC
 
-    for b in mol.bonds:
-        b.is_conjugated = False
-        if b.bond_type == BondType.AROMATIC:
-            b.is_conjugated = True
-        elif b.bond_type == BondType.SINGLE:
-            u, v = b.begin_atom_idx, b.end_atom_idx
-            if (has_multiple[u] and (has_multiple[v] or lp[v])) or (
-                has_multiple[v] and lp[u]
-            ):
-                b.is_conjugated = True
+    def cand(i: int) -> bool:
+        return mol.atoms[i].atomic_num in (5, 6, 7, 8)
 
-    for b in mol.bonds:
-        if b.bond_type in (BondType.DOUBLE, BondType.TRIPLE):
-            for end in (b.begin_atom_idx, b.end_atom_idx):
-                for nb in mol.atom_bonds(end):
-                    if nb.idx == b.idx:
-                        continue
-                    if nb.bond_type in (BondType.DOUBLE, BondType.TRIPLE, BondType.AROMATIC):
-                        b.is_conjugated = True
-                    elif nb.bond_type == BondType.SINGLE and nb.is_conjugated:
-                        b.is_conjugated = True
+    def sbo(i: int) -> int:
+        return mol.degree(i) + mol.atoms[i].total_num_hs
+
+    multiple = (BondType.DOUBLE, BondType.TRIPLE, BondType.AROMATIC)
+    for atom in mol.atoms:
+        i = atom.idx
+        if not cand(i) or not 2 <= sbo(i) <= 3:
+            continue
+        bonds = mol.atom_bonds(i)
+        multi = [b for b in bonds if b.bond_type in multiple]
+        if not multi:
+            continue
+        for b2 in bonds:
+            j = b2.other_atom_idx(i)
+            if not cand(j) or sbo(j) > 3:
+                continue
+            for b1 in multi:
+                if b1.idx != b2.idx:
+                    b1.is_conjugated = True
+                    b2.is_conjugated = True
 
 
 # ------------------------------------------------------------ hybridization

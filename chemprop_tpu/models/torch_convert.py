@@ -152,7 +152,9 @@ _PREDICTOR_NAMES = {
 
 
 def convert_model(path: str | Path):
-    """Reference .pt/.ckpt -> (chemprop_tpu MPNN, variables, output_columns)."""
+    """Reference .pt/.ckpt -> (chemprop_tpu MPNN, variables, output_columns).
+    v1-era checkpoints ({args, state_dict, data_scaler, ...}) are detected and
+    routed to :func:`convert_v1_model`."""
     from chemprop_tpu.models.model import MPNN
     from chemprop_tpu.nn import agg as agg_mod
     from chemprop_tpu.nn import predictors as pred_mod
@@ -160,6 +162,8 @@ def convert_model(path: str | Path):
     from chemprop_tpu.nn.transforms import ScaleTransform, UnscaleTransform
 
     d = load_torch_checkpoint(path)
+    if "hyper_parameters" not in d and "args" in d:
+        return convert_v1_model(path, _loaded=d)
     hp = d["hyper_parameters"]
     sd = d["state_dict"]
     output_columns = d.get("output_columns")
@@ -221,6 +225,142 @@ def convert_model(path: str | Path):
     if batch_stats:
         variables["batch_stats"] = batch_stats
     return model, variables, output_columns
+
+
+def convert_v1_model(path: str | Path, _loaded: dict | None = None):
+    """Chemprop v1 ``.pt`` ({args, state_dict, data_scaler, ...}) ->
+    (chemprop_tpu model, variables, output_columns).
+
+    v1 state-dict layout (cf. reference ``chemprop/utils/v1_to_v2.py:30-120``,
+    re-derived here from the checkpoint itself):
+
+    * ``encoder.encoder.<i>.W_{i,h,o}`` — the D-MPNN weights of component i
+      (math identical to v2's BondMessagePassing/AtomMessagePassing)
+    * ``readout.<j>`` — Sequential(dropout, Linear, act, dropout, Linear, ...);
+      the sorted Linear indices become MLP blocks, so v1 ``ffn_num_layers``
+      (Linear count) = our ``n_layers + 1``
+    * ``data_scaler`` means/stds -> UnscaleTransform
+
+    v1 models use the 133-dim v1 atom featurizer — predict with
+    ``--multi-hot-atom-featurizer-mode v1``.
+    """
+    from chemprop_tpu.models.model import MPNN
+    from chemprop_tpu.models.multi import MulticomponentMPNN
+    from chemprop_tpu.nn import agg as agg_mod
+    from chemprop_tpu.nn import predictors as pred_mod
+    from chemprop_tpu.nn.message_passing import base as mp_mod
+    from chemprop_tpu.nn.message_passing.multi import MulticomponentMessagePassing
+    from chemprop_tpu.nn.transforms import UnscaleTransform
+
+    d = _loaded if _loaded is not None else load_torch_checkpoint(path)
+    args = d["args"]
+    sd = d["state_dict"]
+
+    def arg(name, default=None):
+        return getattr(args, name, default)
+
+    atom_messages = bool(arg("atom_messages", False))
+    mp_cls = mp_mod.AtomMessagePassing if atom_messages else mp_mod.BondMessagePassing
+    n_components = int(arg("number_of_molecules", 1))
+    shared = bool(arg("mpn_shared", False))
+
+    def tnp(t):
+        a = t if isinstance(t, np.ndarray) else _np(t)
+        return np.asarray(a, dtype=np.float32)
+
+    params: dict = {"message_passing": {}, "predictor": {"ffn": {}}}
+    n_encoders = len(
+        {k.split(".")[2] for k in sd if k.startswith("encoder.encoder.")}
+    )
+    blocks = []
+    for i in range(n_encoders):
+        pre = f"encoder.encoder.{i}."
+        block_params = {}
+        for w in ("W_i", "W_h", "W_o"):
+            block_params[w] = {"kernel": tnp(sd[pre + w + ".weight"]).T}
+            if pre + w + ".bias" in sd:
+                block_params[w]["bias"] = tnp(sd[pre + w + ".bias"])
+        if pre + "atom_descriptors_layer.weight" in sd:
+            block_params["W_d"] = {
+                "kernel": tnp(sd[pre + "atom_descriptors_layer.weight"]).T,
+                "bias": tnp(sd[pre + "atom_descriptors_layer.bias"]),
+            }
+        blocks.append(block_params)
+        mp_kwargs = dict(
+            d_h=int(arg("hidden_size", 300)),
+            bias=bool(arg("bias", False)),
+            depth=int(arg("depth", 3)),
+            dropout=float(arg("dropout", 0.0)),
+            activation=_activation_name(arg("activation", "ReLU")),
+            undirected=bool(arg("undirected", False)),
+        )
+
+    if n_components > 1 or n_encoders > 1:
+        mps = [mp_cls(**mp_kwargs) for _ in range(n_encoders)]
+        message_passing = MulticomponentMessagePassing(
+            blocks=mps, n_components=n_components, shared=shared
+        )
+        params["message_passing"] = {
+            f"blocks_{i}": blk for i, blk in enumerate(blocks)
+        }
+        mp_out_dim = message_passing.output_dim
+    else:
+        message_passing = mp_cls(**mp_kwargs)
+        params["message_passing"] = blocks[0]
+        mp_out_dim = message_passing.output_dim
+
+    # readout Sequential: sorted Linear layer indices -> MLP blocks
+    readout_idx = sorted(
+        {int(k.split(".")[1]) for k in sd if k.startswith("readout.") and k.endswith(".weight")}
+    )
+    widths = []
+    for b, j in enumerate(readout_idx):
+        W = tnp(sd[f"readout.{j}.weight"])
+        params["predictor"]["ffn"][f"block{b}"] = {
+            "kernel": W.T,
+            "bias": tnp(sd[f"readout.{j}.bias"]),
+        }
+        widths.append(W.shape[0])
+
+    dataset_type = str(arg("dataset_type", "regression"))
+    out_tf = None
+    scaler = d.get("data_scaler")
+    if scaler is not None and scaler.get("means") is not None:
+        out_tf = UnscaleTransform(
+            np.asarray(scaler["means"], dtype=np.float32).reshape(-1),
+            np.asarray(scaler["stds"], dtype=np.float32).reshape(-1),
+        )
+    task_names = list(arg("task_names", None) or [])
+    n_tasks = int(arg("num_tasks", 0) or len(task_names) or 1)
+    p_map = {
+        "regression": pred_mod.RegressionFFN,
+        "classification": pred_mod.BinaryClassificationFFN,
+        "multiclass": pred_mod.MulticlassClassificationFFN,
+    }
+    p_cls = p_map.get(dataset_type, pred_mod.RegressionFFN)
+    p_kwargs = dict(
+        n_tasks=n_tasks,
+        input_dim=mp_out_dim,
+        hidden_dim=int(arg("ffn_hidden_size", 300)),
+        n_layers=len(readout_idx) - 1,
+        dropout=float(arg("dropout", 0.0)),
+        activation=_activation_name(arg("activation", "ReLU")),
+        output_transform=out_tf,
+    )
+    if dataset_type == "multiclass":
+        p_kwargs["n_classes"] = int(arg("multiclass_num_classes", 3))
+    predictor = p_cls(**p_kwargs)
+
+    agg_name = str(arg("aggregation", "mean")).lower()
+    agg = {
+        "mean": agg_mod.MeanAggregation(),
+        "sum": agg_mod.SumAggregation(),
+        "norm": agg_mod.NormAggregation(norm=float(arg("aggregation_norm", 100))),
+    }[agg_name]
+
+    cls = MulticomponentMPNN if (n_components > 1 or n_encoders > 1) else MPNN
+    model = cls(message_passing=message_passing, agg=agg, predictor=predictor, batch_norm=False)
+    return model, {"params": params}, (task_names or None)
 
 
 def _stub_state(obj) -> dict:

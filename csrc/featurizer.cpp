@@ -435,6 +435,70 @@ void resolve_implicit_aromatic(Mol& mol) {
     if (b.implicit_arom && !b.in_ring) b.order = SINGLE;
 }
 
+// RDKit MolOps::cleanUp equivalent (chem/perception.py cleanup_hypervalent):
+// charge-separate neutral hypervalent nitro/N-oxide, azide, halogen oxides
+void cleanup_hypervalent(Mol& mol) {
+  auto order_sum = [&](int a) {
+    double t = 0;
+    for (int bi : mol.adj[a]) {
+      int o = mol.bonds[bi].order;
+      t += o == AROMATIC ? 1.5 : o;
+    }
+    return t;
+  };
+  auto terminal_dbl_O = [&](int a) {
+    std::vector<int> out;
+    for (int bi : mol.adj[a]) {
+      int j = mol.other(bi, a);
+      if (mol.bonds[bi].order == DOUBLE && mol.atoms[j].z == 8 &&
+          mol.degree(j) == 1 && mol.atoms[j].charge == 0)
+        out.push_back(bi);
+    }
+    return out;
+  };
+  for (size_t a = 0; a < mol.atoms.size(); a++) {
+    Atom& at = mol.atoms[a];
+    if (at.charge != 0) continue;
+    int z = at.z;
+    if (z == 7) {
+      auto dbl = terminal_dbl_O((int)a);
+      while (order_sum((int)a) > 3 + at.charge && !dbl.empty()) {
+        int bi = dbl.back();
+        dbl.pop_back();
+        mol.bonds[bi].order = SINGLE;
+        mol.atoms[mol.other(bi, (int)a)].charge = -1;
+        at.charge += 1;
+      }
+      if (at.charge == 0 && mol.degree((int)a) == 2) {
+        bool all_dbl_N = true;
+        for (int bi : mol.adj[a])
+          all_dbl_N &= mol.bonds[bi].order == DOUBLE &&
+                       mol.atoms[mol.other(bi, (int)a)].z == 7;
+        if (all_dbl_N) {
+          int term = -1;
+          for (int bi : mol.adj[a]) {
+            int j = mol.other(bi, (int)a);
+            if (mol.degree(j) == 1 && mol.atoms[j].charge == 0) term = j;
+          }
+          if (term >= 0) {
+            at.charge = 1;
+            mol.atoms[term].charge = -1;
+          }
+        }
+      }
+    } else if (z == 17 || z == 35 || z == 53) {
+      auto dbl = terminal_dbl_O((int)a);
+      while (order_sum((int)a) > 1 + at.charge && !dbl.empty()) {
+        int bi = dbl.back();
+        dbl.pop_back();
+        mol.bonds[bi].order = SINGLE;
+        mol.atoms[mol.other(bi, (int)a)].charge = -1;
+        at.charge += 1;
+      }
+    }
+  }
+}
+
 double eff_order_sum(const Mol& mol, int a) {
   const Atom& at = mol.atoms[a];
   bool chalc_arom = at.aromatic && (at.z == 8 || at.z == 16 || at.z == 34 || at.z == 52);
@@ -453,6 +517,14 @@ void assign_implicit_h(Mol& mol) {
     if (at.explicit_hs >= 0) { at.implicit_hs = 0; continue; }
     auto vals = default_valences(at.z);
     if (vals.empty()) { at.implicit_hs = 0; continue; }
+    // charge shifts allowed valence (chem/perception.py): N+ -> 4, O- -> 1,
+    // C+/C- -> 3, B loses with charge
+    if (at.charge != 0) {
+      int shift = at.z == 6 ? -std::abs(at.charge)
+                  : at.z == 5 ? -at.charge
+                              : at.charge;
+      for (auto& dv : vals) dv = std::max(0, dv + shift);
+    }
     int v = (int)std::ceil(eff_order_sum(mol, (int)a) - 1e-9);
     at.implicit_hs = 0;
     for (int dv : vals)
@@ -509,6 +581,31 @@ void aromatize(Mol& mol, const std::vector<std::vector<int>>& rings) {
       changed = true;
     }
   }
+  // an AROMATIC bond must lie in a ring whose bonds are all aromatic; ring
+  // linkers between aromatic systems kekulize to SINGLE (RDKit behavior,
+  // chem/perception.py perceive_kekule_aromaticity)
+  std::set<std::pair<int, int>> arom_ring_bonds;
+  for (auto& ring : rings) {
+    std::set<int> rs(ring.begin(), ring.end());
+    std::vector<int> bis;
+    bool all_arom = true;
+    for (int a : ring)
+      for (int bi : mol.adj[a]) {
+        const Bond& b = mol.bonds[bi];
+        int o = mol.other(bi, a);
+        if (o > a && rs.count(o) && b.in_ring) {
+          bis.push_back(bi);
+          all_arom &= b.order == AROMATIC;
+        }
+      }
+    if (all_arom && !bis.empty())
+      for (int bi : bis) arom_ring_bonds.insert({mol.bonds[bi].u, mol.bonds[bi].v});
+  }
+  for (auto& b : mol.bonds)
+    if (b.order == AROMATIC && !arom_ring_bonds.count({b.u, b.v})) {
+      b.order = SINGLE;
+      b.aromatic = false;
+    }
   for (auto& b : mol.bonds)
     if (b.order == AROMATIC) b.aromatic = true;
 }
@@ -523,38 +620,35 @@ int lone_pairs(const Mol& mol, int a) {
 }
 
 void perceive_conjugation(Mol& mol) {
-  size_t n = mol.atoms.size();
-  std::vector<char> has_multi(n, 0), lp(n, 0);
-  for (auto& b : mol.bonds)
-    if (b.order == DOUBLE || b.order == TRIPLE || b.order == AROMATIC) {
-      has_multi[b.u] = 1;
-      has_multi[b.v] = 1;
-    }
-  for (size_t a = 0; a < n; a++) {
+  // RDKit MolOps::setConjugation / markConjAtomBonds (see
+  // chem/perception.py perceive_conjugation): around every candidate atom
+  // (B/C/N/O; P and S never conjugate - RDKit Issue211) with sigma framework
+  // 2..3 carrying a multiple/aromatic bond, every other bond to a candidate
+  // with sigma framework <= 3 is conjugated along with the multiple bond.
+  auto cand = [&](int a) {
     int z = mol.atoms[a].z;
-    lp[a] = (z == 7 || z == 8 || z == 15 || z == 16 || z == 34 || z == 52) &&
-            lone_pairs(mol, (int)a) > 0;
-  }
-  for (auto& b : mol.bonds) {
-    b.conjugated = false;
-    if (b.order == AROMATIC) b.conjugated = true;
-    else if (b.order == SINGLE) {
-      if ((has_multi[b.u] && (has_multi[b.v] || lp[b.v])) ||
-          (has_multi[b.v] && lp[b.u]))
-        b.conjugated = true;
+    return z == 5 || z == 6 || z == 7 || z == 8;
+  };
+  auto sbo = [&](int a) { return mol.degree(a) + mol.total_hs(a); };
+  for (auto& b : mol.bonds) b.conjugated = b.order == AROMATIC;
+  for (size_t a = 0; a < mol.atoms.size(); a++) {
+    if (!cand((int)a)) continue;
+    int s = sbo((int)a);
+    if (s < 2 || s > 3) continue;
+    std::vector<int> multi;
+    for (int bi : mol.adj[a]) {
+      int o = mol.bonds[bi].order;
+      if (o == DOUBLE || o == TRIPLE || o == AROMATIC) multi.push_back(bi);
     }
-  }
-  for (auto& b : mol.bonds) {
-    if (b.order != DOUBLE && b.order != TRIPLE) continue;
-    for (int end : {b.u, b.v}) {
-      for (int nbi : mol.adj[end]) {
-        Bond& nb = mol.bonds[nbi];
-        if (&nb == &b) continue;
-        if (nb.order == DOUBLE || nb.order == TRIPLE || nb.order == AROMATIC)
-          b.conjugated = true;
-        else if (nb.order == SINGLE && nb.conjugated)
-          b.conjugated = true;
-      }
+    if (multi.empty()) continue;
+    for (int bi2 : mol.adj[a]) {
+      int j = mol.other(bi2, (int)a);
+      if (!cand(j) || sbo(j) > 3) continue;
+      for (int bi1 : multi)
+        if (bi1 != bi2) {
+          mol.bonds[bi1].conjugated = true;
+          mol.bonds[bi2].conjugated = true;
+        }
     }
   }
 }
@@ -637,6 +731,7 @@ Mol make_mol(const std::string& smi, bool keep_h) {
   } else {
     mol = std::move(parsed);
   }
+  cleanup_hypervalent(mol);
   auto rings = perceive_rings(mol);
   resolve_implicit_aromatic(mol);
   assign_implicit_h(mol);
