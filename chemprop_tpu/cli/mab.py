@@ -300,8 +300,35 @@ def main_MAB(args) -> int:
             model_dir = rep_dir / (f"model_{member}" if args.ensemble_size > 1 else ".")
             model_dir.mkdir(parents=True, exist_ok=True)
             model = build_MAB_model(args, train_dset, transforms, input_transforms)
+            monitor, mode, val_metrics = "val_loss", "min", {}
+            tracking = getattr(args, "tracking_metric", "val_loss") or "val_loss"
+            if tracking != "val_loss":
+                base, _, head = tracking.rpartition("-")
+                if tracking.startswith("val_loss-") and head in ("mol", "atom", "bond"):
+                    monitor = f"val_loss-{head}"
+                elif base and head in ("mol", "atom", "bond"):
+                    from chemprop_tpu.nn.metrics import MetricRegistry
+                    from chemprop_tpu.utils.registry import Factory
+
+                    tm = Factory.build(
+                        MetricRegistry[base],
+                        n_classes=args.multiclass_num_classes,
+                        assume_logits=False,
+                    )
+                    val_metrics[tracking] = tm
+                    monitor = f"val_{tracking}"
+                    mode = "max" if tm.higher_is_better else "min"
+                else:
+                    raise ValueError(
+                        f"MAB tracking metric {tracking!r} must be 'val_loss' or "
+                        "suffixed with -mol/-atom/-bond (e.g. 'rmse-atom')"
+                    )
             trainer = MABTrainer(
                 model,
+                monitor=monitor,
+                mode=mode,
+                val_metrics=val_metrics,
+                min_delta=getattr(args, "min_delta", 0.0),
                 max_epochs=args.epochs,
                 warmup_epochs=args.warmup_epochs,
                 init_lr=args.init_lr,

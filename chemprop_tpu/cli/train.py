@@ -117,6 +117,12 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         action="store_true",
         help="delete the per-epoch checkpoints/ dir after training",
     )
+    g.add_argument(
+        "--profile",
+        action="store_true",
+        help="capture a jax.profiler trace of the first few training steps "
+        "into <output-dir>/profile (view with TensorBoard)",
+    )
 
     # splits
     g.add_argument(
@@ -553,6 +559,7 @@ def main(args) -> int:
                 mode=mode,
                 val_metrics=val_metrics,
                 mesh=mesh,
+                profile_dir=(model_dir / "profile") if getattr(args, "profile", False) else None,
                 checkpoint_dir=model_dir / "checkpoints",
                 seed=args.seed + member,
                 log_every=1,

@@ -18,11 +18,14 @@ from chemprop_tpu.train.trainer import Trainer, TrainState, _device_put_batch
 
 @dataclass
 class MABTrainer(Trainer):
-    def _losses(self, model, preds, batch):
+    HEADS = ("mol", "atom", "bond")
+
+    def _losses(self, model, preds, batch, return_parts: bool = False):
         criterions = model.criterions()
         total = 0.0
-        for preds_k, crit, Y, w, lt, gt in zip(
-            preds, criterions, batch.Ys, batch.ws, batch.lt_masks, batch.gt_masks
+        parts = {}
+        for head, preds_k, crit, Y, w, lt, gt in zip(
+            self.HEADS, preds, criterions, batch.Ys, batch.ws, batch.lt_masks, batch.gt_masks
         ):
             if preds_k is None or crit is None or Y is None:
                 continue
@@ -30,8 +33,10 @@ class MABTrainer(Trainer):
             targets = jnp.nan_to_num(Y)
             lt_ = jnp.zeros_like(mask) if lt is None else lt
             gt_ = jnp.zeros_like(mask) if gt is None else gt
-            total = total + crit(preds_k, targets, mask, w[:, 0], lt_, gt_)
-        return total
+            part = crit(preds_k, targets, mask, w[:, 0], lt_, gt_)
+            parts[head] = part
+            total = total + part
+        return (total, parts) if return_parts else total
 
     def _make_train_step(self) -> Callable:
         model, tx = self.model, self.tx
@@ -95,19 +100,64 @@ class MABTrainer(Trainer):
                 is_training=False,
                 method="train_step_preds",
             )
-            loss = self._losses(model, preds, batch)
-            return {"total": loss, "n": jnp.ones(())}, preds
+            loss, parts = self._losses(model, preds, batch, return_parts=True)
+            return {"total": loss, "n": jnp.ones(()), **parts}, preds
 
         return jax.jit(eval_step)
 
     def _run_validation(self, val_loader, eval_step) -> dict[str, float]:
-        total, n = 0.0, 0
+        """Returns ``val_loss`` plus per-head ``val_loss-{mol,atom,bond}``
+        and any named per-head metrics like ``val_rmse-atom`` (the reference's
+        --tracking-metric suffix convention, cli/train.py:494-498)."""
+        sums: dict[str, float] = {}
+        n = 0
+        collected: dict[str, list] = {h: [] for h in self.HEADS}
+        targets_c: dict[str, list] = {h: [] for h in self.HEADS}
         for batch in val_loader:
             batch = _device_put_batch(batch, self.data_sharding)
-            state, _ = eval_step(self.state.params, self.state.batch_stats, batch)
-            total += float(state["total"])
+            state, preds = eval_step(self.state.params, self.state.batch_stats, batch)
+            for k, v in state.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
-        return {"val_loss": total / max(n, 1)}
+            if self.val_metrics:
+                # padding rows carry NaN targets in every table, so the
+                # isfinite mask inside the metric excludes them
+                for head, p, Y in zip(self.HEADS, preds, batch.Ys):
+                    if p is None or Y is None:
+                        continue
+                    collected[head].append(np.asarray(p))
+                    targets_c[head].append(np.asarray(Y))
+        record = {"val_loss": sums.get("total", float("nan")) / max(n, 1)}
+        for head in self.HEADS:
+            if head in sums:
+                record[f"val_loss-{head}"] = sums[head] / max(n, 1)
+        for name, metric in self.val_metrics.items():
+            base, _, head = name.rpartition("-")
+            if head not in self.HEADS or not collected.get(head):
+                continue
+            p = np.concatenate(collected[head], axis=0)
+            Y = np.concatenate(targets_c[head], axis=0)
+            if p.ndim == 3:
+                p = p[..., 0]
+            mask = np.isfinite(Y)
+            try:
+                if metric.needs_collection:
+                    val = float(metric.compute_from_arrays(p, Y, mask))
+                else:
+                    mstate = metric.update_state(
+                        metric.init_state(),
+                        jnp.asarray(p),
+                        jnp.asarray(np.nan_to_num(Y)),
+                        jnp.asarray(mask),
+                        jnp.ones(len(Y)),
+                        jnp.zeros_like(mask),
+                        jnp.zeros_like(mask),
+                    )
+                    val = float(metric.compute(mstate))
+            except Exception:
+                val = float("nan")
+            record[f"val_{name}"] = val
+        return record
 
     def init_state(self, batch, steps_per_epoch: int) -> TrainState:
         import jax

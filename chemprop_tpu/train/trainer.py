@@ -84,6 +84,11 @@ class Trainer:
     # _evaluate_batch (inference activations, no output unscaling)
     val_metrics: dict[str, ChempropMetric] = field(default_factory=dict)
     log_every: int = 0
+    # jax.profiler trace of training steps in epoch 0 (TensorBoard-viewable);
+    # the reference has no profiling at all (SURVEY.md §5.1) — on TPU this is
+    # the tool that finds HBM-bandwidth stalls in the scatter path
+    profile_dir: str | Path | None = None
+    profile_steps: int = 5
     mesh: Any = None  # jax.sharding.Mesh: shard batches / replicate params
     data_sharding: Any = None  # NamedSharding pytree for input batches
     # transfer learning: predicate on the flattened param path; matching
@@ -240,12 +245,28 @@ class Trainer:
             # ---- train
             n_edges = 0
             losses = []
-            for batch in train_loader:
+            profiling = False
+            for step_i, batch in enumerate(train_loader):
+                if (
+                    self.profile_dir is not None
+                    and epoch == self.start_epoch
+                    and step_i == 1  # skip the compile step
+                ):
+                    jax.profiler.start_trace(str(self.profile_dir))
+                    profiling = True
                 batch = _device_put_batch(batch, self.data_sharding)
                 self.state, loss = train_step(self.state, batch)
                 losses.append(loss)
                 bmgs = batch.bmg if isinstance(batch.bmg, tuple) else (batch.bmg,)
                 n_edges += int(sum(np.asarray(b.edge_mask).sum() for b in bmgs))
+                if profiling and step_i >= self.profile_steps:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info(f"wrote jax.profiler trace to {self.profile_dir}")
+            if profiling:
+                jax.block_until_ready(losses[-1])
+                jax.profiler.stop_trace()
             train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
             dt = time.time() - t0
             record = {

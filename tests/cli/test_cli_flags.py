@@ -188,3 +188,43 @@ class TestTrainFlagsE2E:
         )
         cfg = json.load(open(next(out.rglob("config.json"))))
         assert cfg["v_kl"] == 0.2 and cfg["eps"] == 1e-7
+
+
+class TestMABTrackingAndDescriptors:
+    def test_mab_tracking_metric_suffix(self, monkeypatch, data_dir, tmp_path):
+        out = tmp_path / "mab_track"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(data_dir / "mol_atom_bond" / "regression.csv"),
+                "--mol-target-columns", "mol_y1",
+                "--atom-target-columns", "atom_y1",
+                "--bond-target-columns", "bond_y1",
+                "--keep-h", "--epochs", "2", "--batch-size", "8", "-o", str(out),
+                "--tracking-metric", "rmse-atom",
+                "--atom-ffn-hidden-dim", "128", "--bond-ffn-num-layers", "2",
+            ],
+        )
+        history = json.load(open(next(out.rglob("history.json"))))
+        assert all("val_rmse-atom" in h and "val_loss-bond" in h for h in history)
+
+    def test_mab_bond_descriptors(self, monkeypatch, data_dir, tmp_path):
+        out = tmp_path / "mab_ed"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(data_dir / "mol_atom_bond" / "regression.csv"),
+                "--atom-target-columns", "atom_y1",
+                "--bond-target-columns", "bond_y1",
+                "--atom-descriptors-path",
+                str(data_dir / "mol_atom_bond" / "atom_features_descriptors.npz"),
+                "--bond-descriptors-path",
+                str(data_dir / "mol_atom_bond" / "bond_features_descriptors.npz"),
+                "--keep-h", "--epochs", "1", "--batch-size", "8", "-o", str(out),
+            ],
+        )
+        scores = json.load(open(next(out.rglob("test_scores.json"))))
+        # bond_rmse may be NaN if the tiny test split drew a bond-less
+        # molecule (methane); atom scores must be finite
+        assert np.isfinite(scores[-1]["atom_rmse"])
+        assert "bond_rmse" in scores[-1]
