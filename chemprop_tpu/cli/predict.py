@@ -102,6 +102,45 @@ def _build_loader(args, path, with_targets: bool = False):
     return DataLoader(dset, batch_size=args.batch_size), dset, Y
 
 
+def _check_featurizer_matches_model(args, variables) -> None:
+    """Auto-fix a featurizer/model input-dim mismatch by scanning the atom
+    featurizer modes for the one whose dims match the checkpoint's W_i
+    (cf. reference ``cli/predict.py:224-298``, which falls back to the v1
+    featurizer when predicting with converted v1 models)."""
+    from chemprop_tpu.featurizers.atom import get_multi_hot_atom_featurizer
+    from chemprop_tpu.featurizers.bond import MultiHotBondFeaturizer, RIGRBondFeaturizer
+
+    mp_params = variables.get("params", {}).get("message_passing")
+    if mp_params is None or "W_i" not in mp_params:
+        return  # multicomponent blocks: skip the auto-check
+    d_in = int(np.asarray(mp_params["W_i"]["kernel"]).shape[0])
+    if args.reaction_columns:
+        return  # CGR dims depend on rxn mode; no unambiguous fallback
+
+    def dims_for(mode):
+        atom = len(get_multi_hot_atom_featurizer(mode))
+        bond = len(RIGRBondFeaturizer() if mode == "rigr" else MultiHotBondFeaturizer())
+        return atom, bond
+
+    atom_fdim, bond_fdim = dims_for(args.multi_hot_atom_featurizer_mode)
+    for expected in (atom_fdim + bond_fdim, atom_fdim):  # bond vs atom messages
+        if d_in == expected:
+            return
+    for mode in ("v2", "v1", "organic", "rigr"):
+        a, b = dims_for(mode)
+        if d_in in (a + b, a):
+            logger.warning(
+                f"model expects {d_in}-dim W_i input; switching atom featurizer "
+                f"mode {args.multi_hot_atom_featurizer_mode!r} -> {mode!r}"
+            )
+            args.multi_hot_atom_featurizer_mode = mode
+            return
+    logger.warning(
+        f"model W_i input dim {d_in} matches no known featurizer mode "
+        "(extra atom/bond features?); proceeding unchanged"
+    )
+
+
 def main(args) -> int:
     model_paths = find_models(args.model_paths)
 
@@ -113,6 +152,8 @@ def main(args) -> int:
 
         return predict_MAB(args, first_model, first_vars, first_extra)
 
+    if not (args.atom_features_path or args.bond_features_path):
+        _check_featurizer_matches_model(args, first_vars)
     loader, dset, _ = _build_loader(args, args.data_path)
 
     individual = []

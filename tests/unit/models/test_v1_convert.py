@@ -128,3 +128,29 @@ class TestPerceptionGoldens:
         m = make_mol("Cc3nnc4CN=C(c1ccccc1)c2ccccc2n34")
         linker = m.get_bond_between(19, 20)
         assert linker is not None and linker.bond_type == BondType.SINGLE
+
+
+def test_predict_auto_detects_v1_featurizer(data_dir, tmp_path, monkeypatch):
+    """predict must notice the 147-dim W_i and switch to the v1 atom
+    featurizer automatically (reference cli/predict.py:224-298)."""
+    import pandas as pd
+
+    from chemprop_tpu.cli.main import main as cli_main
+    from chemprop_tpu.models.serialize import save_model
+
+    model, variables, cols = convert_model(data_dir / "example_model_v1_regression_mol.pt")
+    ckpt = tmp_path / "v1.ckpt"
+    save_model(ckpt, model, variables, output_columns=cols)
+
+    golden = pd.read_csv(data_dir / "example_model_v1_regression_mol_prediction.csv")
+    inp = tmp_path / "in.csv"
+    golden[["smiles"]].head(8).to_csv(inp, index=False)
+    out = tmp_path / "preds.csv"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["chemprop-tpu", "predict", "-i", str(inp), "--model-paths", str(ckpt), "-o", str(out)],
+    )
+    assert cli_main() in (0, None)
+    got = pd.read_csv(out)["logSolubility"].to_numpy()
+    np.testing.assert_allclose(got, golden["logSolubility"].head(8).to_numpy(), atol=1e-5)
