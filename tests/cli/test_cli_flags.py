@@ -228,3 +228,24 @@ class TestMABTrackingAndDescriptors:
         # molecule (methane); atom scores must be finite
         assert np.isfinite(scores[-1]["atom_rmse"])
         assert "bond_rmse" in scores[-1]
+
+
+class TestSpectralTask:
+    def test_train_spectral(self, monkeypatch, data_dir, tmp_path):
+        out = tmp_path / "spectra"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(data_dir / "spectra.csv"),
+                "--task-type", "spectral", "--metrics", "sid", "wasserstein",
+                "--epochs", "2", "--batch-size", "8", "-o", str(out),
+                "--split-sizes", "0.7", "0.0", "0.3",
+            ],
+        )
+        scores = json.load(open(next(out.rglob("test_scores.json"))))
+        assert np.isfinite(scores[-1]["sid"])
+        # spectral preds are positive and normalized per row
+        rows = list(csv.DictReader(open(next(out.rglob("test_predictions.csv")))))
+        vals = np.array([[float(v) for k, v in r.items() if k != "name"] for r in rows])
+        assert (vals > 0).all()
+        np.testing.assert_allclose(vals.sum(1), 1.0, atol=1e-4)
