@@ -474,6 +474,7 @@ def main(args) -> int:
         train_dset = mk(train_data)
         val_dset = mk(val_data) if len(va_i) else None
         test_dset = mk(test_data) if len(te_i) else None
+        _log_data_summary(rep, train_dset, val_dset, test_dset, target_cols)
 
         if args.save_smiles_splits or args.save_data_splits:
             split_dir = out_dir / (f"replicate_{rep}" if len(trains) > 1 else ".")
@@ -610,6 +611,35 @@ def main(args) -> int:
             json.dump(all_scores, f, indent=2)
         print(json.dumps(all_scores[-1]))
     return 0
+
+
+def _log_data_summary(rep, train_dset, val_dset, test_dset, target_cols) -> None:
+    """Per-split size and per-task target statistics (the reference renders
+    these as rich tables, cli/train.py:1229-1311)."""
+    sizes = {
+        "train": len(train_dset),
+        "val": len(val_dset) if val_dset is not None else 0,
+        "test": len(test_dset) if test_dset is not None else 0,
+    }
+    logger.info(
+        f"replicate {rep} split sizes: "
+        + "  ".join(f"{k}={v}" for k, v in sizes.items())
+    )
+    try:
+        Y = np.asarray(train_dset._Y, dtype=np.float64)
+        lines = []
+        for j, col in enumerate(target_cols[: Y.shape[1]]):
+            y = Y[:, j]
+            y = y[np.isfinite(y)]
+            if y.size:
+                lines.append(
+                    f"  {col}: n={y.size} mean={y.mean():.4g} std={y.std():.4g} "
+                    f"min={y.min():.4g} max={y.max():.4g}"
+                )
+        if lines:
+            logger.info("train target summary:\n" + "\n".join(lines))
+    except Exception:  # raw targets may be non-numeric views (MAB lists)
+        pass
 
 
 def _select_devices(args):

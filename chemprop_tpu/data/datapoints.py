@@ -80,6 +80,57 @@ class MoleculeDatapoint(_DatapointMixin):
 
 
 @dataclass
+class LazyMoleculeDatapoint(MoleculeDatapoint):
+    """SMILES-lazy datapoint: the Mol is parsed on first ``.mol`` access and
+    cached (cf. reference ``LazyMoleculeDatapoint``, ``data/datapoints.py:154``).
+    Keeps host memory flat for very large datasets whose featurization runs
+    through the native C++ batch path (which re-parses SMILES itself)."""
+
+    smiles: str = ""
+    keep_h: bool = False
+    add_h: bool = False
+    ignore_stereo: bool = False
+    reorder_atoms: bool = False
+
+    def __post_init__(self):
+        if not self.smiles:
+            raise ValueError("smiles is required")
+        if self.name is None:
+            self.name = self.smiles
+        self.V_f = _nan_to_zero(self.V_f)
+        self.E_f = _nan_to_zero(self.E_f)
+        self.V_d = _nan_to_zero(self.V_d)
+        _DatapointMixin.__post_init__(self)
+
+    @classmethod
+    def from_smi(cls, smi: str, **kwargs) -> "LazyMoleculeDatapoint":
+        kwargs.pop("name", None)
+        return cls(smiles=smi, **kwargs)
+
+
+def _lazy_mol_get(self) -> Mol:
+    m = self.__dict__.get("_mol")
+    if m is None:
+        m = make_mol(
+            self.smiles, self.keep_h, self.add_h, self.ignore_stereo, self.reorder_atoms
+        )
+        self.__dict__["_mol"] = m
+    return m
+
+
+def _lazy_mol_set(self, value) -> None:
+    # the dataclass-generated __init__ assigns the field default here; only a
+    # real Mol is worth caching
+    if value is not None and not isinstance(value, property):
+        self.__dict__["_mol"] = value
+
+
+# installed after dataclass processing so the property does not read as the
+# inherited ``mol`` field's default value
+LazyMoleculeDatapoint.mol = property(_lazy_mol_get, _lazy_mol_set)
+
+
+@dataclass
 class ReactionDatapoint(_DatapointMixin):
     rct: Mol = None
     pdt: Mol = None

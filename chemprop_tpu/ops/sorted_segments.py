@@ -163,7 +163,7 @@ def _dispatch(data, ids, num_segments):
     platform = jax.devices()[0].platform
     if (
         platform in ("tpu",)
-        and data.dtype == jnp.float32  # bf16 variant hits a pathological Mosaic compile
+        and data.dtype in (jnp.float32, jnp.bfloat16)
         and data.shape[0] % CHUNK == 0
         and data.shape[0] * 4 <= MAX_VMEM_IDS_BYTES
     ):
