@@ -31,7 +31,7 @@ from chemprop_tpu.conf import DEFAULT_HIDDEN_DIM
 from chemprop_tpu.data.collate import BatchMolGraph
 from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
 from chemprop_tpu.nn.utils import get_activation_function
-from chemprop_tpu.ops.gather import gather_rev, gather_src
+from chemprop_tpu.ops.gather import gather_dst, gather_rev, gather_src
 from chemprop_tpu.ops.segment import segment_sum
 
 
@@ -124,7 +124,7 @@ class BondMessagePassing(_MessagePassingBase):
             # M_node[src] - H[rev] == (M_node[dst] - H)[rev]: one sorted
             # (streaming) gather + one permutation instead of a random gather
             # plus a permutation — and the same identity holds in reverse
-            return _gather_rev(M_node[bmg.dst] - H, bmg)
+            return _gather_rev(gather_dst(M_node, bmg.dst) - H, bmg)
         return M_node[bmg.src] - H[bmg.rev]
 
 

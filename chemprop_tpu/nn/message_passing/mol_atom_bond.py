@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from chemprop_tpu.conf import DEFAULT_HIDDEN_DIM
 from chemprop_tpu.data.collate import BatchMolGraph
 from chemprop_tpu.nn.message_passing.base import _gather_rev, _gather_src
+from chemprop_tpu.ops.gather import gather_dst
 from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
 from chemprop_tpu.nn.utils import get_activation_function
 from chemprop_tpu.ops.segment import segment_sum
@@ -127,7 +128,7 @@ class MABBondMessagePassing(_MABMessagePassingBase):
     def _message(self, H, bmg):
         M_node = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)
         if bmg.edges_sorted:
-            return _gather_rev(M_node[bmg.dst] - H, bmg)
+            return _gather_rev(gather_dst(M_node, bmg.dst) - H, bmg)
         return M_node[bmg.src] - H[bmg.rev]
 
 

@@ -45,6 +45,31 @@ gather_src.defvjp(_gather_src_fwd, _gather_src_bwd)
 
 
 @jax.custom_vjp
+def gather_dst(M: jax.Array, dst: jax.Array) -> jax.Array:
+    """``M[dst]`` for a node table M and edge ids ``dst`` sorted ascending.
+
+    The forward gather streams node rows in order (near-bandwidth). XLA's
+    autodiff transpose of a plain ``M[dst]`` is a generic scatter-add (the
+    single most expensive op in the backward pass, ~kCustom scatter fusion);
+    with sorted ids it is exactly a sorted segment-sum, which dispatches to
+    the Pallas one-hot-matmul kernel on TPU."""
+    return M[dst]
+
+
+def _gather_dst_fwd(M, dst):
+    return M[dst], (M.shape[0], dst)
+
+
+def _gather_dst_bwd(res, g):
+    n_nodes, dst = res
+    dM = segment_sum(g, dst, n_nodes, sorted=True)
+    return dM.astype(g.dtype), None
+
+
+gather_dst.defvjp(_gather_dst_fwd, _gather_dst_bwd)
+
+
+@jax.custom_vjp
 def gather_rev(H: jax.Array, rev: jax.Array) -> jax.Array:
     """``H[rev]`` where rev is an involution; backward is also ``[rev]``."""
     return H[rev]
