@@ -64,11 +64,15 @@ class _MessagePassingBase(nn.Module):
         return self.d_h + self.d_vd if self.d_vd else self.d_h
 
     def setup(self):
-        self.W_i = nn.Dense(self.d_h, use_bias=self.bias, name="W_i")
-        self.W_h = nn.Dense(self.d_h, use_bias=self.bias, name="W_h")
-        self.W_o = nn.Dense(self.d_h, use_bias=True, name="W_o")
+        # dtype=compute_dtype keeps the whole depth loop in the compute
+        # precision — flax's default promotion would bounce every Dense
+        # output back to f32 (params stay f32; casts happen at apply)
+        dt = self.compute_dtype
+        self.W_i = nn.Dense(self.d_h, use_bias=self.bias, name="W_i", dtype=dt)
+        self.W_h = nn.Dense(self.d_h, use_bias=self.bias, name="W_h", dtype=dt)
+        self.W_o = nn.Dense(self.d_h, use_bias=True, name="W_o", dtype=dt)
         if self.d_vd:
-            self.W_d = nn.Dense(self.d_h + self.d_vd, use_bias=True, name="W_d")
+            self.W_d = nn.Dense(self.d_h + self.d_vd, use_bias=True, name="W_d", dtype=dt)
         self.drop = nn.Dropout(self.dropout)
         self.tau: Callable = get_activation_function(self.activation)
 

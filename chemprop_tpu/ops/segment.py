@@ -36,12 +36,9 @@ def segment_sum(
     the fast path (XLA sorted-scatter, or the Pallas one-hot-matmul kernel
     when CHEMPROP_TPU_PALLAS=1)."""
     if sorted:
-        if (
-            _use_pallas()
-            and data.ndim == 2
-            and data.shape[0] % 128 == 0
-            and num_segments % 128 == 0
-        ):
+        # the kernel rounds the segment dim up to whole output tiles itself,
+        # so num_segments needs no alignment (only the row count does)
+        if _use_pallas() and data.ndim == 2 and data.shape[0] % 128 == 0:
             from chemprop_tpu.ops.sorted_segments import sorted_segment_sum
 
             return sorted_segment_sum(data, segment_ids, num_segments).astype(data.dtype)
