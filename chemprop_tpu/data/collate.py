@@ -71,11 +71,13 @@ class TrainingBatch(NamedTuple):
         return np.asarray(self.w).reshape(-1) > 0
 
 
-def pad_to_bucket(n: int, multiple: int = 128, ratio: float = 1.25) -> int:
+def pad_to_bucket(n: int, multiple: int = 128, ratio: float = 1.1) -> int:
     """Smallest bucket >= n from a geometric-ish ladder: multiples of
     ``multiple`` up to 4x, then geometric with ``ratio`` rounded to
-    ``multiple``. Bounds both padding waste (<~25%) and the number of
-    distinct compiled shapes."""
+    ``multiple``. Bounds both padding waste (<~10% — the training step is
+    HBM-bandwidth-bound, so padding waste is throughput lost one-for-one)
+    and the number of distinct compiled shapes (batches of a fixed graph
+    count concentrate on 1-3 edge buckets in practice)."""
     if n <= multiple:
         return multiple
     if n <= 4 * multiple:

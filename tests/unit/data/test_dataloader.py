@@ -42,8 +42,14 @@ class TestPadToBucket:
             prev = b
 
     def test_few_distinct_shapes(self):
+        # ratio 1.1 ladder: ~35 buckets across 1..10k; what matters is that
+        # the count grows logarithmically (bounded compiled programs) while
+        # waste stays under ~10% (the step is bandwidth-bound)
         buckets = {pad_to_bucket(n) for n in range(1, 10000)}
-        assert len(buckets) < 20  # bounded number of compiled programs
+        assert len(buckets) < 40
+        for n in [700, 1500, 5000, 20000, 100000]:
+            b = pad_to_bucket(n)
+            assert (b - n) / n < 0.11
 
 
 class TestDataLoader:
