@@ -1,0 +1,1055 @@
+"""2D molecular descriptors computed on the in-repo :class:`Mol` substrate.
+
+The reference exposes RDKit/descriptastorus descriptor featurizers
+(``chemprop/featurizers/molecule.py:53-99``) as molecule-level extra
+descriptors ``x_d``. This TPU-native stack ships no RDKit, so the descriptor
+set is implemented here from the primary literature:
+
+* **Crippen LogP / MR** — Wildman & Crippen, J. Chem. Inf. Comput. Sci. 1999,
+  39, 868-873 (atom-contribution method; the same scheme RDKit's ``MolLogP``/
+  ``MolMR`` implement). Atom typing is a rule engine over the perceived
+  molecular graph instead of SMARTS matching.
+* **TPSA** — Ertl, Rohde & Selzer, J. Med. Chem. 2000, 43, 3714-3717
+  (N/O contributions; S/P optionally, off by default like RDKit).
+* **Kier-Hall connectivity (Chi) and shape (Kappa) indices, Hall-Kier
+  alpha** — Kier & Hall, "Molecular Connectivity in Structure-Activity
+  Analysis", 1986.
+* **Balaban J** — Balaban, Chem. Phys. Lett. 1982, 89, 399-404.
+* Constitutional counts (rings, rotatable bonds, H donors/acceptors,
+  heteroatoms, fraction Csp3, ...) following the standard (Lipinski-style)
+  definitions.
+
+Values are validated against published/RDKit reference numbers in
+``tests/unit/chem/test_descriptors.py`` (methane/benzene/phenol/water LogP,
+benzene MR, aspirin/pyridine/aniline TPSA, benzene kappa indices).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Callable
+
+import numpy as np
+
+from chemprop_tpu.chem.mol import Atom, Bond, BondType, HybridizationType, Mol
+from chemprop_tpu.chem.periodic_table import MASSES, n_outer_electrons
+
+# --------------------------------------------------------------------------
+# small graph helpers
+# --------------------------------------------------------------------------
+
+_HET = {7, 8, 15, 16, 9, 17, 35, 53}  # N O P S F Cl Br I
+_HALOGENS = {9, 17, 35, 53}
+
+
+def _heavy_neighbors(mol: Mol, idx: int) -> list[Atom]:
+    return [mol.atoms[j] for j in mol.neighbors(idx)]
+
+
+def _bond_orders(mol: Mol, idx: int) -> list[BondType]:
+    return [b.bond_type for b in mol.atom_bonds(idx)]
+
+
+def _has_double_to(mol: Mol, idx: int, pred) -> bool:
+    for b in mol.atom_bonds(idx):
+        if b.bond_type == BondType.DOUBLE and pred(mol.atoms[b.other_atom_idx(idx)]):
+            return True
+    return False
+
+
+def _is_sp3_carbon(mol: Mol, a: Atom) -> bool:
+    return (
+        a.atomic_num == 6
+        and not a.is_aromatic
+        and all(b.bond_type in (BondType.SINGLE,) for b in mol.atom_bonds(a.idx))
+    )
+
+
+def distance_matrix(mol: Mol) -> np.ndarray:
+    """All-pairs topological distances by BFS (float; inf across components)."""
+    n = mol.num_atoms
+    D = np.full((n, n), np.inf)
+    adj = [mol.neighbors(i) for i in range(n)]
+    for s in range(n):
+        D[s, s] = 0.0
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if D[s, v] == np.inf:
+                    D[s, v] = D[s, u] + 1
+                    q.append(v)
+    return D
+
+
+def _n_components(mol: Mol) -> int:
+    n = mol.num_atoms
+    seen = [False] * n
+    comps = 0
+    for s in range(n):
+        if seen[s]:
+            continue
+        comps += 1
+        q = deque([s])
+        seen[s] = True
+        while q:
+            u = q.popleft()
+            for v in mol.neighbors(u):
+                if not seen[v]:
+                    seen[v] = True
+                    q.append(v)
+    return comps
+
+
+# --------------------------------------------------------------------------
+# Crippen LogP / MR (Wildman & Crippen 1999)
+# --------------------------------------------------------------------------
+# (logp, mr) contribution per atom type. Types follow Table 1 of the paper.
+_CRIPPEN: dict[str, tuple[float, float]] = {
+    "C1": (0.1441, 2.503),
+    "C2": (0.0000, 2.433),
+    "C3": (-0.2035, 2.753),
+    "C4": (-0.2051, 2.731),
+    "C5": (-0.2783, 5.007),
+    "C6": (0.1551, 3.513),
+    "C7": (0.0017, 3.888),
+    "C8": (0.08452, 2.464),
+    "C9": (-0.1444, 2.412),
+    "C10": (-0.0516, 2.488),
+    "C11": (0.1193, 2.582),
+    "C12": (-0.0967, 2.576),
+    "C13": (-0.5443, 4.041),
+    "C14": (0.0, 3.257),
+    "C15": (0.245, 3.564),
+    "C16": (0.198, 3.180),
+    "C17": (0.0, 3.104),
+    "C18": (0.1581, 3.350),
+    "C19": (0.2955, 4.346),
+    "C20": (0.2713, 3.904),
+    "C21": (0.136, 3.509),
+    "C22": (0.4619, 4.067),
+    "C23": (0.5437, 3.853),
+    "C24": (0.1893, 2.673),
+    "C25": (-0.8186, 3.135),
+    "C26": (0.2640, 4.305),
+    "C27": (0.2148, 2.693),
+    "CS": (0.08129, 3.243),
+    "H1": (0.1230, 1.057),
+    "H2": (-0.2677, 1.395),
+    "H3": (0.2142, 0.9627),
+    "H4": (0.2980, 1.805),
+    "HS": (0.1125, 1.112),
+    "N1": (-1.0190, 2.262),
+    "N2": (-0.7096, 2.173),
+    "N3": (-1.0270, 2.827),
+    "N4": (-0.5188, 3.000),
+    "N5": (0.08387, 1.757),
+    "N6": (0.1836, 2.428),
+    "N7": (-0.3187, 1.839),
+    "N8": (-0.4458, 2.819),
+    "N9": (0.01508, 1.725),
+    "N10": (-1.950, 2.134),
+    "N11": (-0.3239, 2.202),
+    "N12": (-1.119, 2.134),
+    "N13": (-0.3396, 0.2604),
+    "N14": (0.2887, 3.359),
+    "NS": (-0.4806, 2.134),
+    "O1": (0.1552, 1.080),
+    "O2": (-0.2893, 0.8238),
+    "O3": (-0.0684, 1.085),
+    "O4": (-0.4195, 1.182),
+    "O5": (0.0335, 3.367),
+    "O6": (-0.3339, 0.7774),
+    "O7": (-1.189, 0.0),
+    "O8": (0.1788, 3.135),
+    "O9": (-0.1526, 0.0),
+    "O10": (0.1129, 0.2215),
+    "O11": (0.4833, 0.389),
+    "O12": (-1.326, 0.0),
+    "OS": (-0.1188, 0.6865),
+    "F": (0.4202, 1.108),
+    "Cl": (0.6895, 5.853),
+    "Br": (0.8456, 8.927),
+    "I": (0.8857, 14.02),
+    "Hal": (-2.996, 5.754),
+    "P": (0.8612, 6.920),
+    "S1": (0.6482, 7.591),
+    "S2": (-0.0024, 7.365),
+    "S3": (0.6237, 6.691),
+    "Me1": (-0.3808, 5.754),
+    "Me2": (-0.0025, 5.754),
+}
+
+_ME1 = {3, 4, 11, 12, 19, 20, 13, 31, 49, 81, 32, 50, 82, 51, 83, 84, 85}  # main group
+# everything else metallic -> Me2 (transition/lanthanide)
+
+
+def _crippen_carbon(mol: Mol, a: Atom) -> str:
+    i = a.idx
+    nbrs = _heavy_neighbors(mol, i)
+    nH = a.total_num_hs
+    if a.is_aromatic:
+        if nH >= 1:
+            return "C18"
+        # substituent through the one non-aromatic connection (ring fusion -> C19)
+        ext: list[tuple[Bond, Atom]] = [
+            (b, mol.atoms[b.other_atom_idx(i)])
+            for b in mol.atom_bonds(i)
+            if b.bond_type != BondType.AROMATIC
+        ]
+        if not ext:
+            return "C19"  # aromatic bridgehead [c](:a)(:a):a
+        b, x = ext[0]
+        if b.bond_type == BondType.DOUBLE:
+            return "C25"  # exocyclic double bond
+        if x.is_aromatic:
+            return "C20"  # aryl-aryl single bond
+        z = x.atomic_num
+        if z == 9:
+            return "C14"
+        if z == 17:
+            return "C15"
+        if z == 35:
+            return "C16"
+        if z == 53:
+            return "C17"
+        if z == 6:
+            return "C21"
+        if z == 7:
+            return "C22"
+        if z == 8:
+            return "C23"
+        if z == 16:
+            return "C24"
+        return "C13"  # unusual aliphatic substituent
+    orders = _bond_orders(mol, i)
+    if all(o == BondType.SINGLE for o in orders):  # sp3 (CX4)
+        if nbrs and all(n.atomic_num == 6 and not n.is_aromatic for n in nbrs):
+            return "C1" if nH >= 2 else "C2"
+        if not nbrs:
+            return "C1"  # CH4
+        if any(n.atomic_num in _HET and not n.is_aromatic for n in nbrs):
+            return "C3" if nH >= 2 else "C4"
+        if any(n.is_aromatic for n in nbrs):
+            arom_c = any(n.is_aromatic and n.atomic_num == 6 for n in nbrs)
+            if nH == 3:
+                return "C8" if arom_c else "C9"
+            if nH == 2:
+                return "C10"
+            if nH == 1:
+                return "C11"
+            return "C12"
+        return "C27" if any(n.atomic_num != 6 for n in nbrs) else "CS"
+    # multiple bonds present: sp2 / sp
+    if any(o == BondType.TRIPLE for o in orders):
+        return "C7"
+    dbl_partners = [
+        mol.atoms[b.other_atom_idx(i)]
+        for b in mol.atom_bonds(i)
+        if b.bond_type == BondType.DOUBLE
+    ]
+    if any(p.atomic_num != 6 and not p.is_aromatic for p in dbl_partners):
+        return "C5"  # C=O, C=N, C=S ...
+    if any(p.is_aromatic for p in dbl_partners):
+        return "C26"  # C=c
+    if len(dbl_partners) == 2:
+        return "C6"  # allene center [C](=C)=C
+    # C=C; aromatic substituent promotes to C26
+    if any(n.is_aromatic for n in nbrs):
+        return "C26"
+    # allene terminus: double bond to an sp carbon
+    if any(
+        sum(1 for o in _bond_orders(mol, p.idx) if o == BondType.DOUBLE) == 2
+        for p in dbl_partners
+    ):
+        return "C7"
+    return "C6"
+
+
+def _crippen_nitrogen(mol: Mol, a: Atom) -> str:
+    i = a.idx
+    nH = a.total_num_hs
+    chg = a.formal_charge
+    if a.is_aromatic:
+        if chg > 0:
+            return "N12"
+        if chg < 0:
+            return "N14"
+        return "N11"
+    nbrs = _heavy_neighbors(mol, i)
+    orders = _bond_orders(mol, i)
+    if chg < 0:
+        return "N14"
+    if chg > 0:
+        if nH >= 1 and all(o == BondType.SINGLE for o in orders):
+            return "N10"
+        if any(o == BondType.TRIPLE for o in orders):
+            return "N14"
+        # azide-style / quaternary and =N+ types
+        if any(o == BondType.DOUBLE for o in orders) and any(
+            n.formal_charge < 0 for n in nbrs
+        ):
+            return "N14"
+        return "N13"
+    if any(o == BondType.TRIPLE for o in orders):
+        return "N9"
+    has_dbl = any(o == BondType.DOUBLE for o in orders)
+    arom_nbr = any(n.is_aromatic for n in nbrs)
+    if has_dbl:
+        return "N5" if nH >= 1 else "N6"
+    if nH >= 2:
+        return "N3" if arom_nbr else "N1"
+    if nH == 1:
+        return "N4" if arom_nbr else "N2"
+    return "N8" if arom_nbr else "N7"
+
+
+def _crippen_oxygen(mol: Mol, a: Atom) -> str:
+    i = a.idx
+    nH = a.total_num_hs
+    if a.is_aromatic:
+        return "O1"
+    nbrs = _heavy_neighbors(mol, i)
+    orders = _bond_orders(mol, i)
+    if a.formal_charge < 0:
+        # carboxylate / phosphate-style O-
+        for n in nbrs:
+            if n.atomic_num == 6 and _has_double_to(
+                mol, n.idx, lambda x: x.atomic_num == 8
+            ):
+                return "O12"
+            if n.atomic_num in (7, 8):
+                return "O5"
+            if n.atomic_num == 16:
+                return "O6"
+        return "O7"
+    if nH >= 1:
+        return "O2"  # hydroxyl / water
+    if any(o == BondType.DOUBLE for o in orders):
+        n = nbrs[0]
+        if n.atomic_num in (7, 8):
+            return "O5"  # nitro / N-oxide / O=O
+        if n.atomic_num == 16:
+            return "O6"  # S=O
+        if n.is_aromatic:
+            return "O8"  # O=c
+        if n.atomic_num == 6:
+            heavy = [x for x in _heavy_neighbors(mol, n.idx) if x.idx != i]
+            n_nonC = sum(1 for x in heavy if x.atomic_num != 6)
+            n_arom = sum(1 for x in heavy if x.is_aromatic)
+            if len(heavy) == 2 and n_nonC == 2:
+                return "O11"  # urea / carbamate / carbonate C=O
+            if n_arom:
+                return "O10"  # aryl ketone / benzamide C=O
+            return "O9"  # aliphatic aldehyde/ketone/acid/ester C=O
+        return "O7"
+    # ether-type oxygen (two single bonds, no H)
+    if nbrs and all(n.atomic_num == 6 and not n.is_aromatic for n in nbrs):
+        return "O3"
+    if any(n.is_aromatic for n in nbrs):
+        return "O4"
+    return "OS"
+
+
+def _crippen_type(mol: Mol, a: Atom) -> str:
+    z = a.atomic_num
+    if z == 6:
+        return _crippen_carbon(mol, a)
+    if z == 7:
+        return _crippen_nitrogen(mol, a)
+    if z == 8:
+        return _crippen_oxygen(mol, a)
+    if z == 9:
+        return "F" if a.formal_charge == 0 and mol.degree(a.idx) else "Hal"
+    if z == 17:
+        return "Cl" if a.formal_charge == 0 and mol.degree(a.idx) else "Hal"
+    if z == 35:
+        return "Br" if a.formal_charge == 0 and mol.degree(a.idx) else "Hal"
+    if z == 53:
+        return "I" if a.formal_charge == 0 and mol.degree(a.idx) else "Hal"
+    if z == 15:
+        return "P"
+    if z == 16:
+        if a.is_aromatic:
+            return "S3"
+        return "S2" if a.formal_charge != 0 else "S1"
+    if z == 1:
+        return "HS"
+    if z in _ME1:
+        return "Me1"
+    return "Me2"
+
+
+def _crippen_hydrogen(mol: Mol, heavy: Atom) -> str:
+    """Type of the hydrogens attached to ``heavy``."""
+    z = heavy.atomic_num
+    if z == 6:
+        return "H1"
+    if z == 7:
+        return "H3"
+    if z == 8:
+        nbrs = _heavy_neighbors(mol, heavy.idx)
+        if not nbrs:
+            return "H2"  # water
+        n = nbrs[0]
+        if n.atomic_num == 7:
+            return "H3"  # H-O-N
+        if n.atomic_num in (8, 16):
+            return "H4"  # peroxide / H-O-S
+        if n.atomic_num == 6 and any(
+            b.bond_type == BondType.DOUBLE for b in mol.atom_bonds(n.idx)
+        ):
+            return "H4"  # acid / enol
+        return "H2"
+    return "H2"  # [#1][!C;!N;!O]
+
+
+def crippen_logp_mr(mol: Mol) -> tuple[float, float]:
+    """Wildman-Crippen octanol/water logP and molar refractivity."""
+    logp = mr = 0.0
+    for a in mol.atoms:
+        lp, m = _CRIPPEN[_crippen_type(mol, a)]
+        logp += lp
+        mr += m
+        nH = a.total_num_hs
+        if nH:
+            lp_h, m_h = _CRIPPEN[_crippen_hydrogen(mol, a)]
+            logp += nH * lp_h
+            mr += nH * m_h
+    return logp, mr
+
+
+# --------------------------------------------------------------------------
+# TPSA (Ertl 2000)
+# --------------------------------------------------------------------------
+
+
+def tpsa(mol: Mol, include_s_p: bool = False) -> float:
+    """Topological polar surface area from N/O (optionally S/P) fragment
+    contributions (Ertl et al. 2000, Table 1)."""
+    total = 0.0
+    for a in mol.atoms:
+        z = a.atomic_num
+        if z not in (7, 8) and not (include_s_p and z in (15, 16)):
+            continue
+        i = a.idx
+        nH = a.total_num_hs
+        chg = a.formal_charge
+        bonds = mol.atom_bonds(i)
+        n_single = sum(1 for b in bonds if b.bond_type == BondType.SINGLE)
+        n_double = sum(1 for b in bonds if b.bond_type == BondType.DOUBLE)
+        n_triple = sum(1 for b in bonds if b.bond_type == BondType.TRIPLE)
+        n_arom = sum(1 for b in bonds if b.bond_type == BondType.AROMATIC)
+        in3ring = any(len(r) == 3 for r in getattr(mol, "rings", []) if i in r)
+
+        # charge-separated nitro groups are scored in their pentavalent
+        # neutral form (RDKit convention): N -> 11.68, both O -> 17.07
+        def _is_nitro_n(atom: Atom) -> bool:
+            if atom.atomic_num != 7 or atom.formal_charge != 1:
+                return False
+            bs = mol.atom_bonds(atom.idx)
+            o_minus = o_dbl = 0
+            for b in bs:
+                x = mol.atoms[b.other_atom_idx(atom.idx)]
+                if x.atomic_num == 8 and x.formal_charge == -1 and b.bond_type == BondType.SINGLE:
+                    o_minus += 1
+                elif x.atomic_num == 8 and b.bond_type == BondType.DOUBLE:
+                    o_dbl += 1
+            return o_minus == 1 and o_dbl == 1
+
+        c = None
+        if z == 8 and chg == -1 and any(
+            _is_nitro_n(mol.atoms[b.other_atom_idx(i)]) for b in bonds
+        ):
+            total += 17.07
+            continue
+        if z == 7 and _is_nitro_n(a):
+            total += 11.68
+            continue
+        if z == 7:
+            if a.is_aromatic:
+                if chg == 0:
+                    if nH == 0:
+                        if n_arom == 2 and n_single == 0 and n_double == 0:
+                            c = 12.89  # [n](:a):a
+                        elif n_arom == 3:
+                            c = 4.41  # [n](:a)(:a):a
+                        elif n_arom == 2 and n_single == 1:
+                            c = 4.93  # [n](-*)(:a):a
+                        elif n_arom == 2 and n_double == 1:
+                            c = 8.39  # [n](=*)(:a):a
+                    elif nH == 1:
+                        c = 15.79  # [nH]
+                elif chg > 0:
+                    if nH == 0:
+                        c = 4.10 if n_arom == 3 else 3.88
+                    elif nH == 1:
+                        c = 14.14
+            else:
+                if chg == 0:
+                    if n_triple == 1 and n_single == 0:
+                        c = 23.79  # N#*
+                    elif n_double == 1 and n_triple == 1:
+                        c = 13.60  # =N#
+                    elif nH == 0:
+                        if n_single == 3:
+                            c = 3.01 if in3ring else 3.24
+                        elif n_single == 1 and n_double == 1:
+                            c = 12.36
+                        elif n_single == 2 and n_double == 1:
+                            c = 11.68  # nitro-style N(-*)(=*)=* handled below
+                        elif n_double == 2 and n_single == 1:
+                            c = 11.68
+                    elif nH == 1:
+                        if n_single == 2:
+                            c = 21.94 if in3ring else 12.03
+                        elif n_double == 1:
+                            c = 23.85
+                    elif nH == 2:
+                        c = 26.02
+                elif chg > 0:
+                    if nH == 0:
+                        if n_single == 4:
+                            c = 0.0
+                        elif n_single == 2 and n_double == 1:
+                            c = 3.01
+                        elif n_triple == 1:
+                            c = 4.36
+                    elif nH == 1:
+                        if n_single == 3:
+                            c = 4.44
+                        elif n_double == 1:
+                            c = 13.97
+                    elif nH == 2:
+                        c = 16.61 if n_single == 2 else 25.59
+                    elif nH == 3:
+                        c = 27.64
+            if c is None:
+                # Ertl's generic N fallback
+                c = 30.5 - mol.degree(i) * 8.2 + nH * 1.5
+                c = max(c, 0.0)
+        elif z == 8:
+            if a.is_aromatic:
+                c = 13.14
+            elif chg == 0:
+                if nH >= 1:
+                    c = 20.23
+                elif n_double == 1:
+                    c = 17.07
+                elif n_single == 2:
+                    c = 12.53 if in3ring else 9.23
+            elif chg < 0:
+                c = 23.06
+            if c is None:
+                c = 28.5 - mol.degree(i) * 8.6 + nH * 1.5
+                c = max(c, 0.0)
+        elif z == 16:
+            if a.is_aromatic:
+                c = 21.70 if n_double == 1 else 28.24
+            elif nH == 1:
+                c = 38.80
+            elif n_single == 2 and n_double == 0:
+                c = 25.30
+            elif n_double == 1 and n_single == 0:
+                c = 32.09
+            elif n_single == 2 and n_double == 1:
+                c = 19.21
+            elif n_single == 2 and n_double == 2:
+                c = 8.38
+            else:
+                c = 0.0
+        else:  # P
+            if n_single == 3 and n_double == 0:
+                c = 13.59
+            elif n_single == 1 and n_double == 1:
+                c = 34.14
+            elif n_single == 3 and n_double == 1:
+                c = 9.81
+            elif nH == 1 and n_single == 2 and n_double == 1:
+                c = 23.47
+            else:
+                c = 0.0
+        total += c
+    return total
+
+
+# --------------------------------------------------------------------------
+# Kier-Hall indices
+# --------------------------------------------------------------------------
+
+# alpha contributions (covalent-radius ratio - 1) per element/hybridization
+_ALPHA = {
+    (6, HybridizationType.SP3): 0.0,
+    (6, HybridizationType.SP2): -0.13,
+    (6, HybridizationType.SP): -0.22,
+    (7, HybridizationType.SP3): -0.04,
+    (7, HybridizationType.SP2): -0.20,
+    (7, HybridizationType.SP): -0.29,
+    (8, HybridizationType.SP3): -0.04,
+    (8, HybridizationType.SP2): -0.20,
+    (9, None): -0.07,
+    (15, None): 0.43,
+    (16, HybridizationType.SP3): 0.35,
+    (16, HybridizationType.SP2): 0.22,
+    (17, None): 0.29,
+    (35, None): 0.48,
+    (53, None): 0.73,
+}
+
+
+def hall_kier_alpha(mol: Mol) -> float:
+    total = 0.0
+    for a in mol.atoms:
+        key = (a.atomic_num, a.hybridization)
+        if key in _ALPHA:
+            total += _ALPHA[key]
+        elif (a.atomic_num, None) in _ALPHA:
+            total += _ALPHA[(a.atomic_num, None)]
+        # carbon sp3 and unknown elements contribute 0
+    return total
+
+
+def _kappa(mol: Mol, k: int) -> float:
+    A = mol.num_atoms
+    alpha = hall_kier_alpha(mol)
+    if k == 1:
+        P = mol.num_bonds
+        denom = (P + alpha) ** 2
+        return (A + alpha) * (A + alpha - 1) ** 2 / denom if denom else 0.0
+    P = len(_paths_of_length(mol, k))
+    denom = (P + alpha) ** 2
+    if P == 0 or denom <= 0:
+        return 0.0
+    if k == 2:
+        return (A + alpha - 1) * (A + alpha - 2) ** 2 / denom
+    if A % 2:
+        return (A + alpha - 1) * (A + alpha - 3) ** 2 / denom
+    return (A + alpha - 3) * (A + alpha - 2) ** 2 / denom
+
+
+def kappa1(mol: Mol) -> float:
+    return _kappa(mol, 1)
+
+
+def kappa2(mol: Mol) -> float:
+    return _kappa(mol, 2)
+
+
+def kappa3(mol: Mol) -> float:
+    return _kappa(mol, 3)
+
+
+def _simple_deltas(mol: Mol) -> np.ndarray:
+    return np.array([mol.degree(i) for i in range(mol.num_atoms)], dtype=float)
+
+
+def _valence_deltas(mol: Mol) -> np.ndarray:
+    """Kier-Hall valence delta: (Zv - h) for row 2, (Zv - h)/(Z - Zv - 1) below."""
+    out = np.zeros(mol.num_atoms)
+    for a in mol.atoms:
+        z = a.atomic_num
+        zv = n_outer_electrons(z)
+        h = a.total_num_hs
+        if z <= 10:
+            out[a.idx] = max(zv - h, 0)
+        else:
+            out[a.idx] = (zv - h) / (z - zv - 1.0) if z - zv - 1 else max(zv - h, 0)
+    return out
+
+
+def _paths_of_length(mol: Mol, k: int) -> list[tuple[int, ...]]:
+    """Simple paths with k bonds (each path counted once)."""
+    if k == 0:
+        return [(i,) for i in range(mol.num_atoms)]
+    paths = []
+
+    def extend(path: tuple[int, ...]):
+        if len(path) == k + 1:
+            if path[0] < path[-1] or (path[0] == path[-1]):
+                paths.append(path)
+            return
+        for v in mol.neighbors(path[-1]):
+            if v not in path:
+                extend(path + (v,))
+
+    for s in range(mol.num_atoms):
+        extend((s,))
+    return paths
+
+
+def _chi(mol: Mol, k: int, deltas: np.ndarray) -> float:
+    total = 0.0
+    for path in _paths_of_length(mol, k):
+        prod = float(np.prod(deltas[list(path)]))
+        if prod > 0:
+            total += prod**-0.5
+    return total
+
+
+def chi0(mol: Mol) -> float:
+    d = _simple_deltas(mol)
+    return float((d[d > 0] ** -0.5).sum())
+
+
+def chi1(mol: Mol) -> float:
+    total = 0.0
+    d = _simple_deltas(mol)
+    for b in mol.bonds:
+        p = d[b.begin_atom_idx] * d[b.end_atom_idx]
+        if p > 0:
+            total += p**-0.5
+    return total
+
+
+def chi0v(mol: Mol) -> float:
+    d = _valence_deltas(mol)
+    return float((d[d > 0] ** -0.5).sum())
+
+
+def chi1v(mol: Mol) -> float:
+    d = _valence_deltas(mol)
+    total = 0.0
+    for b in mol.bonds:
+        p = d[b.begin_atom_idx] * d[b.end_atom_idx]
+        if p > 0:
+            total += p**-0.5
+    return total
+
+
+def chi2v(mol: Mol) -> float:
+    return _chi(mol, 2, _valence_deltas(mol))
+
+
+def chi3v(mol: Mol) -> float:
+    return _chi(mol, 3, _valence_deltas(mol))
+
+
+def chi4v(mol: Mol) -> float:
+    return _chi(mol, 4, _valence_deltas(mol))
+
+
+def chi2n(mol: Mol) -> float:
+    return _chi(mol, 2, _simple_deltas(mol))
+
+
+def chi3n(mol: Mol) -> float:
+    return _chi(mol, 3, _simple_deltas(mol))
+
+
+def chi4n(mol: Mol) -> float:
+    return _chi(mol, 4, _simple_deltas(mol))
+
+
+def _weighted_distance_sums(mol: Mol) -> np.ndarray:
+    """Row sums of the bond-order-weighted distance matrix (edge weight
+    1/order, aromatic 2/3 — RDKit's ``useBO`` convention for Balaban J)."""
+    import heapq
+
+    n = mol.num_atoms
+    wadj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    for b in mol.bonds:
+        order = b.bond_type.order or 1.0
+        w = 1.0 / order
+        wadj[b.begin_atom_idx].append((b.end_atom_idx, w))
+        wadj[b.end_atom_idx].append((b.begin_atom_idx, w))
+    sums = np.zeros(n)
+    for s in range(n):
+        dist = np.full(n, np.inf)
+        dist[s] = 0.0
+        heap = [(0.0, s)]
+        while heap:
+            du, u = heapq.heappop(heap)
+            if du > dist[u]:
+                continue
+            for v, w in wadj[u]:
+                nd = du + w
+                if nd < dist[v]:
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        dist[~np.isfinite(dist)] = 0.0
+        sums[s] = dist.sum()
+    return sums
+
+
+def balaban_j(mol: Mol) -> float:
+    """Balaban's distance connectivity index J over the bond-order-weighted
+    distance matrix (benzene = 3.000, cyclohexane = 2.000); 0 for edgeless
+    graphs."""
+    m = mol.num_bonds
+    n = mol.num_atoms
+    if m == 0 or n < 2:
+        return 0.0
+    s = _weighted_distance_sums(mol)
+    mu = m - n + _n_components(mol)
+    total = 0.0
+    for b in mol.bonds:
+        p = s[b.begin_atom_idx] * s[b.end_atom_idx]
+        if p > 0:
+            total += p**-0.5
+    return m / (mu + 1.0) * total
+
+
+# --------------------------------------------------------------------------
+# constitutional counts
+# --------------------------------------------------------------------------
+
+
+def mol_weight(mol: Mol) -> float:
+    H = MASSES[1]
+    return sum(a.mass + a.total_num_hs * H for a in mol.atoms)
+
+
+def heavy_atom_count(mol: Mol) -> float:
+    return float(mol.num_atoms)
+
+
+def num_heteroatoms(mol: Mol) -> float:
+    return float(sum(1 for a in mol.atoms if a.atomic_num not in (1, 6)))
+
+
+def nhoh_count(mol: Mol) -> float:
+    return float(sum(a.total_num_hs for a in mol.atoms if a.atomic_num in (7, 8)))
+
+
+def no_count(mol: Mol) -> float:
+    return float(sum(1 for a in mol.atoms if a.atomic_num in (7, 8)))
+
+
+def num_h_donors(mol: Mol) -> float:
+    return float(
+        sum(1 for a in mol.atoms if a.atomic_num in (7, 8) and a.total_num_hs > 0)
+    )
+
+
+def num_h_acceptors(mol: Mol) -> float:
+    """Lipinski-style acceptor count: N/O excluding pyrrole-type N, amide N,
+    and positively-charged atoms."""
+    n = 0
+    for a in mol.atoms:
+        if a.atomic_num == 8:
+            if a.formal_charge <= 0:
+                n += 1
+        elif a.atomic_num == 7:
+            if a.formal_charge > 0:
+                continue
+            if a.is_aromatic and a.total_num_hs > 0:
+                continue  # pyrrole NH
+            # amide nitrogen: single-bonded to a carbonyl carbon
+            amide = any(
+                x.atomic_num == 6
+                and _has_double_to(mol, x.idx, lambda y: y.atomic_num in (8, 16))
+                for x in _heavy_neighbors(mol, a.idx)
+            )
+            if not amide:
+                n += 1
+    return float(n)
+
+
+def num_rotatable_bonds(mol: Mol) -> float:
+    """Single, non-ring bonds between two non-terminal atoms, neither of
+    which is triple-bonded (RDKit's non-strict definition)."""
+    n = 0
+    triple = {
+        i
+        for b in mol.bonds
+        if b.bond_type == BondType.TRIPLE
+        for i in (b.begin_atom_idx, b.end_atom_idx)
+    }
+    for b in mol.bonds:
+        if b.bond_type != BondType.SINGLE or b.is_in_ring:
+            continue
+        u, v = b.begin_atom_idx, b.end_atom_idx
+        if mol.degree(u) < 2 or mol.degree(v) < 2:
+            continue
+        if u in triple or v in triple:
+            continue
+        n += 1
+    return float(n)
+
+
+def ring_count(mol: Mol) -> float:
+    return float(len(getattr(mol, "rings", [])))
+
+
+def _ring_is_aromatic(mol: Mol, ring: list[int]) -> bool:
+    return all(mol.atoms[i].is_aromatic for i in ring)
+
+
+def _ring_is_saturated(mol: Mol, ring: list[int]) -> bool:
+    rs = set(ring)
+    for b in mol.bonds:
+        if b.begin_atom_idx in rs and b.end_atom_idx in rs and b.is_in_ring:
+            if b.bond_type != BondType.SINGLE:
+                return False
+    return not any(mol.atoms[i].is_aromatic for i in ring)
+
+
+def _ring_has_hetero(mol: Mol, ring: list[int]) -> bool:
+    return any(mol.atoms[i].atomic_num != 6 for i in ring)
+
+
+def num_aromatic_rings(mol: Mol) -> float:
+    return float(sum(_ring_is_aromatic(mol, r) for r in getattr(mol, "rings", [])))
+
+
+def num_saturated_rings(mol: Mol) -> float:
+    return float(sum(_ring_is_saturated(mol, r) for r in getattr(mol, "rings", [])))
+
+
+def num_aliphatic_rings(mol: Mol) -> float:
+    return float(
+        sum(not _ring_is_aromatic(mol, r) for r in getattr(mol, "rings", []))
+    )
+
+
+def num_aromatic_heterocycles(mol: Mol) -> float:
+    return float(
+        sum(
+            _ring_is_aromatic(mol, r) and _ring_has_hetero(mol, r)
+            for r in getattr(mol, "rings", [])
+        )
+    )
+
+
+def num_aromatic_carbocycles(mol: Mol) -> float:
+    return float(
+        sum(
+            _ring_is_aromatic(mol, r) and not _ring_has_hetero(mol, r)
+            for r in getattr(mol, "rings", [])
+        )
+    )
+
+
+def num_saturated_heterocycles(mol: Mol) -> float:
+    return float(
+        sum(
+            _ring_is_saturated(mol, r) and _ring_has_hetero(mol, r)
+            for r in getattr(mol, "rings", [])
+        )
+    )
+
+
+def num_saturated_carbocycles(mol: Mol) -> float:
+    return float(
+        sum(
+            _ring_is_saturated(mol, r) and not _ring_has_hetero(mol, r)
+            for r in getattr(mol, "rings", [])
+        )
+    )
+
+
+def num_aliphatic_heterocycles(mol: Mol) -> float:
+    return float(
+        sum(
+            not _ring_is_aromatic(mol, r) and _ring_has_hetero(mol, r)
+            for r in getattr(mol, "rings", [])
+        )
+    )
+
+
+def num_aliphatic_carbocycles(mol: Mol) -> float:
+    return float(
+        sum(
+            not _ring_is_aromatic(mol, r) and not _ring_has_hetero(mol, r)
+            for r in getattr(mol, "rings", [])
+        )
+    )
+
+
+def fraction_csp3(mol: Mol) -> float:
+    cs = [a for a in mol.atoms if a.atomic_num == 6]
+    if not cs:
+        return 0.0
+    return sum(1 for a in cs if a.hybridization == HybridizationType.SP3) / len(cs)
+
+
+def num_valence_electrons(mol: Mol) -> float:
+    return float(
+        sum(
+            n_outer_electrons(a.atomic_num) - a.formal_charge + a.total_num_hs
+            for a in mol.atoms
+        )
+    )
+
+
+def formal_charge(mol: Mol) -> float:
+    return float(sum(a.formal_charge for a in mol.atoms))
+
+
+def num_atoms_with_hs(mol: Mol) -> float:
+    return float(mol.num_atoms + sum(a.total_num_hs for a in mol.atoms))
+
+
+def labute_asa_approx(mol: Mol) -> float:
+    """Crude accessible-surface proxy: sum of per-element VdW sphere areas
+    scaled down per heavy neighbor (documented approximation, NOT Labute's
+    parameterization)."""
+    vdw = {1: 1.2, 6: 1.7, 7: 1.55, 8: 1.52, 9: 1.47, 15: 1.8, 16: 1.8, 17: 1.75, 35: 1.85, 53: 1.98}
+    total = 0.0
+    for a in mol.atoms:
+        r = vdw.get(a.atomic_num, 1.8)
+        area = 4.0 * np.pi * r * r
+        total += area * max(0.0, 1.0 - 0.25 * mol.degree(a.idx)) + a.total_num_hs * 4.0 * np.pi * 1.44 * 0.55
+    return total
+
+
+def mol_logp(mol: Mol) -> float:
+    return crippen_logp_mr(mol)[0]
+
+
+def mol_mr(mol: Mol) -> float:
+    return crippen_logp_mr(mol)[1]
+
+
+# --------------------------------------------------------------------------
+# the descriptor set
+# --------------------------------------------------------------------------
+
+DESCRIPTORS: dict[str, Callable[[Mol], float]] = {
+    "MolWt": mol_weight,
+    "HeavyAtomCount": heavy_atom_count,
+    "NumHeteroatoms": num_heteroatoms,
+    "NHOHCount": nhoh_count,
+    "NOCount": no_count,
+    "NumHDonors": num_h_donors,
+    "NumHAcceptors": num_h_acceptors,
+    "NumRotatableBonds": num_rotatable_bonds,
+    "RingCount": ring_count,
+    "NumAromaticRings": num_aromatic_rings,
+    "NumSaturatedRings": num_saturated_rings,
+    "NumAliphaticRings": num_aliphatic_rings,
+    "NumAromaticHeterocycles": num_aromatic_heterocycles,
+    "NumAromaticCarbocycles": num_aromatic_carbocycles,
+    "NumSaturatedHeterocycles": num_saturated_heterocycles,
+    "NumSaturatedCarbocycles": num_saturated_carbocycles,
+    "NumAliphaticHeterocycles": num_aliphatic_heterocycles,
+    "NumAliphaticCarbocycles": num_aliphatic_carbocycles,
+    "FractionCSP3": fraction_csp3,
+    "NumValenceElectrons": num_valence_electrons,
+    "FormalCharge": formal_charge,
+    "TPSA": tpsa,
+    "MolLogP": mol_logp,
+    "MolMR": mol_mr,
+    "HallKierAlpha": hall_kier_alpha,
+    "Kappa1": kappa1,
+    "Kappa2": kappa2,
+    "Kappa3": kappa3,
+    "Chi0": chi0,
+    "Chi1": chi1,
+    "Chi0v": chi0v,
+    "Chi1v": chi1v,
+    "Chi2v": chi2v,
+    "Chi3v": chi3v,
+    "Chi4v": chi4v,
+    "Chi2n": chi2n,
+    "Chi3n": chi3n,
+    "Chi4n": chi4n,
+    "BalabanJ": balaban_j,
+    "LabuteASA": labute_asa_approx,
+}
+
+
+def compute_descriptors(mol: Mol, names: list[str] | None = None) -> np.ndarray:
+    """Descriptor vector in the order of :data:`DESCRIPTORS` (or ``names``)."""
+    keys = names or list(DESCRIPTORS)
+    return np.array([DESCRIPTORS[k](mol) for k in keys], dtype=np.float64)

@@ -56,23 +56,45 @@ class ChargeFeaturizer:
         return 1
 
 
-class _UnavailableFeaturizer:
-    _reason = "requires RDKit/descriptastorus, which this TPU-native stack does not ship"
-
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(f"{type(self).__name__} {self._reason}")
-
-
 @MoleculeFeaturizerRegistry.register("rdkit_2d")
-class RDKit2DFeaturizer(_UnavailableFeaturizer):
-    pass
+class RDKit2DFeaturizer:
+    """2D physicochemical/topological descriptor vector (cf. reference
+    ``chemprop/featurizers/molecule.py:53-86``).
+
+    The reference delegates to descriptastorus/RDKit; here the set is the
+    in-repo :mod:`chemprop_tpu.chem.descriptors` suite (Wildman-Crippen
+    LogP/MR, Ertl TPSA, Kier-Hall kappa/chi, Balaban J, constitutional
+    counts) computed from the primary literature — similar coverage, not a
+    bit-for-bit descriptastorus clone."""
+
+    def __init__(self):
+        from chemprop_tpu.chem.descriptors import DESCRIPTORS
+
+        self.names = list(DESCRIPTORS)
+
+    def __call__(self, mol: Mol) -> np.ndarray:
+        from chemprop_tpu.chem.descriptors import compute_descriptors
+
+        return compute_descriptors(mol, self.names)
+
+    def __len__(self) -> int:
+        return len(self.names)
 
 
 @MoleculeFeaturizerRegistry.register("v1_rdkit_2d")
-class V1RDKit2DFeaturizer(_UnavailableFeaturizer):
-    pass
+class V1RDKit2DFeaturizer(RDKit2DFeaturizer):
+    """v1-flavored alias of :class:`RDKit2DFeaturizer` (the reference's v1
+    set also differs from its current set only in membership)."""
 
 
 @MoleculeFeaturizerRegistry.register("v1_rdkit_2d_normalized")
-class V1RDKit2DNormalizedFeaturizer(_UnavailableFeaturizer):
-    pass
+class V1RDKit2DNormalizedFeaturizer(RDKit2DFeaturizer):
+    """Descriptors squashed to (-1, 1) via x/(1+|x|) per dimension.
+
+    The reference's normalized variant applies descriptastorus CDFs fit on a
+    proprietary corpus; without that corpus a bounded monotone transform is
+    used instead (documented deviation)."""
+
+    def __call__(self, mol: Mol) -> np.ndarray:
+        x = super().__call__(mol)
+        return x / (1.0 + np.abs(x))
