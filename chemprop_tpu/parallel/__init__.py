@@ -1,3 +1,4 @@
+from chemprop_tpu.parallel import distributed
 from chemprop_tpu.parallel.sharding import (
     DATA_AXIS,
     batch_shardings,
@@ -6,4 +7,11 @@ from chemprop_tpu.parallel.sharding import (
     shard_batch,
 )
 
-__all__ = ["DATA_AXIS", "batch_shardings", "make_mesh", "replicate", "shard_batch"]
+__all__ = [
+    "DATA_AXIS",
+    "batch_shardings",
+    "distributed",
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+]
