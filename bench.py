@@ -21,10 +21,11 @@ from pathlib import Path
 
 import numpy as np
 
-# 512 graphs (~30k edges) is the single-chip throughput optimum on v5e:
-# XLA's edge-table gathers scale superlinearly past ~60k edges, so larger
-# batches lose edges/s (measured: 512 -> 10.4M, 2048 -> 9.2M, 4096 -> 6.7M)
-BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", 512))
+# 2048 graphs (~120k edges) is the single-chip throughput optimum on v5e
+# with the fused message kernel (measured: 512 -> 12.8M, 1024 -> 13.7M,
+# 2048 -> 13.9M, 4096 -> 11.9M edges/s); beyond ~350k edges the kernel's
+# VMEM id-table budget is exceeded and dispatch falls back
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", 2048))
 TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 50))
 REPO = Path(__file__).parent
 

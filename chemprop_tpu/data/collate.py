@@ -46,6 +46,9 @@ class BatchMolGraph:
     # edges sorted ascending by dst (enables the sorted-scatter fast path:
     # XLA's indices_are_sorted and the Pallas sorted-segment kernel)
     edges_sorted: bool = struct.field(pytree_node=False, default=False)
+    # every real edge's rev partner and same-dst neighbours lie within the
+    # fused message kernel's +-256-row window (ops/fused_message.py)
+    fused_ok: bool = struct.field(pytree_node=False, default=False)
 
     def __len__(self) -> int:
         return self.n_graphs
@@ -170,6 +173,17 @@ def batch_mol_graphs(
         edge_mask = edge_mask[perm]
 
     _LAST_EDGE_PERM[0] = perm
+
+    # safety window for the fused message kernel (ops/fused_message.py):
+    # in the dst-sorted layout each graph's edges form one contiguous block
+    # (nodes are numbered per graph), and every quantity the kernel needs
+    # for a real edge — its reverse edge and the in-edges of its source —
+    # lives inside that block. The kernel's sliding window covers +-256
+    # rows, so the batch qualifies iff no graph has more than 257 directed
+    # edges (~128 bonds). Static flag (recompile-on-flip, like edges_sorted)
+    # that essentially never flips within a run.
+    fused_ok = sort_edges and max((mg.E.shape[0] for mg in mgs), default=0) <= 257
+
     return BatchMolGraph(
         V=V,
         E=E,
@@ -181,6 +195,7 @@ def batch_mol_graphs(
         edge_mask=edge_mask,
         n_graphs=pad.n_graphs,
         edges_sorted=sort_edges,
+        fused_ok=fused_ok,
     )
 
 

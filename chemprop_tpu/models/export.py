@@ -70,7 +70,32 @@ def _symbolic_bmg(bmg: BatchMolGraph, scope) -> BatchMolGraph:
         edge_mask=sds((e,), bmg.edge_mask),
         n_graphs=bmg.n_graphs,
         edges_sorted=bmg.edges_sorted,
+        # the exported program is shape-polymorphic: the Pallas fast paths
+        # (which need concrete tile-aligned shapes) are disabled, so the
+        # fused-kernel eligibility flag is pinned False in the signature
+        fused_ok=False,
     )
+
+
+class _NormalizingExported:
+    """Wraps :class:`jax.export.Exported` so callers can pass any
+    :class:`BatchMolGraph`: static metadata that does not affect the
+    exported (Pallas-free) program — ``fused_ok`` — is normalized to the
+    traced value before the structure check."""
+
+    def __init__(self, exported):
+        self.exported = exported
+
+    def call(self, variables, bmg, V_d=None, X_d=None):
+        return self.exported.call(variables, bmg.replace(fused_ok=False), V_d, X_d)
+
+    __call__ = call
+
+    def serialize(self) -> bytes:
+        return self.exported.serialize()
+
+    def __getattr__(self, name):
+        return getattr(self.exported, name)
 
 
 def export_forward(
@@ -86,7 +111,7 @@ def export_forward(
     the same graph count and feature dims can be fed); the graph count stays
     static because segment reductions size their output with it.
     """
-    bmg = example_batch.bmg
+    bmg = example_batch.bmg.replace(fused_ok=False)
     V_d, X_d = example_batch.V_d, example_batch.X_d
 
     def forward(variables, bmg, V_d, X_d):
@@ -120,8 +145,8 @@ def export_forward(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype), variables
         )
         kwargs = {} if platforms is None else {"platforms": list(platforms)}
-        return jax.export.export(jax.jit(forward), **kwargs)(
-            abs_vars, abs_bmg, abs_Vd, abs_Xd
+        return _NormalizingExported(
+            jax.export.export(jax.jit(forward), **kwargs)(abs_vars, abs_bmg, abs_Vd, abs_Xd)
         )
 
 
@@ -134,4 +159,4 @@ def load_exported(path: str | Path):
     ``(variables, bmg, V_d, X_d) -> preds`` backed by the compiled program —
     no model class or featurizer config needed at serving time."""
     exported = jax.export.deserialize(Path(path).read_bytes())
-    return exported.call
+    return _NormalizingExported(exported).call

@@ -31,8 +31,49 @@ from chemprop_tpu.conf import DEFAULT_HIDDEN_DIM
 from chemprop_tpu.data.collate import BatchMolGraph
 from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
 from chemprop_tpu.nn.utils import get_activation_function
+from chemprop_tpu.ops.fused_message import fused_message
 from chemprop_tpu.ops.gather import gather_dst, gather_rev, gather_src
 from chemprop_tpu.ops.segment import segment_sum
+
+
+class PaddedDense(nn.Module):
+    """``nn.Dense`` whose *apply* zero-pads the kernel to lane-aligned
+    widths.
+
+    Parameter names, shapes, and initializers match ``nn.Dense`` exactly
+    (checkpoint-compatible, identical init values for the same RNG); only
+    the computation is widened: extra OUTPUT columns are exact zeros (zero
+    kernel columns) and extra INPUT columns hit zero kernel rows, so results
+    equal the unpadded computation bit-for-bit on the real block. This keeps
+    every edge-table tensor in the D-MPNN depth loop at a 128-multiple
+    width, which is what the Pallas kernels' HBM DMAs require — without it,
+    every kernel call pays a full-table pad copy."""
+
+    features: int
+    pad_to: int | None = None  # output width incl. zero columns
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    in_features: int | None = None  # real input width; inferred if None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d_in = self.in_features if self.in_features is not None else x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (d_in, self.features), jnp.float32
+        )
+        out_w = self.pad_to or self.features
+        k = kernel
+        if x.shape[-1] != d_in:
+            k = jnp.pad(k, ((0, x.shape[-1] - d_in), (0, 0)))
+        if out_w != self.features:
+            k = jnp.pad(k, ((0, 0), (0, out_w - self.features)))
+        y = x.astype(self.dtype) @ k.astype(self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            if out_w != self.features:
+                b = jnp.pad(b, (0, out_w - self.features))
+            y = y + b.astype(self.dtype)
+        return y
 
 
 def _gather_src(M, bmg):
@@ -63,13 +104,30 @@ class _MessagePassingBase(nn.Module):
     def output_dim(self) -> int:
         return self.d_h + self.d_vd if self.d_vd else self.d_h
 
+    # subclasses set True to keep the depth loop's edge tables lane-aligned
+    # (PaddedDense zero-pads to a 128-multiple width at apply time)
+    _pad_hidden = False
+
     def setup(self):
         # dtype=compute_dtype keeps the whole depth loop in the compute
         # precision — flax's default promotion would bounce every Dense
         # output back to f32 (params stay f32; casts happen at apply)
         dt = self.compute_dtype
-        self.W_i = nn.Dense(self.d_h, use_bias=self.bias, name="W_i", dtype=dt)
-        self.W_h = nn.Dense(self.d_h, use_bias=self.bias, name="W_h", dtype=dt)
+        self._dp = -(-self.d_h // 128) * 128 if self._pad_hidden else self.d_h
+        self.W_i = PaddedDense(
+            self.d_h, pad_to=self._dp, use_bias=self.bias, name="W_i", dtype=dt
+        )
+        # in_features: with padded hidden tables W_h sees (E, dp) input whose
+        # real block is d_h wide (bond MP; atom MP feeds d_h+d_e unpadded and
+        # infers the width from the input)
+        self.W_h = PaddedDense(
+            self.d_h,
+            pad_to=self._dp,
+            use_bias=self.bias,
+            in_features=self.d_h if self._pad_hidden else None,
+            name="W_h",
+            dtype=dt,
+        )
         self.W_o = nn.Dense(self.d_h, use_bias=True, name="W_o", dtype=dt)
         if self.d_vd:
             self.W_d = nn.Dense(self.d_h + self.d_vd, use_bias=True, name="W_d", dtype=dt)
@@ -97,7 +155,7 @@ class _MessagePassingBase(nn.Module):
             M = self._message(H, bmg)
             H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not is_training)
 
-        M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)
+        M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)[:, : self.d_h]
         H_v = self.tau(self.W_o(jnp.concatenate([bmg.V.astype(self.compute_dtype), M_v], axis=1)))
         H_v = self.drop(H_v, deterministic=not is_training)
 
@@ -113,7 +171,14 @@ class _MessagePassingBase(nn.Module):
 
 
 class BondMessagePassing(_MessagePassingBase):
-    """Directed-edge (D-MPNN) message passing; hidden states live on edges."""
+    """Directed-edge (D-MPNN) message passing; hidden states live on edges.
+
+    Edge tables run lane-aligned (_pad_hidden: d_h padded to a 128-multiple
+    with exact-zero columns) so the Pallas kernels never pay pad copies, and
+    the message op dispatches to the fully-fused kernel when the batch's
+    ``fused_ok`` window holds (one HBM pass instead of 3-4)."""
+
+    _pad_hidden = True
 
     def _initialize(self, bmg: BatchMolGraph) -> jax.Array:
         VE = jnp.concatenate(
@@ -123,6 +188,10 @@ class BondMessagePassing(_MessagePassingBase):
         return self.W_i(VE)
 
     def _message(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
+        if bmg.edges_sorted and bmg.fused_ok:
+            # single-pass fused kernel (falls back to the composition below
+            # internally when the kernel is unusable, e.g. off-TPU)
+            return fused_message(H, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0])
         M_node = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)
         if bmg.edges_sorted:
             # M_node[src] - H[rev] == (M_node[dst] - H)[rev]: one sorted

@@ -26,7 +26,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from chemprop_tpu.data.collate import BatchMolGraph, TrainingBatch
+from chemprop_tpu.data.collate import TrainingBatch
 
 DATA_AXIS = "data"
 
@@ -38,7 +38,9 @@ def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
 
 def batch_shardings(mesh: Mesh, batch: TrainingBatch) -> TrainingBatch:
     """A TrainingBatch-shaped pytree of NamedShardings: leading dim of every
-    array sharded over the data axis (None fields mirrored as None)."""
+    array sharded over the data axis (None fields mirrored as None). Built
+    with tree_map so static metadata (n_graphs, edges_sorted, fused_ok, ...)
+    is carried verbatim and the treedefs always match."""
     row = NamedSharding(mesh, P(DATA_AXIS))
     rep = NamedSharding(mesh, P())
 
@@ -47,27 +49,10 @@ def batch_shardings(mesh: Mesh, batch: TrainingBatch) -> TrainingBatch:
             return None
         return row if x.shape[0] % mesh.devices.size == 0 else rep
 
-    bmg = batch.bmg
-    bmg_sharding = BatchMolGraph(
-        V=shard_like(bmg.V),
-        E=shard_like(bmg.E),
-        src=shard_like(bmg.src),
-        dst=shard_like(bmg.dst),
-        rev=shard_like(bmg.rev),
-        batch=shard_like(bmg.batch),
-        node_mask=shard_like(bmg.node_mask),
-        edge_mask=shard_like(bmg.edge_mask),
-        n_graphs=bmg.n_graphs,
-        edges_sorted=bmg.edges_sorted,
-    )
-    return TrainingBatch(
-        bmg=bmg_sharding,
-        V_d=shard_like(batch.V_d),
-        X_d=shard_like(batch.X_d),
-        Y=shard_like(batch.Y),
-        w=shard_like(batch.w),
-        lt_mask=shard_like(batch.lt_mask),
-        gt_mask=shard_like(batch.gt_mask),
+    return jax.tree.map(
+        shard_like,
+        batch,
+        is_leaf=lambda x: x is None or hasattr(x, "shape"),
     )
 
 

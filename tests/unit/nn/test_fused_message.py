@@ -1,0 +1,120 @@
+"""Parity tests for the fused message kernel (ops/fused_message.py) run in
+Pallas interpret mode against the composed segment-sum/gather formulation.
+Real-edge rows must match exactly (padding-edge rows are garbage-tolerated
+by design). The gradient check exercises the transpose-kernel VJP."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chemprop_tpu.data import MoleculeDatapoint, MoleculeDataset
+from chemprop_tpu.data.collate import PadSpec, batch_mol_graphs
+from chemprop_tpu.ops.fused_message import (
+    WIN,
+    _composed,
+    _fused_message_impl,
+    fused_message,
+)
+
+SMIS = [
+    "CCO",
+    "c1ccccc1",
+    "CC(=O)Nc1ccc(O)cc1",
+    "CNC(C)Cc1ccccc1",
+    "CC(C)CC1=CC=C(C=C1)C(C)C(=O)O",
+    "c1ccc2ccccc2c1",
+    "CC(=O)OC1=CC=CC=C1C(=O)O",
+    "C1CCNCC1",
+    "C",  # zero-edge molecule
+    "O=[N+]([O-])c1ccc(Cl)cc1",
+]
+
+
+@pytest.fixture(scope="module")
+def bmg():
+    dps = [MoleculeDatapoint.from_smi(s, y=np.zeros(1)) for s in SMIS]
+    ds = MoleculeDataset(dps)
+    mgs = [ds[i].mg for i in range(len(ds))]
+    b = batch_mol_graphs(mgs, PadSpec(256, 768, len(SMIS)), sort_edges=True)
+    assert b.fused_ok and b.E.shape[0] >= WIN
+    return b
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setenv("CHEMPROP_TPU_INTERPRET", "1")
+
+
+def _rand(bmg, d, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((bmg.E.shape[0], d)).astype(dtype))
+
+
+@pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+def test_forward_matches_composed(bmg, dtype):
+    H = _rand(bmg, 128, np.dtype(dtype) if dtype != "bfloat16" else jnp.bfloat16)
+    out_k = np.asarray(
+        _fused_message_impl(H, bmg.src, bmg.dst, bmg.rev), np.float32
+    )
+    out_c = np.asarray(
+        _composed(H, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0]), np.float32
+    )
+    mask = np.asarray(bmg.edge_mask)
+    tol = 1e-4 if dtype == np.float32 else 0.15
+    np.testing.assert_allclose(out_k[mask], out_c[mask], atol=tol, rtol=tol)
+
+
+def test_gradient_matches_composed(bmg):
+    H = _rand(bmg, 128, np.float32)
+    mask = jnp.asarray(np.asarray(bmg.edge_mask))[:, None]
+
+    def loss_fused(H):
+        out = fused_message(H, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0])
+        return jnp.sum(jnp.where(mask, out, 0.0) ** 2)
+
+    def loss_composed(H):
+        out = _composed(H, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0])
+        return jnp.sum(jnp.where(mask, out, 0.0) ** 2)
+
+    g_k = np.asarray(jax.grad(loss_fused)(H))
+    g_c = np.asarray(jax.grad(loss_composed)(H))
+    # gradients flow into ALL real-edge rows (incl. via neighbours), and
+    # padding-edge H rows only influence padding outputs, which are masked
+    real = np.asarray(bmg.edge_mask)
+    np.testing.assert_allclose(g_k[real], g_c[real], atol=2e-3, rtol=2e-3)
+
+
+def test_transpose_identity(bmg):
+    """<v, T u> == <Tᵀ v, u> — the VJP really is the operator transpose."""
+    rng = np.random.default_rng(1)
+    # zero padding rows: that is the operator's contract (in the model, the
+    # cotangent reaching the message op is exactly zero on padding edges,
+    # and kernel outputs on padding rows are garbage-tolerated)
+    mask = np.asarray(bmg.edge_mask)[:, None]
+    u = jnp.asarray(rng.standard_normal((bmg.E.shape[0], 128)).astype(np.float32) * mask)
+    v = jnp.asarray(rng.standard_normal((bmg.E.shape[0], 128)).astype(np.float32) * mask)
+    n_nodes = bmg.V.shape[0]
+
+    Tu, vjp = jax.vjp(lambda x: fused_message(x, bmg.src, bmg.dst, bmg.rev, n_nodes), u)
+    (Ttv,) = vjp(v)
+    lhs = float(jnp.vdot(v, Tu))
+    rhs = float(jnp.vdot(Ttv, u))
+    assert lhs == pytest.approx(rhs, rel=1e-3)
+
+
+def test_model_level_fused_vs_composed(bmg, monkeypatch):
+    """BondMessagePassing output is identical whether the batch dispatches
+    to the fused kernel (interpret) or the composed path."""
+    from chemprop_tpu.nn import BondMessagePassing
+
+    model = BondMessagePassing(d_h=32, depth=3)
+    variables = model.init(jax.random.PRNGKey(0), bmg, None, False)
+    out_fused = np.asarray(model.apply(variables, bmg, None, False))
+    b_no = bmg.replace(fused_ok=False)
+    out_comp = np.asarray(model.apply(variables, b_no, None, False))
+    node_mask = np.asarray(bmg.node_mask)
+    np.testing.assert_allclose(out_fused[node_mask], out_comp[node_mask], atol=1e-4)
