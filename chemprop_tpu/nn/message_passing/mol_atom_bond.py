@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from chemprop_tpu.conf import DEFAULT_HIDDEN_DIM
 from chemprop_tpu.data.collate import BatchMolGraph
-from chemprop_tpu.nn.message_passing.base import _gather_rev, _gather_src
+from chemprop_tpu.nn.message_passing.base import PaddedDense, _gather_rev, _gather_src
+from chemprop_tpu.ops.fused_message import fused_message
 from chemprop_tpu.ops.gather import gather_dst
 from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
 from chemprop_tpu.nn.utils import get_activation_function
@@ -53,17 +54,32 @@ class _MABMessagePassingBase(nn.Module):
         )
         return d_v_out, d_e_out
 
+    # MABBond keeps the depth loop's edge tables lane-aligned (PaddedDense
+    # zero-pads to a 128-multiple at apply time; exact zeros, same params)
+    _pad_hidden = False
+
     def setup(self):
-        self.W_i = nn.Dense(self.d_h, use_bias=self.bias, name="W_i")
-        self.W_h = nn.Dense(self.d_h, use_bias=self.bias, name="W_h")
+        dt = self.compute_dtype
+        self._dp = -(-self.d_h // 128) * 128 if self._pad_hidden else self.d_h
+        self.W_i = PaddedDense(
+            self.d_h, pad_to=self._dp, use_bias=self.bias, name="W_i", dtype=dt
+        )
+        self.W_h = PaddedDense(
+            self.d_h,
+            pad_to=self._dp,
+            use_bias=self.bias,
+            in_features=self.d_h if self._pad_hidden else None,
+            name="W_h",
+            dtype=dt,
+        )
         if self.return_vertex_embeddings:
-            self.W_vo = nn.Dense(self.d_h, use_bias=True, name="W_vo")
+            self.W_vo = nn.Dense(self.d_h, use_bias=True, name="W_vo", dtype=dt)
             if self.d_vd:
-                self.W_vd = nn.Dense(self.d_h + self.d_vd, use_bias=True, name="W_vd")
+                self.W_vd = nn.Dense(self.d_h + self.d_vd, use_bias=True, name="W_vd", dtype=dt)
         if self.return_edge_embeddings:
-            self.W_eo = nn.Dense(self.d_h, use_bias=True, name="W_eo")
+            self.W_eo = nn.Dense(self.d_h, use_bias=True, name="W_eo", dtype=dt)
             if self.d_ed:
-                self.W_ed = nn.Dense(self.d_h + self.d_ed, use_bias=True, name="W_ed")
+                self.W_ed = nn.Dense(self.d_h + self.d_ed, use_bias=True, name="W_ed", dtype=dt)
         self.drop = nn.Dropout(self.dropout)
         self.tau = get_activation_function(self.activation)
 
@@ -92,7 +108,9 @@ class _MABMessagePassingBase(nn.Module):
 
         H_v = H_e = None
         if self.return_vertex_embeddings:
-            M_v = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)
+            M_v = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)[
+                :, : self.d_h
+            ]
             H_v = self.tau(
                 self.W_vo(jnp.concatenate([bmg.V.astype(self.compute_dtype), M_v], axis=1))
             )
@@ -105,7 +123,11 @@ class _MABMessagePassingBase(nn.Module):
             H_v = H_v.astype(jnp.float32)
         if self.return_edge_embeddings:
             H_e = self.tau(
-                self.W_eo(jnp.concatenate([bmg.E.astype(self.compute_dtype), H], axis=1))
+                self.W_eo(
+                    jnp.concatenate(
+                        [bmg.E.astype(self.compute_dtype), H[:, : self.d_h]], axis=1
+                    )
+                )
             )
             H_e = self.drop(H_e, deterministic=not is_training)
             if E_d is not None:
@@ -118,6 +140,8 @@ class _MABMessagePassingBase(nn.Module):
 
 
 class MABBondMessagePassing(_MABMessagePassingBase):
+    _pad_hidden = True
+
     def _initialize(self, bmg):
         VE = jnp.concatenate(
             [_gather_src(bmg.V, bmg).astype(self.compute_dtype), bmg.E.astype(self.compute_dtype)],
@@ -126,6 +150,8 @@ class MABBondMessagePassing(_MABMessagePassingBase):
         return self.W_i(VE)
 
     def _message(self, H, bmg):
+        if bmg.edges_sorted and bmg.fused_ok:
+            return fused_message(H, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0])
         M_node = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)
         if bmg.edges_sorted:
             return _gather_rev(gather_dst(M_node, bmg.dst) - H, bmg)
