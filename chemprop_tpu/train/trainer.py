@@ -58,6 +58,28 @@ class TrainState:
     rng: jax.Array
 
 
+def _device_prefetch(loader, sharding=None, depth: int = 2):
+    """Iterate ``loader`` with batches already on device, keeping ``depth``
+    transfers in flight: H2D of batch k+1 overlaps the compute of batch k
+    (double-buffering; jax.device_put is asynchronous)."""
+    from collections import deque
+
+    q: deque = deque()
+    it = iter(loader)
+    try:
+        while len(q) < depth:
+            host = next(it)
+            q.append((host, _device_put_batch(host, sharding)))
+    except StopIteration:
+        pass
+    for host in it:
+        yield q[0]
+        q.popleft()
+        q.append((host, _device_put_batch(host, sharding)))
+    while q:
+        yield q.popleft()
+
+
 def _device_put_batch(batch: TrainingBatch, sharding=None):
     if sharding is None:
         return jax.device_put(batch)
@@ -246,7 +268,9 @@ class Trainer:
             n_edges = 0
             losses = []
             profiling = False
-            for step_i, batch in enumerate(train_loader):
+            for step_i, (host_batch, batch) in enumerate(
+                _device_prefetch(train_loader, self.data_sharding)
+            ):
                 if (
                     self.profile_dir is not None
                     and epoch == self.start_epoch
@@ -254,11 +278,13 @@ class Trainer:
                 ):
                     jax.profiler.start_trace(str(self.profile_dir))
                     profiling = True
-                batch = _device_put_batch(batch, self.data_sharding)
+                # count real edges from the HOST batch: touching device
+                # arrays here would block the dispatch pipeline every step
+                # (on remote-TPU links that round-trip dominates epoch time)
+                bmgs = host_batch.bmg if isinstance(host_batch.bmg, tuple) else (host_batch.bmg,)
+                n_edges += int(sum(np.asarray(b.edge_mask).sum() for b in bmgs))
                 self.state, loss = train_step(self.state, batch)
                 losses.append(loss)
-                bmgs = batch.bmg if isinstance(batch.bmg, tuple) else (batch.bmg,)
-                n_edges += int(sum(np.asarray(b.edge_mask).sum() for b in bmgs))
                 if profiling and step_i >= self.profile_steps:
                     jax.block_until_ready(loss)
                     jax.profiler.stop_trace()
@@ -267,7 +293,10 @@ class Trainer:
             if profiling:
                 jax.block_until_ready(losses[-1])
                 jax.profiler.stop_trace()
-            train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+            # one device->host fetch per epoch, after the queue has drained
+            train_loss = (
+                float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            )
             dt = time.time() - t0
             record = {
                 "epoch": epoch,
