@@ -47,8 +47,11 @@ class BatchMolGraph:
     # XLA's indices_are_sorted and the Pallas sorted-segment kernel)
     edges_sorted: bool = struct.field(pytree_node=False, default=False)
     # every real edge's rev partner and same-dst neighbours lie within the
-    # fused message kernel's +-256-row window (ops/fused_message.py)
+    # fused message kernel's sliding window (ops/fused_message.py);
+    # fused_window is the chunk half-width that suffices (1 = 3-chunk
+    # window for graphs <= 129 edges, 2 = 5-chunk for <= 257)
     fused_ok: bool = struct.field(pytree_node=False, default=False)
+    fused_window: int = struct.field(pytree_node=False, default=2)
 
     def __len__(self) -> int:
         return self.n_graphs
@@ -182,7 +185,9 @@ def batch_mol_graphs(
     # rows, so the batch qualifies iff no graph has more than 257 directed
     # edges (~128 bonds). Static flag (recompile-on-flip, like edges_sorted)
     # that essentially never flips within a run.
-    fused_ok = sort_edges and max((mg.E.shape[0] for mg in mgs), default=0) <= 257
+    max_block = max((mg.E.shape[0] for mg in mgs), default=0)
+    fused_ok = sort_edges and max_block <= 257
+    fused_window = 1 if max_block <= 129 else 2
 
     return BatchMolGraph(
         V=V,
@@ -196,6 +201,7 @@ def batch_mol_graphs(
         n_graphs=pad.n_graphs,
         edges_sorted=sort_edges,
         fused_ok=fused_ok,
+        fused_window=fused_window,
     )
 
 

@@ -72,8 +72,9 @@ def _symbolic_bmg(bmg: BatchMolGraph, scope) -> BatchMolGraph:
         edges_sorted=bmg.edges_sorted,
         # the exported program is shape-polymorphic: the Pallas fast paths
         # (which need concrete tile-aligned shapes) are disabled, so the
-        # fused-kernel eligibility flag is pinned False in the signature
+        # fused-kernel eligibility metadata is pinned in the signature
         fused_ok=False,
+        fused_window=2,
     )
 
 
@@ -87,7 +88,8 @@ class _NormalizingExported:
         self.exported = exported
 
     def call(self, variables, bmg, V_d=None, X_d=None):
-        return self.exported.call(variables, bmg.replace(fused_ok=False), V_d, X_d)
+        bmg = bmg.replace(fused_ok=False, fused_window=2)
+        return self.exported.call(variables, bmg, V_d, X_d)
 
     __call__ = call
 
@@ -111,7 +113,7 @@ def export_forward(
     the same graph count and feature dims can be fed); the graph count stays
     static because segment reductions size their output with it.
     """
-    bmg = example_batch.bmg.replace(fused_ok=False)
+    bmg = example_batch.bmg.replace(fused_ok=False, fused_window=2)
     V_d, X_d = example_batch.V_d, example_batch.X_d
 
     def forward(variables, bmg, V_d, X_d):

@@ -191,7 +191,9 @@ class BondMessagePassing(_MessagePassingBase):
         if bmg.edges_sorted and bmg.fused_ok:
             # single-pass fused kernel (falls back to the composition below
             # internally when the kernel is unusable, e.g. off-TPU)
-            return fused_message(H, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0])
+            return fused_message(
+                H, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0], bmg.fused_window
+            )
         M_node = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)
         if bmg.edges_sorted:
             # M_node[src] - H[rev] == (M_node[dst] - H)[rev]: one sorted

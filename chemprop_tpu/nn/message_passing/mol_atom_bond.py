@@ -151,7 +151,9 @@ class MABBondMessagePassing(_MABMessagePassingBase):
 
     def _message(self, H, bmg):
         if bmg.edges_sorted and bmg.fused_ok:
-            return fused_message(H, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0])
+            return fused_message(
+                H, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0], bmg.fused_window
+            )
         M_node = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)
         if bmg.edges_sorted:
             return _gather_rev(gather_dst(M_node, bmg.dst) - H, bmg)

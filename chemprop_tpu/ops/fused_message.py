@@ -50,20 +50,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 128
-KW = 2  # window = chunks [c-KW, c+KW]
-NWIN = 2 * KW + 1  # 5 window chunks
-WIN = NWIN * CHUNK  # 640 rows
 PREFETCH = 1  # issued-ahead chunks beyond the window
-NSLOTS = NWIN + KW + PREFETCH  # 8: live window + in-flight, distinct mod NSLOTS
 MAX_VMEM_TABLE_BYTES = 4 << 20
 
-# largest per-graph edge block for which the +-2-chunk window is safe
-SPAN_LIMIT = 2 * CHUNK + 1
+# largest per-graph edge block each window width supports: kw=1 (3-chunk
+# window, 40% less one-hot MXU work) for blocks <= 129 edges, kw=2 (5-chunk)
+# for blocks <= 257. Collate stamps BatchMolGraph.fused_window accordingly.
+SPAN_LIMIT = {1: CHUNK + 1, 2: 2 * CHUNK + 1}
 
 
-def _kernel(row2d_ref, col2d_ref, revloc_ref, data_ref, out_ref, bufs, sems, *, n_chunks, dtype):
+def _kernel(row2d_ref, col2d_ref, revloc_ref, data_ref, out_ref, bufs, sems, *, n_chunks, dtype, kw):
+    NWIN = 2 * kw + 1
+    NSLOTS = NWIN + kw + PREFETCH
     c = pl.program_id(0)
-    base = jnp.clip(c - KW, 0, n_chunks - NWIN)  # first window chunk
+    base = jnp.clip(c - kw, 0, n_chunks - NWIN)  # first window chunk
 
     def dma(k):
         return pltpu.make_async_copy(
@@ -83,7 +83,7 @@ def _kernel(row2d_ref, col2d_ref, revloc_ref, data_ref, out_ref, bufs, sems, *, 
             def _(k=k):
                 dma(k).start()
 
-    fetch = c + NWIN + PREFETCH - 1  # c+5
+    fetch = c + NWIN + PREFETCH - 1
 
     @pl.when((c >= 1) & (fetch < n_chunks))
     def _():
@@ -97,7 +97,7 @@ def _kernel(row2d_ref, col2d_ref, revloc_ref, data_ref, out_ref, bufs, sems, *, 
             def _(k=k):
                 dma(k).wait()
 
-    enter = c + KW  # the chunk entering the window this step
+    enter = c + kw  # the chunk entering the window this step
 
     @pl.when((c >= 1) & (enter < n_chunks) & (enter >= NWIN))
     def _():
@@ -127,14 +127,16 @@ def _kernel(row2d_ref, col2d_ref, revloc_ref, data_ref, out_ref, bufs, sems, *, 
 
 
 def _fused_message_impl(
-    H: jax.Array, row_ids: jax.Array, col_ids: jax.Array, rev: jax.Array
+    H: jax.Array, row_ids: jax.Array, col_ids: jax.Array, rev: jax.Array, kw: int = 2
 ) -> jax.Array:
     """out[e] = sum_{k in window(e): col_ids[k] == row_ids[e]} H[k] - H[rev[e]]."""
+    NWIN = 2 * kw + 1
+    NSLOTS = NWIN + kw + PREFETCH
     n, d = H.shape
     n_chunks = n // CHUNK
     row2d = row_ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
     col2d = col_ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
-    base = jnp.clip(jnp.arange(n_chunks, dtype=jnp.int32) - KW, 0, n_chunks - NWIN)
+    base = jnp.clip(jnp.arange(n_chunks, dtype=jnp.int32) - kw, 0, n_chunks - NWIN)
     rev_local = rev.astype(jnp.int32).reshape(n_chunks, CHUNK) - base[:, None] * CHUNK
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -153,14 +155,14 @@ def _fused_message_impl(
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, n_chunks=n_chunks, dtype=H.dtype),
+        functools.partial(_kernel, n_chunks=n_chunks, dtype=H.dtype, kw=kw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, d), H.dtype),
         interpret=os.environ.get("CHEMPROP_TPU_INTERPRET", "0") == "1",
     )(row2d, col2d, rev_local, H)
 
 
-def _usable(H) -> bool:
+def _usable(H, kw: int = 2) -> bool:
     n, d = H.shape
     if os.environ.get("CHEMPROP_TPU_PALLAS", "1") != "1":
         return False
@@ -170,7 +172,7 @@ def _usable(H) -> bool:
     return (
         H.dtype in (jnp.float32, jnp.bfloat16)
         and n % CHUNK == 0
-        and n >= WIN
+        and n >= (2 * kw + 1) * CHUNK
         and d % 128 == 0
         and n * 12 <= MAX_VMEM_TABLE_BYTES  # 3 id tables stay VMEM-resident
     )
@@ -186,35 +188,42 @@ def _composed(H, src, dst, rev, n_nodes):
     return gather_rev(gather_dst(M_node, dst) - H, rev)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_message(
-    H: jax.Array, src: jax.Array, dst: jax.Array, rev: jax.Array, n_nodes: int
+    H: jax.Array,
+    src: jax.Array,
+    dst: jax.Array,
+    rev: jax.Array,
+    n_nodes: int,
+    window: int = 2,
 ) -> jax.Array:
     """``segment-sum over in-edges of src minus reverse-edge`` in one pass.
 
     Requires ``dst`` sorted ascending and the collate-verified safety window
-    (``BatchMolGraph.fused_ok``); callers dispatch on that flag. ``n_nodes``
-    is used only by the composed fallback. Off TPU the op falls back to the
-    composed ops (set CHEMPROP_TPU_INTERPRET=1 to run the kernel in Pallas
-    interpret mode for testing). Kernel output differs from the composed
-    path ONLY on padding-edge rows (garbage-tolerated; see module doc)."""
-    return _fwd(H, src, dst, rev, n_nodes)[0]
+    (``BatchMolGraph.fused_ok`` / ``fused_window``, the +-window-chunk bound
+    every per-graph edge block fits in); callers dispatch on those.
+    ``n_nodes`` is used only by the composed fallback. Off TPU the op falls
+    back to the composed ops (set CHEMPROP_TPU_INTERPRET=1 to run the kernel
+    in Pallas interpret mode for testing). Kernel output differs from the
+    composed path ONLY on padding-edge rows (garbage-tolerated; see module
+    doc)."""
+    return _fwd(H, src, dst, rev, n_nodes, window)[0]
 
 
-def _fwd(H, src, dst, rev, n_nodes):
-    if _usable(H):
-        out = _fused_message_impl(H, src, dst, rev)
+def _fwd(H, src, dst, rev, n_nodes, window):
+    if _usable(H, window):
+        out = _fused_message_impl(H, src, dst, rev, window)
     else:
         out = _composed(H, src, dst, rev, n_nodes)
     return out, (src, dst, rev)
 
 
-def _bwd(n_nodes, res, g):
+def _bwd(n_nodes, window, res, g):
     src, dst, rev = res
     # transpose of (S − R): S = R·PᵀP so Sᵀ = PᵀP·R — the same kernel with
     # the row/col id roles swapped (R is symmetric)
-    if _usable(g):
-        dH = _fused_message_impl(g, dst, src, rev)
+    if _usable(g, window):
+        dH = _fused_message_impl(g, dst, src, rev, window)
     else:
         from chemprop_tpu.ops.gather import gather_dst, gather_rev
         from chemprop_tpu.ops.segment import segment_sum

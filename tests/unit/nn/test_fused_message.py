@@ -14,11 +14,13 @@ import jax.numpy as jnp
 from chemprop_tpu.data import MoleculeDatapoint, MoleculeDataset
 from chemprop_tpu.data.collate import PadSpec, batch_mol_graphs
 from chemprop_tpu.ops.fused_message import (
-    WIN,
+    CHUNK,
     _composed,
     _fused_message_impl,
     fused_message,
 )
+
+WIN = 5 * CHUNK
 
 SMIS = [
     "CCO",
@@ -54,11 +56,12 @@ def _rand(bmg, d, dtype, seed=0):
     return jnp.asarray(rng.standard_normal((bmg.E.shape[0], d)).astype(dtype))
 
 
+@pytest.mark.parametrize("kw", [1, 2])
 @pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
-def test_forward_matches_composed(bmg, dtype):
+def test_forward_matches_composed(bmg, dtype, kw):
     H = _rand(bmg, 128, np.dtype(dtype) if dtype != "bfloat16" else jnp.bfloat16)
     out_k = np.asarray(
-        _fused_message_impl(H, bmg.src, bmg.dst, bmg.rev), np.float32
+        _fused_message_impl(H, bmg.src, bmg.dst, bmg.rev, kw), np.float32
     )
     out_c = np.asarray(
         _composed(H, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0]), np.float32
