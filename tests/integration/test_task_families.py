@@ -172,3 +172,31 @@ def test_uncertainty_heads(data_dir, head):
     n_targets = 2 if head == "mve" else 4
     assert preds.shape == (32, 1, n_targets)
     assert (preds[..., 1] >= 0).all()  # var / v nonnegative
+
+
+@pytest.mark.integration
+def test_classification_auc_overfit_bar(data_dir):
+    """Accuracy bar for the classification loop (analog of the reference's
+    regression overfit MSE bar): train AUROC >= 0.95 after overfitting the
+    single-task NR-AhR subset."""
+    from sklearn.metrics import roc_auc_score
+
+    rows = _read_csv(data_dir / "classification" / "mol.csv", 100)
+    dps = [
+        MoleculeDatapoint.from_smi(r[0], y=np.array([float(r[1])]))
+        for r in rows
+        if r[1] != ""
+    ]
+    ds = MoleculeDataset(dps)
+    ds.cache = True
+    loader = DataLoader(ds, batch_size=32, shuffle=False)
+    model = MPNN(
+        message_passing=BondMessagePassing(),
+        agg=MeanAggregation(),
+        predictor=BinaryClassificationFFN(input_dim=300, hidden_dim=300),
+    )
+    tr = Trainer(model, max_epochs=40, warmup_epochs=2, seed=0)
+    tr.fit(loader)
+    probs = tr.predict(DataLoader(ds, batch_size=32))
+    auc = roc_auc_score(ds.Y[:, 0], probs[:, 0])
+    assert auc >= 0.95, f"train AUROC {auc} < 0.95"
