@@ -430,6 +430,10 @@ def write_MAB_preds(path, dset, preds, mol_cols, atom_cols, bond_cols) -> None:
 
 def predict_MAB(args, model, variables, extra) -> int:
     """MAB predict path: smiles-only CSV -> triple-head predictions CSV."""
+    if getattr(args, "uncertainty_method", "none") == "dropout":
+        raise NotImplementedError(
+            "MC-dropout uncertainty is not yet supported for MolAtomBond models"
+        )
     df = pd.read_csv(args.data_path)
     smiles_col = (args.smiles_columns or [df.columns[0]])[0]
     dps = [

@@ -35,7 +35,57 @@ def add_predict_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
                  "multiclass-dirichlet", "quantile-regression", "dropout"],
         default="none",
     )
+    g.add_argument(
+        "--uncertainty-dropout-p",
+        type=float,
+        default=0.1,
+        help="dropout probability for Monte-Carlo dropout uncertainty estimation",
+    )
+    g.add_argument(
+        "--dropout-sampling-size",
+        type=int,
+        default=10,
+        help="number of stochastic forward passes for MC-dropout",
+    )
+    g.add_argument(
+        "--calibration-interval-percentile",
+        type=float,
+        default=95,
+        help="percentile used by interval calibration methods; in (1, 100)",
+    )
+    g.add_argument(
+        "--conformal-alpha",
+        type=float,
+        default=0.1,
+        help="target error rate for conformal prediction; in (0, 1)",
+    )
     g.add_argument("--cal-path", type=Path, help="calibration set CSV")
+    g.add_argument(
+        "--cal-descriptors-path",
+        type=Path,
+        help="extra descriptors (.npz) for the calibration set",
+    )
+    g.add_argument(
+        "--cal-atom-features-path",
+        type=Path,
+        help="extra atom features (.npz) for the calibration set",
+    )
+    g.add_argument(
+        "--cal-atom-descriptors-path",
+        type=Path,
+        help="post-MP atom descriptors (.npz) for the calibration set",
+    )
+    g.add_argument(
+        "--cal-bond-features-path",
+        type=Path,
+        help="extra bond features (.npz) for the calibration set",
+    )
+    g.add_argument(
+        "--test-path",
+        dest="data_path",
+        type=Path,
+        help="alias for -i/--data-path (reference compatibility)",
+    )
     g.add_argument(
         "--calibration-method",
         choices=["none", "zscaling", "zelikman-interval", "mve-weighting", "platt", "isotonic",
@@ -157,31 +207,69 @@ def main(args) -> int:
     loader, dset, _ = _build_loader(args, args.data_path)
 
     individual = []
+    dropout_uncs = []
     output_columns = None
     for path in model_paths:
         model, variables, extra = load_model(path)
         output_columns = extra.get("output_columns") or output_columns
-        trainer = Trainer(model)
-        preds = trainer.predict(loader, variables=variables)
-        individual.append(preds)
+        if args.uncertainty_method == "dropout":
+            mc = Trainer(_override_dropout(model, args.uncertainty_dropout_p)).predict_mc_dropout(
+                loader, variables=variables, sampling_size=args.dropout_sampling_size
+            )
+            individual.append(mc.mean(axis=0))
+            point_mc = mc[..., 0] if mc.ndim == 4 else mc  # [S, n, t]
+            dropout_uncs.append(point_mc.var(axis=0))
+        else:
+            trainer = Trainer(model)
+            preds = trainer.predict(loader, variables=variables)
+            individual.append(preds)
     stacked = np.stack(individual)  # [m, n, ...]
     mean_preds = stacked.mean(0)
 
-    uncs = _estimate_uncertainty(args, stacked, model)
+    if args.uncertainty_method == "dropout":
+        uncs = np.stack(dropout_uncs).mean(axis=0)
+    else:
+        uncs = _estimate_uncertainty(args, stacked, model)
     if uncs is not None and args.calibration_method != "none" and args.cal_path:
         from chemprop_tpu.uncertainty import CalibratorRegistry
+        from chemprop_tpu.utils.registry import Factory
 
-        cal_loader, cal_dset, cal_Y = _build_loader(args, args.cal_path, with_targets=True)
-        cal_stack = np.stack(
-            [
-                Trainer(m := load_model(p)[0]).predict(cal_loader, variables=load_model(p)[1])
-                for p in model_paths
-            ]
-        )
-        cal_preds = cal_stack.mean(0)
-        cal_uncs = _estimate_uncertainty(args, cal_stack, model)
+        cal_args = argparse.Namespace(**vars(args))
+        # the calibration set carries its own extra-feature files
+        # (cf. reference ``cli/predict.py:168-200`` --cal-*-path flags)
+        cal_args.descriptors_path = args.cal_descriptors_path
+        cal_args.atom_features_path = args.cal_atom_features_path
+        cal_args.atom_descriptors_path = args.cal_atom_descriptors_path
+        cal_args.bond_features_path = args.cal_bond_features_path
+        cal_args.descriptors_columns = []
+        cal_loader, cal_dset, cal_Y = _build_loader(cal_args, args.cal_path, with_targets=True)
+        if args.uncertainty_method == "dropout":
+            cal_stack, cal_unc_list = [], []
+            for p in model_paths:
+                m, v, _ = load_model(p)
+                mc = Trainer(_override_dropout(m, args.uncertainty_dropout_p)).predict_mc_dropout(
+                    cal_loader, variables=v, sampling_size=args.dropout_sampling_size
+                )
+                cal_stack.append(mc.mean(axis=0))
+                point_mc = mc[..., 0] if mc.ndim == 4 else mc
+                cal_unc_list.append(point_mc.var(axis=0))
+            cal_preds = np.stack(cal_stack).mean(0)
+            cal_uncs = np.stack(cal_unc_list).mean(axis=0)
+        else:
+            cal_stack = np.stack(
+                [
+                    Trainer(m := load_model(p)[0]).predict(cal_loader, variables=load_model(p)[1])
+                    for p in model_paths
+                ]
+            )
+            cal_preds = cal_stack.mean(0)
+            cal_uncs = _estimate_uncertainty(args, cal_stack, model)
         mask = np.isfinite(cal_Y)
-        calibrator = CalibratorRegistry[args.calibration_method]()
+        calibrator = Factory.build(
+            CalibratorRegistry[args.calibration_method],
+            p=args.calibration_interval_percentile / 100,
+            alpha=args.conformal_alpha,
+        )
         calibrator.fit(
             _point(cal_preds), cal_uncs, np.nan_to_num(cal_Y).astype(np.float32), mask
         )
@@ -273,6 +361,32 @@ def _run_myerson_callback(args, model_paths, dset, out: Path) -> None:
         else:
             np.savez_compressed(base.with_suffix(".npz"), *explanations)
             logger.info(f"Myerson explanations saved to {base.with_suffix('.npz')}")
+
+
+def _override_dropout(model, p: float):
+    """Rebuild the model with every dropout rate replaced by ``p`` (the
+    reference patches torch Dropout modules' ``p`` in-place,
+    ``uncertainty/estimator.py:626-631``). Dropout layers hold no params, so
+    the rebuilt module applies with the original checkpoint variables."""
+    from chemprop_tpu.models.serialize import model_config, model_from_config
+
+    if not p:
+        return model
+    cfg = model_config(model)
+
+    def walk(d):
+        if isinstance(d, dict):
+            for k, v in d.items():
+                if k == "dropout" and isinstance(v, (int, float)):
+                    d[k] = p
+                else:
+                    walk(v)
+        elif isinstance(d, list):
+            for v in d:
+                walk(v)
+
+    walk(cfg)
+    return model_from_config(cfg)
 
 
 def _point(preds: np.ndarray) -> np.ndarray:

@@ -53,8 +53,9 @@ class MPNN(nn.Module):
         V_d: jax.Array | None = None,
         X_d: jax.Array | None = None,
         is_training: bool = True,
+        mc_dropout: bool = False,
     ) -> jax.Array:
-        H_v = self.message_passing(bmg, V_d, is_training)
+        H_v = self.message_passing(bmg, V_d, is_training, mc_dropout)
         H = self.agg(H_v, bmg)
         if self.batch_norm:
             # graph_mask: real graphs have at least one node
@@ -85,6 +86,19 @@ class MPNN(nn.Module):
     ) -> jax.Array:
         """Inference-space predictions."""
         return self.predictor(self.fingerprint(bmg, V_d, X_d, is_training), is_training)
+
+    def mc_dropout_preds(
+        self,
+        bmg: BatchMolGraph,
+        V_d: jax.Array | None = None,
+        X_d: jax.Array | None = None,
+    ) -> jax.Array:
+        """Inference-space predictions with dropout layers active (one
+        Monte-Carlo sample; cf. reference MC-dropout estimator,
+        ``uncertainty/estimator.py:491-636``). Batchnorm and all eval-only
+        scalers behave exactly as in :meth:`__call__`."""
+        Z = self.fingerprint(bmg, V_d, X_d, is_training=False, mc_dropout=True)
+        return self.predictor.mc_step(Z)
 
     def train_step_preds(
         self,

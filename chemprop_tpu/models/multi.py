@@ -19,8 +19,9 @@ class MulticomponentMPNN(MPNN):
         V_ds: Sequence[jax.Array | None] | None = None,
         X_d: jax.Array | None = None,
         is_training: bool = True,
+        mc_dropout: bool = False,
     ) -> jax.Array:
-        H_vs = self.message_passing(bmgs, V_ds, is_training)
+        H_vs = self.message_passing(bmgs, V_ds, is_training, mc_dropout)
         Hs = [self.agg(H_v, bmg) for H_v, bmg in zip(H_vs, bmgs)]
         H = jnp.concatenate(Hs, axis=1)
         if self.batch_norm:

@@ -141,8 +141,17 @@ class _MessagePassingBase(nn.Module):
         raise NotImplementedError
 
     def __call__(
-        self, bmg: BatchMolGraph, V_d: jax.Array | None = None, is_training: bool = True
+        self,
+        bmg: BatchMolGraph,
+        V_d: jax.Array | None = None,
+        is_training: bool = True,
+        mc_dropout: bool = False,
     ) -> jax.Array:
+        # mc_dropout activates dropout layers ONLY (Monte-Carlo dropout
+        # uncertainty, reference ``uncertainty/estimator.py:605-636`` patches
+        # torch Dropout modules to train mode); eval-only transforms still
+        # key on is_training.
+        drop_on = is_training or mc_dropout
         if self.graph_transform is not None:
             bmg = self.graph_transform(bmg, is_training)
         n_nodes = bmg.V.shape[0]
@@ -153,11 +162,11 @@ class _MessagePassingBase(nn.Module):
             if self.undirected:
                 H = (H + _gather_rev(H, bmg)) / 2
             M = self._message(H, bmg)
-            H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not is_training)
+            H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not drop_on)
 
         M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)[:, : self.d_h]
         H_v = self.tau(self.W_o(jnp.concatenate([bmg.V.astype(self.compute_dtype), M_v], axis=1)))
-        H_v = self.drop(H_v, deterministic=not is_training)
+        H_v = self.drop(H_v, deterministic=not drop_on)
 
         if V_d is not None:
             if not self.d_vd:
@@ -165,7 +174,7 @@ class _MessagePassingBase(nn.Module):
             if self.V_d_transform is not None:
                 V_d = self.V_d_transform(V_d, is_training)
             H_v = self.W_d(jnp.concatenate([H_v, V_d.astype(self.compute_dtype)], axis=1))
-            H_v = self.drop(H_v, deterministic=not is_training)
+            H_v = self.drop(H_v, deterministic=not drop_on)
 
         return H_v.astype(jnp.float32)
 

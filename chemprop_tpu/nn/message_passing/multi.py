@@ -38,12 +38,16 @@ class MulticomponentMessagePassing(nn.Module):
         bmgs: Sequence[BatchMolGraph],
         V_ds: Sequence[jax.Array | None] | None = None,
         is_training: bool = True,
+        mc_dropout: bool = False,
     ) -> list[jax.Array]:
         if V_ds is None:
             V_ds = [None] * len(bmgs)
         if self.shared:
-            return [self.blocks[0](bmg, V_d, is_training) for bmg, V_d in zip(bmgs, V_ds)]
+            return [
+                self.blocks[0](bmg, V_d, is_training, mc_dropout)
+                for bmg, V_d in zip(bmgs, V_ds)
+            ]
         return [
-            block(bmg, V_d, is_training)
+            block(bmg, V_d, is_training, mc_dropout)
             for block, bmg, V_d in zip(self.blocks, bmgs, V_ds)
         ]

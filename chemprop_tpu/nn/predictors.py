@@ -99,6 +99,11 @@ class _FFNPredictorBase(nn.Module):
         no-op) during validation (``models/model.py:162-168``)."""
         return self(Z, is_training=False)
 
+    def mc_step(self, Z: jax.Array) -> jax.Array:
+        """Monte-Carlo-dropout inference: dropout active, everything else in
+        eval semantics (cf. reference ``uncertainty/estimator.py:605-636``)."""
+        return self(Z, is_training=True)
+
     def encode(self, Z: jax.Array, i: int, is_training: bool = True) -> jax.Array:
         return self.ffn.encode(Z, i, is_training)
 
@@ -120,6 +125,11 @@ class RegressionFFN(_FFNPredictorBase):
 
     def val_step(self, Z):
         return self._forward(Z, is_training=False, unscale=False)
+
+    def mc_step(self, Z):
+        # dropout on, output unscaling on (the reference's MC-dropout runs
+        # the normal eval predict path with Dropout modules patched to train)
+        return self._forward(Z, is_training=True, unscale=True)
 
 
 @PredictorRegistry.register("regression-mve")

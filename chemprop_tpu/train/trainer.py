@@ -440,6 +440,40 @@ class Trainer:
             chunks.append(np.asarray(preds)[batch.pad_mask])
         return np.concatenate(chunks, axis=0)
 
+    def predict_mc_dropout(
+        self,
+        loader: DataLoader,
+        variables: dict | None = None,
+        sampling_size: int = 10,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """``sampling_size`` stochastic forward passes with dropout active
+        (Monte-Carlo dropout, cf. reference ``uncertainty/estimator.py:491-636``).
+        Returns ``[sampling_size, n, ...]`` inference-space predictions; the
+        caller takes mean/variance over axis 0."""
+        if variables is None:
+            variables = self.best_variables or {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            }
+
+        @jax.jit
+        def _apply(v, bmg, V_d, X_d, key):
+            return self.model.apply(
+                v, bmg, V_d, X_d, method="mc_dropout_preds", rngs={"dropout": key}
+            )
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), sampling_size)
+        samples = []
+        for s in range(sampling_size):
+            chunks = []
+            for b, batch in enumerate(loader):
+                key = jax.random.fold_in(keys[s], b)
+                preds = _apply(variables, batch.bmg, batch.V_d, batch.X_d, key)
+                chunks.append(np.asarray(preds)[batch.pad_mask])
+            samples.append(np.concatenate(chunks, axis=0))
+        return np.stack(samples, axis=0)
+
     # ----------------------------------------------------------- checkpoints
     def _save_checkpoint(self, tag: str) -> None:
         from chemprop_tpu.models.serialize import save_checkpoint

@@ -81,17 +81,24 @@ class TestPredictFingerprint:
         assert np.isfinite(vals).all()
 
     def test_predict_with_uncertainty_dropout(self, monkeypatch, mol_csv, train_dir, tmp_path):
+        # real MC-dropout: stochastic forward passes with dropout patched on
+        # (reference --uncertainty-dropout-p / --dropout-sampling-size)
         out = tmp_path / "preds_unc.csv"
         run_cli(
             monkeypatch,
             [
                 "predict", "-i", str(mol_csv), "--model-paths",
-                str(train_dir / "best.ckpt"), str(train_dir / "best.ckpt"),
-                "--uncertainty-method", "dropout", "-o", str(out),
+                str(train_dir / "best.ckpt"),
+                "--uncertainty-method", "dropout",
+                "--uncertainty-dropout-p", "0.2",
+                "--dropout-sampling-size", "5",
+                "-o", str(out),
             ],
         )
         rows = list(csv.DictReader(open(out)))
         assert "lipo_unc" in rows[0]
+        uncs = np.array([float(r["lipo_unc"]) for r in rows])
+        assert (uncs > 0).all()  # dropout variance must be strictly positive
 
     def test_fingerprint_csv(self, monkeypatch, mol_csv, train_dir, tmp_path):
         out = tmp_path / "fps.csv"
