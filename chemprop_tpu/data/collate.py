@@ -27,10 +27,6 @@ from flax import struct
 
 from chemprop_tpu.types import MolGraph
 
-# side-channel for collate variants that need the edge sort permutation of
-# the most recent batch_mol_graphs call (single-threaded collate path)
-_LAST_EDGE_PERM: list = [None]
-
 
 @struct.dataclass
 class BatchMolGraph:
@@ -112,7 +108,10 @@ class PadSpec(NamedTuple):
 
 
 def batch_mol_graphs(
-    mgs: Sequence[MolGraph], pad: PadSpec | None = None, sort_edges: bool = True
+    mgs: Sequence[MolGraph],
+    pad: PadSpec | None = None,
+    sort_edges: bool = True,
+    return_perm: bool = False,
 ) -> BatchMolGraph:
     """Disjoint-union batching with static-shape padding.
 
@@ -121,6 +120,9 @@ def batch_mol_graphs(
     message passing into a sorted-segment reduction (2x+ faster under XLA,
     further with the Pallas kernel). Edge order never affects model output
     (all edge reductions are order-invariant sums).
+
+    ``return_perm=True`` returns ``(bmg, perm)`` where ``perm`` is the edge
+    sort permutation, for collate variants that carry per-edge side tables.
     """
     pad = pad or PadSpec.for_graphs(mgs)
     n_real_nodes = sum(mg.V.shape[0] for mg in mgs)
@@ -184,21 +186,21 @@ def batch_mol_graphs(
         rev = inv[rev[perm]]
         edge_mask = edge_mask[perm]
 
-    _LAST_EDGE_PERM[0] = perm
-
     # safety window for the fused message kernel (ops/fused_message.py):
     # in the dst-sorted layout each graph's edges form one contiguous block
     # (nodes are numbered per graph), and every quantity the kernel needs
     # for a real edge — its reverse edge and the in-edges of its source —
-    # lives inside that block. The kernel's sliding window covers +-256
-    # rows, so the batch qualifies iff no graph has more than 257 directed
-    # edges (~128 bonds). Static flag (recompile-on-flip, like edges_sorted)
-    # that essentially never flips within a run.
-    max_block = max((mg.E.shape[0] for mg in mgs), default=0)
-    fused_ok = sort_edges and max_block <= 257
-    fused_window = 1 if max_block <= 129 else 2
+    # lives inside that block, so the batch qualifies iff every per-graph
+    # edge block fits the kernel's sliding window (SPAN_LIMIT is the
+    # authoritative per-window bound). Static flag (recompile-on-flip, like
+    # edges_sorted) that essentially never flips within a run.
+    from chemprop_tpu.ops.fused_message import SPAN_LIMIT
 
-    return BatchMolGraph(
+    max_block = max((mg.E.shape[0] for mg in mgs), default=0)
+    fused_ok = sort_edges and max_block <= SPAN_LIMIT[2]
+    fused_window = 1 if max_block <= SPAN_LIMIT[1] else 2
+
+    bmg = BatchMolGraph(
         V=V,
         E=E,
         src=src,
@@ -212,6 +214,7 @@ def batch_mol_graphs(
         fused_ok=fused_ok,
         fused_window=fused_window,
     )
+    return (bmg, perm) if return_perm else bmg
 
 
 def collate_batch(
@@ -230,7 +233,8 @@ def collate_batch(
         V_d = np.zeros((pad.n_nodes, V_ds[0].shape[1]), dtype=np.float32)
         v0 = 0
         for mg, vd in zip(mgs, V_ds):
-            V_d[v0 : v0 + vd.shape[0]] = vd
+            if vd is not None:  # heterogeneous descriptor availability
+                V_d[v0 : v0 + vd.shape[0]] = vd
             v0 += mg.V.shape[0]
 
     X_d = None
@@ -300,23 +304,48 @@ class MABTrainingBatch(NamedTuple):
 
 
 def collate_mol_atom_bond_batch(data: Iterable, pad: PadSpec | None = None) -> MABTrainingBatch:
-    """Collate MolAtomBond datapoint tuples (from MolAtomBondDataset):
-    (mg, V_d, E_d, x_d, ys=(mol,atom,bond), weight, lt, gt, constraints)."""
+    """Collate MolAtomBond datum tuples (from MolAtomBondDataset):
+    (mg, V_d, E_d, x_d, ys=(mol,atom,bond), weight, lt_masks, gt_masks,
+    constraints). Packing is vectorized: per-graph offsets via cumsum, one
+    concatenate per table (same scheme as :func:`batch_mol_graphs`)."""
     rows = list(data)
     mgs = [r.mg for r in rows]
     pad = pad or PadSpec.for_graphs(mgs)
-    bmg = batch_mol_graphs(mgs, pad)
-    perm = _LAST_EDGE_PERM[0]
+    bmg, perm = batch_mol_graphs(mgs, pad, return_perm=True)
     b_real, b_pad = len(rows), pad.n_graphs
+    nvs = np.fromiter((mg.V.shape[0] for mg in mgs), np.int64, len(mgs))
+    nes = np.fromiter((mg.E.shape[0] for mg in mgs), np.int64, len(mgs))
+    n_real_nodes = int(nvs.sum())
+    n_real_edges = int(nes.sum())
 
-    def pack_nodes(values, width):
-        out = np.zeros((pad.n_nodes, width), dtype=np.float32)
-        v0 = 0
-        for mg, val in zip(mgs, values):
-            if val is not None:
-                out[v0 : v0 + val.shape[0]] = val
-            v0 += mg.V.shape[0]
+    def pack_nodes(values, width, fill=0.0):
+        out = np.full((pad.n_nodes, width), fill, dtype=np.float32)
+        out[:n_real_nodes] = np.concatenate(
+            [
+                v.reshape(-1, width) if v is not None else np.zeros((nv, width), np.float32)
+                for v, nv in zip(values, nvs)
+            ]
+        )
         return out
+
+    def pack_edges(values, width, fill=0.0):
+        """Per-bond tables repeated onto both directed edges, then routed
+        through the dst-sort permutation to stay row-aligned with bmg.E."""
+        out = np.full((pad.n_edges, width), fill, dtype=np.float32)
+        if n_real_edges:
+            out[:n_real_edges] = np.repeat(
+                np.concatenate(
+                    [
+                        v.reshape(-1, width)
+                        if v is not None
+                        else np.zeros((ne // 2, width), np.float32)
+                        for v, ne in zip(values, nes)
+                    ]
+                ),
+                2,
+                axis=0,
+            )
+        return out[perm]
 
     # ---- extra descriptors
     V_d = None
@@ -324,15 +353,7 @@ def collate_mol_atom_bond_batch(data: Iterable, pad: PadSpec | None = None) -> M
         V_d = pack_nodes([r.V_d for r in rows], rows[0].V_d.shape[1])
     E_d = None
     if rows[0].E_d is not None:
-        w = rows[0].E_d.shape[1]
-        tmp = np.zeros((pad.n_edges, w), dtype=np.float32)
-        e0 = 0
-        for mg, r in zip(mgs, rows):
-            ne = mg.E.shape[0]
-            if r.E_d is not None:
-                tmp[e0 : e0 + ne] = np.repeat(r.E_d, 2, axis=0)
-            e0 += ne
-        E_d = tmp[perm]
+        E_d = pack_edges([r.E_d for r in rows], rows[0].E_d.shape[1])
     X_d = None
     if rows[0].x_d is not None:
         X_d = np.zeros((b_pad, len(rows[0].x_d)), dtype=np.float32)
@@ -350,37 +371,41 @@ def collate_mol_atom_bond_batch(data: Iterable, pad: PadSpec | None = None) -> M
         mol_Y[:b_real] = np.array(mol_ys, dtype=np.float32)
     atom_Y = None
     if atom_ys[0] is not None:
-        t = atom_ys[0].shape[1]
-        atom_Y = np.full((pad.n_nodes, t), np.nan, dtype=np.float32)
-        v0 = 0
-        for mg, ay in zip(mgs, atom_ys):
-            atom_Y[v0 : v0 + ay.shape[0]] = ay
-            v0 += mg.V.shape[0]
+        atom_Y = pack_nodes(atom_ys, atom_ys[0].shape[1], fill=np.nan)
     bond_Y = None
     if bond_ys[0] is not None:
         t = bond_ys[0].shape[1] if bond_ys[0].ndim > 1 else 1
-        tmp = np.full((pad.n_edges, t), np.nan, dtype=np.float32)
-        e0 = 0
-        for mg, by in zip(mgs, bond_ys):
-            by = by.reshape(-1, t)
-            tmp[e0 : e0 + 2 * by.shape[0]] = np.repeat(by, 2, axis=0)
-            e0 += mg.E.shape[0]
-        bond_Y = tmp[perm]
+        bond_Y = pack_edges(bond_ys, t, fill=np.nan)
+
+    # ---- per-kind bounded-loss masks (cf. reference ``collate.py:175-184``;
+    # datapoint lt/gt (mol) + atom_lt/gt + bond_lt/gt, aligned like targets)
+    def pack_mask_triple(triples):
+        mol_m = atom_m = bond_m = None
+        mols = [tr[0] for tr in triples]
+        atoms = [tr[1] for tr in triples]
+        bonds = [tr[2] for tr in triples]
+        if mols[0] is not None:
+            mol_m = np.zeros((b_pad, len(mols[0])), dtype=bool)
+            mol_m[:b_real] = np.array(mols)
+        if atoms[0] is not None:
+            atom_m = pack_nodes(atoms, atoms[0].shape[1]).astype(bool)
+        if bonds[0] is not None:
+            t = bonds[0].shape[1] if bonds[0].ndim > 1 else 1
+            bond_m = pack_edges(bonds, t).astype(bool)
+        return (mol_m, atom_m, bond_m)
+
+    has_masks = hasattr(rows[0], "lt_masks")
+    lt_masks = pack_mask_triple([r.lt_masks for r in rows]) if has_masks else (None, None, None)
+    gt_masks = pack_mask_triple([r.gt_masks for r in rows]) if has_masks else (None, None, None)
 
     # ---- per-kind weights (datapoint weight broadcast to its atoms/bonds)
     w_dp = np.array([r.weight for r in rows], dtype=np.float32)
     w_mol = np.zeros((b_pad, 1), dtype=np.float32)
     w_mol[:b_real, 0] = w_dp
     w_atom = np.zeros((pad.n_nodes, 1), dtype=np.float32)
-    v0 = 0
-    for mg, w in zip(mgs, w_dp):
-        w_atom[v0 : v0 + mg.V.shape[0]] = w
-        v0 += mg.V.shape[0]
+    w_atom[:n_real_nodes, 0] = np.repeat(w_dp, nvs)
     w_bond = np.zeros((pad.n_edges, 1), dtype=np.float32)
-    e0 = 0
-    for mg, w in zip(mgs, w_dp):
-        w_bond[e0 : e0 + mg.E.shape[0]] = w
-        e0 += mg.E.shape[0]
+    w_bond[:n_real_edges, 0] = np.repeat(w_dp, nes)
     w_bond = w_bond[perm]
     # bond losses count each bond once: zero out non-primary directions
     primary = (np.arange(pad.n_edges) < np.asarray(bmg.rev)) & np.asarray(bmg.edge_mask)
@@ -397,9 +422,6 @@ def collate_mol_atom_bond_batch(data: Iterable, pad: PadSpec | None = None) -> M
         if bc[0] is not None:
             bond_c = np.zeros((b_pad, len(bc[0])), dtype=np.float32)
             bond_c[:b_real] = np.array(bc, dtype=np.float32)
-
-    lt_masks = (None, None, None)
-    gt_masks = (None, None, None)
 
     return MABTrainingBatch(
         bmg=bmg,

@@ -187,6 +187,12 @@ class MolAtomBondDatapoint(MoleculeDatapoint):
     bond_y: np.ndarray | None = None
     atom_constraints: np.ndarray | None = None
     bond_constraints: np.ndarray | None = None
+    # per-kind bounded-loss masks (cf. reference ``datapoints.py:163-173``);
+    # the mol-level lt_mask/gt_mask are inherited from MoleculeDatapoint
+    atom_lt_mask: np.ndarray | None = None
+    atom_gt_mask: np.ndarray | None = None
+    bond_lt_mask: np.ndarray | None = None
+    bond_gt_mask: np.ndarray | None = None
 
     def __post_init__(self):
         self.E_d = _nan_to_zero(self.E_d)

@@ -446,6 +446,8 @@ class MABDatum(NamedTuple):
     ys: tuple  # (mol_y, atom_y, bond_y)
     weight: float
     constraints: tuple | None
+    lt_masks: tuple = (None, None, None)  # per-kind (mol, atom, bond)
+    gt_masks: tuple = (None, None, None)
 
 
 @dataclass
@@ -475,6 +477,8 @@ class MolAtomBondDataset(MoleculeDataset):
             (y, self.atom_Y[idx], self.bond_Y[idx]),
             d.weight,
             constraints,
+            (d.lt_mask, d.atom_lt_mask, d.bond_lt_mask),
+            (d.gt_mask, d.atom_gt_mask, d.bond_gt_mask),
         )
 
     # ------------------------------------------------------ per-kind views

@@ -78,7 +78,7 @@ class PaddedDense(nn.Module):
 
 def _gather_src(M, bmg):
     if bmg.edges_sorted:
-        return gather_src(M, bmg.src, bmg.rev, bmg.dst)
+        return gather_src(M, bmg.rev, bmg.dst)
     return M[bmg.src]
 
 

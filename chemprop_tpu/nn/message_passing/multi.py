@@ -40,6 +40,10 @@ class MulticomponentMessagePassing(nn.Module):
         is_training: bool = True,
         mc_dropout: bool = False,
     ) -> list[jax.Array]:
+        if len(bmgs) != self.n_components:
+            raise ValueError(
+                f"expected {self.n_components} component graphs, got {len(bmgs)}"
+            )
         if V_ds is None:
             V_ds = [None] * len(bmgs)
         if self.shared:

@@ -51,7 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 128
 PREFETCH = 1  # issued-ahead chunks beyond the window
-MAX_VMEM_TABLE_BYTES = 4 << 20
+# total VMEM the kernel may claim (ring buffer + out/acc tiles + id tables);
+# conservative vs the ~16 MB/core on v5e so wide hidden dims fall back to the
+# composed XLA path instead of dying in a Mosaic VMEM-exhaustion error
+MAX_VMEM_BYTES = 12 << 20
 
 # largest per-graph edge block each window width supports: kw=1 (3-chunk
 # window, 40% less one-hot MXU work) for blocks <= 129 edges, kw=2 (5-chunk)
@@ -146,7 +149,7 @@ def _fused_message_impl(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # row ids (whole-array resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # col ids
             pl.BlockSpec(memory_space=pltpu.VMEM),  # rev_local
-            pl.BlockSpec(memory_space=pltpu.ANY),  # data stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # data stays in HBM
         ],
         out_specs=pl.BlockSpec((CHUNK, d), lambda c: (c, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -169,12 +172,19 @@ def _usable(H, kw: int = 2) -> bool:
     interpret = os.environ.get("CHEMPROP_TPU_INTERPRET", "0") == "1"
     if jax.devices()[0].platform != "tpu" and not interpret:
         return False
+    nslots = (2 * kw + 1) + kw + PREFETCH
+    itemsize = jnp.dtype(H.dtype).itemsize
+    vmem = (
+        nslots * CHUNK * d * itemsize  # data ring buffer
+        + CHUNK * d * (4 + itemsize)  # f32 accumulator + output tile
+        + n * 12  # 3 VMEM-resident id tables
+    )
     return (
         H.dtype in (jnp.float32, jnp.bfloat16)
         and n % CHUNK == 0
         and n >= (2 * kw + 1) * CHUNK
         and d % 128 == 0
-        and n * 12 <= MAX_VMEM_TABLE_BYTES  # 3 id tables stay VMEM-resident
+        and vmem <= MAX_VMEM_BYTES
     )
 
 

@@ -23,22 +23,23 @@ from chemprop_tpu.ops.segment import segment_sum
 
 
 @jax.custom_vjp
-def gather_src(M: jax.Array, src: jax.Array, rev: jax.Array, dst: jax.Array) -> jax.Array:
-    """``M[src]`` for a node table M, computed as ``M[dst][rev]``: with edges
-    sorted by dst the first gather streams node rows in order (near-bandwidth)
-    and only the rev permutation is irregular — strictly cheaper than the
-    random gather by src. Backward uses the same identity."""
+def gather_src(M: jax.Array, rev: jax.Array, dst: jax.Array) -> jax.Array:
+    """``M[src]`` for a node table M, computed as ``M[dst][rev]`` (valid since
+    ``src == dst∘rev``): with edges sorted by dst the first gather streams
+    node rows in order (near-bandwidth) and only the rev permutation is
+    irregular — strictly cheaper than the random gather by src. Backward uses
+    the same identity."""
     return M[dst][rev]
 
 
-def _gather_src_fwd(M, src, rev, dst):
+def _gather_src_fwd(M, rev, dst):
     return M[dst][rev], (M.shape[0], rev, dst)
 
 
 def _gather_src_bwd(res, g):
     n_nodes, rev, dst = res
     dM = segment_sum(g[rev], dst, n_nodes, sorted=True)
-    return dM.astype(g.dtype), None, None, None
+    return dM.astype(g.dtype), None, None
 
 
 gather_src.defvjp(_gather_src_fwd, _gather_src_bwd)

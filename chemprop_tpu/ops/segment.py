@@ -9,8 +9,9 @@ sacrificial padding node, so no masks are needed in the reduction itself.
 ``jax.ops.segment_sum`` lowers to a one-hot matmul or scatter depending on
 shape; on TPU a sorted-segment scatter is bitwise-deterministic (fixed
 reduction order), unlike the reference's nondeterministic GPU atomics (see
-SURVEY.md §5.2). The Pallas fused kernel (ops/pallas_mp.py) replaces the
-segment_sum + gather pair under a flag for additional fusion.
+SURVEY.md §5.2). The Pallas kernels — ops/sorted_segments.py (one-hot-matmul
+segment sum) and ops/fused_message.py (whole message op in one HBM pass) —
+replace the segment_sum + gather pairs under the CHEMPROP_TPU_PALLAS flag.
 """
 
 from __future__ import annotations
@@ -48,12 +49,19 @@ def segment_sum(
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 
 
-def segment_mean(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
-    totals = segment_sum(data, segment_ids, num_segments)
+def segment_mean(
+    data: jax.Array, segment_ids: jax.Array, num_segments: int, sorted: bool = False
+) -> jax.Array:
+    totals = segment_sum(data, segment_ids, num_segments, sorted=sorted)
+    # counts in f32 regardless of data dtype: bf16 addition saturates at 256
+    # (8 mantissa bits), which would overstate means for >256-row segments
     counts = jax.ops.segment_sum(
-        jnp.ones((data.shape[0],), dtype=data.dtype), segment_ids, num_segments=num_segments
+        jnp.ones((data.shape[0],), dtype=jnp.float32),
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=sorted,
     )
-    return totals / jnp.maximum(counts, 1)[:, None]
+    return (totals / jnp.maximum(counts, 1)[:, None]).astype(data.dtype)
 
 
 def segment_softmax_weights(

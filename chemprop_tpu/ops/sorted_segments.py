@@ -39,7 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_S = 256  # output segment rows per grid step
 CHUNK = 128  # input rows per inner iteration
 DEPTH = 8  # DMA pipeline depth (in-flight chunk copies)
-MAX_VMEM_IDS_BYTES = 4 << 20  # ids table must fit comfortably in VMEM
+# total VMEM budget (ids table + data pipeline + acc/out tiles); conservative
+# vs ~16 MB/core so oversized configs fall back to XLA instead of failing to
+# compile
+MAX_VMEM_BYTES = 12 << 20
 
 
 def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int):
@@ -133,7 +136,7 @@ def _sorted_segment_sum_fwd_impl(data: jax.Array, ids: jax.Array, num_segments: 
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ids fully VMEM-resident
-            pl.BlockSpec(memory_space=pltpu.ANY),  # data stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # data stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (TILE_S, d), lambda t, e_lo, e_hi: (t, 0), memory_space=pltpu.VMEM
@@ -161,11 +164,18 @@ def sorted_segment_sum(data: jax.Array, ids: jax.Array, num_segments: int) -> ja
 
 def _dispatch(data, ids, num_segments):
     platform = jax.devices()[0].platform
+    d = -(-data.shape[1] // 128) * 128  # lane-aligned feature dim
+    itemsize = jnp.dtype(data.dtype).itemsize
+    vmem = (
+        DEPTH * CHUNK * d * itemsize  # data DMA pipeline
+        + TILE_S * d * (4 + 4)  # f32 accumulator + output tile
+        + data.shape[0] * 4  # VMEM-resident ids table
+    )
     if (
         platform in ("tpu",)
         and data.dtype in (jnp.float32, jnp.bfloat16)
         and data.shape[0] % CHUNK == 0
-        and data.shape[0] * 4 <= MAX_VMEM_IDS_BYTES
+        and vmem <= MAX_VMEM_BYTES
     ):
         return _sorted_segment_sum_fwd_impl(data, ids, num_segments)
     return jax.ops.segment_sum(
