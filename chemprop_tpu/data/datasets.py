@@ -321,6 +321,29 @@ class ReactionDataset(_DatasetMixin):
             else None
         )
 
+    def populate_cache_native(self, rxns: list[str] | None = None, keep_h: bool = False) -> bool:
+        """Fill the CGR MolGraph cache via the C++ batch featurizer (the cuik
+        ``batch_reaction_featurizer`` equivalent). Only valid for the default
+        V2 atom / 14-dim bond featurizers; returns False when inapplicable."""
+        from chemprop_tpu.featurizers.native import (
+            featurize_rxn_batch_native,
+            molgraphs_from_native,
+            native_available,
+        )
+
+        f = self.featurizer
+        if len(f.atom_featurizer) != 72 or len(f.bond_featurizer) != 14:
+            return False
+        if not native_available():
+            return False
+        if rxns is None:
+            if any(d.name is None or ">" not in (d.name or "") for d in self.data):
+                return False
+            rxns = [d.name for d in self.data]
+        nb = featurize_rxn_batch_native(rxns, keep_h=keep_h, mode=f.mode.name)
+        self._cache = molgraphs_from_native(nb)
+        return True
+
     @property
     def mols(self) -> list[Mol]:
         return [d.rct for d in self.data]

@@ -51,13 +51,22 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    if not _LIB_PATH.exists() or (
+        _SRC_PATH.exists() and _SRC_PATH.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    ):
         _build_library()
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.cptpu_featurize_batch.restype = ctypes.c_void_p
     lib.cptpu_featurize_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
     ]
+    lib.cptpu_featurize_rxn_batch.restype = ctypes.c_void_p
+    lib.cptpu_featurize_rxn_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    for name in ("cptpu_atom_fdim", "cptpu_bond_fdim"):
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+        getattr(lib, name).restype = ctypes.c_int
     lib.cptpu_error_index.argtypes = [ctypes.c_void_p]
     lib.cptpu_error_msg.argtypes = [ctypes.c_void_p]
     lib.cptpu_error_msg.restype = ctypes.c_char_p
@@ -87,39 +96,68 @@ def native_available() -> bool:
         return False
 
 
+def _batch_from_handle(lib, h, n_mols: int, inputs: list[str]) -> NativeBatch:
+    err_idx = lib.cptpu_error_index(h)
+    if err_idx >= 0:
+        msg = lib.cptpu_error_msg(h).decode()
+        raise ValueError(f"failed to parse {inputs[err_idx]!r}: {msg}")
+    n_atoms = lib.cptpu_n_atoms(h)
+    n_edges = lib.cptpu_n_edges(h)
+    d_v = lib.cptpu_atom_fdim(h)
+    d_e = lib.cptpu_bond_fdim(h)
+
+    def copy(ptr, shape, dtype):
+        n = int(np.prod(shape))
+        if n == 0:
+            return np.zeros(shape, dtype=dtype)
+        # string_at is a plain memcpy; avoids ctypes' O(n) giant-array-type
+        # construction which dwarfs the featurization itself
+        raw = ctypes.string_at(ptr, n * np.dtype(dtype).itemsize)
+        return np.frombuffer(raw, dtype=dtype).reshape(shape).copy()
+
+    return NativeBatch(
+        V=copy(lib.cptpu_V(h), (n_atoms, d_v), np.float32),
+        E=copy(lib.cptpu_E(h), (n_edges, d_e), np.float32),
+        src=copy(lib.cptpu_src(h), (n_edges,), np.int32),
+        dst=copy(lib.cptpu_dst(h), (n_edges,), np.int32),
+        rev=copy(lib.cptpu_rev(h), (n_edges,), np.int32),
+        batch=copy(lib.cptpu_batch(h), (n_atoms,), np.int32),
+        atom_offsets=copy(lib.cptpu_atom_offsets(h), (n_mols + 1,), np.int32),
+        edge_offsets=copy(lib.cptpu_edge_offsets(h), (n_mols + 1,), np.int32),
+    )
+
+
 def featurize_batch_native(smiles: list[str], keep_h: bool = False) -> NativeBatch:
     """Batch SMILES -> featurized arrays (V2 atom mode), entirely in C++."""
     lib = _load()
     arr = (ctypes.c_char_p * len(smiles))(*[s.encode() for s in smiles])
     h = lib.cptpu_featurize_batch(arr, len(smiles), int(keep_h))
     try:
-        err_idx = lib.cptpu_error_index(h)
-        if err_idx >= 0:
-            msg = lib.cptpu_error_msg(h).decode()
-            raise ValueError(f"failed to parse SMILES {smiles[err_idx]!r}: {msg}")
-        n_atoms = lib.cptpu_n_atoms(h)
-        n_edges = lib.cptpu_n_edges(h)
-        n_mols = len(smiles)
+        return _batch_from_handle(lib, h, len(smiles), smiles)
+    finally:
+        lib.cptpu_free(h)
 
-        def copy(ptr, shape, dtype):
-            n = int(np.prod(shape))
-            if n == 0:
-                return np.zeros(shape, dtype=dtype)
-            # string_at is a plain memcpy; avoids ctypes' O(n) giant-array-type
-            # construction which dwarfs the featurization itself
-            raw = ctypes.string_at(ptr, n * np.dtype(dtype).itemsize)
-            return np.frombuffer(raw, dtype=dtype).reshape(shape).copy()
 
-        return NativeBatch(
-            V=copy(lib.cptpu_V(h), (n_atoms, 72), np.float32),
-            E=copy(lib.cptpu_E(h), (n_edges, 14), np.float32),
-            src=copy(lib.cptpu_src(h), (n_edges,), np.int32),
-            dst=copy(lib.cptpu_dst(h), (n_edges,), np.int32),
-            rev=copy(lib.cptpu_rev(h), (n_edges,), np.int32),
-            batch=copy(lib.cptpu_batch(h), (n_atoms,), np.int32),
-            atom_offsets=copy(lib.cptpu_atom_offsets(h), (n_mols + 1,), np.int32),
-            edge_offsets=copy(lib.cptpu_edge_offsets(h), (n_mols + 1,), np.int32),
-        )
+# RxnMode name -> C++ mode code (kind*2 + balanced)
+_RXN_MODES = {
+    "REAC_PROD": 0, "REAC_PROD_BALANCE": 1,
+    "REAC_DIFF": 2, "REAC_DIFF_BALANCE": 3,
+    "PROD_DIFF": 4, "PROD_DIFF_BALANCE": 5,
+}
+
+
+def featurize_rxn_batch_native(
+    rxns: list[str], keep_h: bool = False, mode: str = "REAC_DIFF"
+) -> NativeBatch:
+    """Batch reaction SMILES ("rct>agents>pdt") -> CGR-featurized arrays,
+    entirely in C++ (the cuik ``batch_reaction_featurizer`` equivalent,
+    reference ``featurizers/molgraph/reaction.py:338-470``)."""
+    lib = _load()
+    code = _RXN_MODES[str(mode).upper().replace("-", "_")]
+    arr = (ctypes.c_char_p * len(rxns))(*[s.encode() for s in rxns])
+    h = lib.cptpu_featurize_rxn_batch(arr, len(rxns), int(keep_h), code)
+    try:
+        return _batch_from_handle(lib, h, len(rxns), rxns)
     finally:
         lib.cptpu_free(h)
 

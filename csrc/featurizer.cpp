@@ -797,12 +797,14 @@ void featurize_bond(const Mol& mol, int bi, float* x) {
 }
 
 struct BatchResult {
-  std::vector<float> V;         // [n_atoms, 72]
-  std::vector<float> E;         // [n_edges, 14]
+  std::vector<float> V;         // [n_atoms, atom_fdim]
+  std::vector<float> E;         // [n_edges, bond_fdim]
   std::vector<int32_t> src, dst, rev;
   std::vector<int32_t> batch;   // atom -> mol
   std::vector<int32_t> mol_atom_offsets;  // [n+1]
   std::vector<int32_t> mol_edge_offsets;  // [n+1]
+  int atom_fdim = V2_DIM;
+  int bond_fdim = BOND_DIM;
   std::string error;
   int error_index = -1;
 };
@@ -859,6 +861,183 @@ BatchResult featurize_batch(const std::vector<std::string>& smiles, bool keep_h)
   return r;
 }
 
+// --------------------------------------------- CGR reaction featurization
+// C++ port of the in-repo CGR featurizer (chemprop_tpu/featurizers/molgraph/
+// reaction.py; reference chemprop/featurizers/molgraph/reaction.py:45-332):
+// atom-map pairing of reactant/product, node features = reactant block ∥
+// (product/diff block minus the atomic-number one-hot), edges enumerated
+// over atom pairs bonded on either side. Modes 0..5 = {REAC_PROD, REAC_DIFF,
+// PROD_DIFF} × {plain, _BALANCE}: kind = mode / 2, balanced = mode % 2.
+
+const int K_ATOMIC = 38;  // atomic-number one-hot block width (36 + I + unk)
+const int CGR_ATOM_DIM = 2 * V2_DIM - K_ATOMIC;  // 106
+const int CGR_BOND_DIM = 2 * BOND_DIM;           // 28
+
+void featurize_atom_num_only(const Mol& mol, int a, float* x) {
+  // only the atomic-number bit (reaction.py num_only dummy atoms)
+  std::memset(x, 0, sizeof(float) * V2_DIM);
+  int z = mol.atoms[a].z;
+  int zi = (z >= 1 && z <= 36) ? z - 1 : z == 53 ? 36 : 37;
+  x[zi] = 1;
+}
+
+void featurize_bond_or_null(const Mol* mol, int bi, float* x) {
+  if (mol == nullptr || bi < 0) {
+    std::memset(x, 0, sizeof(float) * BOND_DIM);
+    x[0] = 1;  // null-bond bit
+    return;
+  }
+  featurize_bond(*mol, bi, x);
+}
+
+int bond_between(const Mol& mol, int u, int v) {
+  if (u < 0 || v < 0) return -1;
+  for (int bi : mol.adj[u])
+    if (mol.other(bi, u) == v) return bi;
+  return -1;
+}
+
+struct RxnMap {
+  std::vector<int> r2p;       // reactant idx -> product idx, -1 if unmapped
+  std::vector<int> pdt_only;  // product idxs with no reactant partner
+};
+
+RxnMap map_reac_to_prod(const Mol& rct, const Mol& pdt) {
+  RxnMap m;
+  std::set<int> rct_mapnos;
+  for (auto& a : rct.atoms)
+    if (a.map_num > 0) rct_mapnos.insert(a.map_num);
+  std::map<int, int> mapno2pj;
+  for (size_t j = 0; j < pdt.atoms.size(); j++) {
+    int mn = pdt.atoms[j].map_num;
+    if (mn > 0) {
+      mapno2pj[mn] = (int)j;
+      if (!rct_mapnos.count(mn)) m.pdt_only.push_back((int)j);
+    } else {
+      m.pdt_only.push_back((int)j);
+    }
+  }
+  m.r2p.assign(rct.atoms.size(), -1);
+  for (size_t i = 0; i < rct.atoms.size(); i++) {
+    int mn = rct.atoms[i].map_num;
+    auto it = mn > 0 ? mapno2pj.find(mn) : mapno2pj.end();
+    if (it != mapno2pj.end()) m.r2p[i] = it->second;
+  }
+  return m;
+}
+
+BatchResult cgr_featurize_batch(const std::vector<std::string>& rxns, bool keep_h, int mode) {
+  BatchResult r;
+  r.atom_fdim = CGR_ATOM_DIM;
+  r.bond_fdim = CGR_BOND_DIM;
+  r.mol_atom_offsets.push_back(0);
+  r.mol_edge_offsets.push_back(0);
+  const int kind = mode / 2;      // 0 REAC_PROD, 1 REAC_DIFF, 2 PROD_DIFF
+  const bool balanced = mode % 2; // *_BALANCE
+  int atom0 = 0, edge0 = 0;
+  float xr[V2_DIM], xp[V2_DIM], er[BOND_DIM], ep[BOND_DIM];
+  for (size_t m = 0; m < rxns.size(); m++) {
+    Mol rct, pdt;
+    try {
+      // split "rct>agents>pdt" (agents folded into reactants, matching
+      // ReactionDatapoint.from_smi) or "rct>>pdt"
+      const std::string& s = rxns[m];
+      size_t p1 = s.find('>');
+      size_t p2 = s.rfind('>');
+      if (p1 == std::string::npos || p2 == p1) throw ParseError{"not a reaction SMILES"};
+      std::string rct_smi = s.substr(0, p1);
+      std::string agt = p2 > p1 + 1 ? s.substr(p1 + 1, p2 - p1 - 1) : "";
+      if (!agt.empty()) rct_smi += "." + agt;
+      rct = make_mol(rct_smi, keep_h);
+      pdt = make_mol(s.substr(p2 + 1), keep_h);
+    } catch (ParseError& e) {
+      r.error = e.msg;
+      r.error_index = (int)m;
+      return r;
+    }
+    RxnMap map = map_reac_to_prod(rct, pdt);
+    int n_rct = (int)rct.atoms.size();
+    int n_tot = n_rct + (int)map.pdt_only.size();
+
+    size_t vbase = r.V.size();
+    r.V.resize(vbase + (size_t)n_tot * CGR_ATOM_DIM, 0.0f);
+    for (int i = 0; i < n_tot; i++) {
+      if (i < n_rct) {
+        int pj = map.r2p[i];
+        featurize_atom_v2(rct, i, xr);
+        if (pj >= 0)
+          featurize_atom_v2(pdt, pj, xp);
+        else if (balanced)
+          featurize_atom_v2(rct, i, xp);
+        else
+          featurize_atom_num_only(rct, i, xp);
+      } else {
+        int pj = map.pdt_only[i - n_rct];
+        featurize_atom_v2(pdt, pj, xp);
+        if (balanced)
+          std::memcpy(xr, xp, sizeof(xr));
+        else
+          featurize_atom_num_only(pdt, pj, xr);
+      }
+      float* out = &r.V[vbase + (size_t)i * CGR_ATOM_DIM];
+      const float* first = kind == 2 ? xp : xr;  // PROD_DIFF leads with product
+      std::memcpy(out, first, sizeof(float) * V2_DIM);
+      for (int k = K_ATOMIC; k < V2_DIM; k++)
+        out[V2_DIM + k - K_ATOMIC] = kind == 0 ? xp[k] : xp[k] - xr[k];
+      r.batch.push_back((int)m);
+    }
+
+    int ne = 0;
+    for (int u = 0; u < n_tot; u++) {
+      for (int v = u + 1; v < n_tot; v++) {
+        // _get_bonds (reaction.py:166-187): which side has a bond for (u, v)
+        const Mol *mr = nullptr, *mp = nullptr;
+        int br = -1, bp = -1;
+        if (u >= n_rct) {  // both product-only (u < v implies v >= n_rct too)
+          bp = bond_between(pdt, map.pdt_only[u - n_rct], map.pdt_only[v - n_rct]);
+          mp = &pdt;
+          if (balanced) { br = bp; mr = &pdt; }
+        } else if (v >= n_rct) {
+          if (map.r2p[u] >= 0) {
+            bp = bond_between(pdt, map.r2p[u], map.pdt_only[v - n_rct]);
+            mp = &pdt;
+          }
+        } else {
+          br = bond_between(rct, u, v);
+          mr = &rct;
+          if (map.r2p[u] >= 0 && map.r2p[v] >= 0) {
+            bp = bond_between(pdt, map.r2p[u], map.r2p[v]);
+            mp = &pdt;
+          } else if (balanced && map.r2p[u] < 0 && map.r2p[v] < 0) {
+            bp = br;
+            mp = &rct;
+          }
+        }
+        if (br < 0 && bp < 0) continue;
+        featurize_bond_or_null(mr, br, er);
+        featurize_bond_or_null(mp, bp, ep);
+        float xe[CGR_BOND_DIM];
+        const float* first = kind == 2 ? ep : er;
+        std::memcpy(xe, first, sizeof(float) * BOND_DIM);
+        for (int k = 0; k < BOND_DIM; k++)
+          xe[BOND_DIM + k] = kind == 0 ? ep[k] : ep[k] - er[k];
+        r.E.insert(r.E.end(), xe, xe + CGR_BOND_DIM);
+        r.E.insert(r.E.end(), xe, xe + CGR_BOND_DIM);
+        r.src.push_back(atom0 + u); r.dst.push_back(atom0 + v);
+        r.src.push_back(atom0 + v); r.dst.push_back(atom0 + u);
+        r.rev.push_back(edge0 + ne + 1);
+        r.rev.push_back(edge0 + ne);
+        ne += 2;
+      }
+    }
+    atom0 += n_tot;
+    edge0 += ne;
+    r.mol_atom_offsets.push_back(atom0);
+    r.mol_edge_offsets.push_back(edge0);
+  }
+  return r;
+}
+
 }  // namespace
 
 // ------------------------------------------------------------------- C API
@@ -870,12 +1049,18 @@ void* cptpu_featurize_batch(const char** smiles, int n, int keep_h) {
   return res;
 }
 
+void* cptpu_featurize_rxn_batch(const char** rxns, int n, int keep_h, int mode) {
+  std::vector<std::string> v(rxns, rxns + n);
+  auto* res = new BatchResult(cgr_featurize_batch(v, keep_h != 0, mode));
+  return res;
+}
+
 int cptpu_error_index(void* h) { return ((BatchResult*)h)->error_index; }
 const char* cptpu_error_msg(void* h) { return ((BatchResult*)h)->error.c_str(); }
 int64_t cptpu_n_atoms(void* h) { return (int64_t)((BatchResult*)h)->batch.size(); }
 int64_t cptpu_n_edges(void* h) { return (int64_t)((BatchResult*)h)->src.size(); }
-int cptpu_atom_fdim(void*) { return V2_DIM; }
-int cptpu_bond_fdim(void*) { return BOND_DIM; }
+int cptpu_atom_fdim(void* h) { return ((BatchResult*)h)->atom_fdim; }
+int cptpu_bond_fdim(void* h) { return ((BatchResult*)h)->bond_fdim; }
 const float* cptpu_V(void* h) { return ((BatchResult*)h)->V.data(); }
 const float* cptpu_E(void* h) { return ((BatchResult*)h)->E.data(); }
 const int32_t* cptpu_src(void* h) { return ((BatchResult*)h)->src.data(); }

@@ -71,3 +71,63 @@ def test_native_throughput(smis):
     t_python = (time.perf_counter() - t0) * 10
 
     assert t_native < t_python, f"native {t_native:.3f}s not faster than python {t_python:.3f}s"
+
+
+class TestNativeCGR:
+    """C++ CGR batch featurizer vs the Python CGR path — bit-identical
+    (the cuik ``batch_reaction_featurizer`` parity bar, cf. reference
+    ``tests/unit/featurizers/test_cuikmolmaker_reaction.py``)."""
+
+    @pytest.fixture(scope="class")
+    def rxn_smis(self, data_dir):
+        import csv as _csv
+
+        with open(data_dir / "regression" / "rxn" / "rxn.csv") as f:
+            return [r["smiles"] for r in _csv.DictReader(f)][:30]
+
+    @pytest.mark.parametrize(
+        "mode",
+        [
+            "REAC_PROD", "REAC_PROD_BALANCE", "REAC_DIFF",
+            "REAC_DIFF_BALANCE", "PROD_DIFF", "PROD_DIFF_BALANCE",
+        ],
+    )
+    def test_rxn_parity(self, rxn_smis, mode):
+        from chemprop_tpu.data.datapoints import ReactionDatapoint
+        from chemprop_tpu.featurizers.molgraph.reaction import (
+            CondensedGraphOfReactionFeaturizer,
+        )
+        from chemprop_tpu.featurizers.native import (
+            featurize_rxn_batch_native,
+            molgraphs_from_native,
+            native_available,
+        )
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        nb = featurize_rxn_batch_native(rxn_smis, keep_h=True, mode=mode)
+        native_mgs = molgraphs_from_native(nb)
+
+        feat = CondensedGraphOfReactionFeaturizer(mode_=mode)
+        for smi, nmg in zip(rxn_smis, native_mgs):
+            dp = ReactionDatapoint.from_smi(smi, keep_h=True)
+            pmg = feat((dp.rct, dp.pdt))
+            np.testing.assert_array_equal(nmg.V, pmg.V, err_msg=f"{smi} V ({mode})")
+            np.testing.assert_array_equal(nmg.E, pmg.E, err_msg=f"{smi} E ({mode})")
+            np.testing.assert_array_equal(nmg.edge_index, pmg.edge_index)
+            np.testing.assert_array_equal(nmg.rev_edge_index, pmg.rev_edge_index)
+
+    def test_dataset_populate_cache_native(self, rxn_smis):
+        from chemprop_tpu.data.datapoints import ReactionDatapoint
+        from chemprop_tpu.data.datasets import ReactionDataset
+        from chemprop_tpu.featurizers.native import native_available
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        dps = [ReactionDatapoint.from_smi(s, keep_h=True) for s in rxn_smis[:8]]
+        ds = ReactionDataset(dps)
+        ref = [ds[i].mg for i in range(len(ds))]
+        assert ds.populate_cache_native(keep_h=True)
+        for i in range(len(ds)):
+            np.testing.assert_array_equal(ds[i].mg.V, ref[i].V)
+            np.testing.assert_array_equal(ds[i].mg.E, ref[i].E)
