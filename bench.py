@@ -60,6 +60,17 @@ def bench_jax(batch, n_real_edges) -> float:
 
     import jax.numpy as jnp
 
+    # BENCH_DEVICES=N (or "all"): shard the batch over an N-device data mesh
+    # and report edges/s/chip — the weak-scaling harness for multi-chip runs
+    # (no-op single-chip default keeps the driver's invocation unchanged)
+    n_dev = os.environ.get("BENCH_DEVICES", "1")
+    n_dev = len(jax.devices()) if n_dev == "all" else int(n_dev)
+    mesh = None
+    if n_dev > 1:
+        from chemprop_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.devices()[:n_dev])
+
     # bfloat16 compute is the TPU-native precision policy (MXU-native, f32
     # params/accumulation); it passes the reference's overfit correctness bar
     # (train MSE <= 0.05 -> measured 3e-5). BENCH_DTYPE=float32 for the f32 path.
@@ -70,10 +81,16 @@ def bench_jax(batch, n_real_edges) -> float:
         predictor=RegressionFFN(),
         batch_norm=False,
     )
-    trainer = Trainer(model, max_epochs=1)
+    trainer = Trainer(model, max_epochs=1, mesh=mesh)
     state = trainer.init_state(batch, steps_per_epoch=100)
     step = trainer._make_train_step()
-    dbatch = jax.device_put(batch)
+    if mesh is not None:
+        from chemprop_tpu.parallel import replicate, shard_batch
+
+        state = replicate(state, mesh)
+        dbatch = shard_batch(batch, mesh)
+    else:
+        dbatch = jax.device_put(batch)
 
     # warmup/compile; NOTE: on the axon remote platform block_until_ready is
     # not a reliable sync — a host value fetch (float()) is, so each timing
@@ -87,7 +104,8 @@ def bench_jax(batch, n_real_edges) -> float:
         state, loss = step(state, dbatch)
     float(loss)
     dt = time.perf_counter() - t0
-    return TIMED_STEPS * n_real_edges / dt
+    # per-chip: the sharded batch's edges are split across the mesh
+    return TIMED_STEPS * n_real_edges / dt / max(1, n_dev)
 
 
 def bench_torch_reference(batch, n_real_edges) -> float:
