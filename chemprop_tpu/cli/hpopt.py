@@ -48,6 +48,7 @@ def add_hpopt_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--hyperopt-random-state-seed", type=int, default=None)
     g.add_argument(
         "--startup-trials",
+        "--hyperopt-n-initial-points",
         type=int,
         default=5,
         help="TPE: number of initial random trials before the estimator kicks in",

@@ -93,7 +93,7 @@ def add_predict_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
                  "conformal-adaptive", "isotonic-multiclass"],
         default="none",
     )
-    g.add_argument("--evaluation-methods", nargs="+")
+    g.add_argument("--evaluation-methods", "--evaluation-method", nargs="+")
     g.add_argument(
         "--callback",
         choices=["myerson"],

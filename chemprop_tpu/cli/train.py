@@ -85,7 +85,10 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--dropout", type=float, default=0.0)
     g.add_argument("--activation", default="relu")
     g.add_argument("--atom-messages", action="store_true")
-    g.add_argument("--aggregation", default="mean", choices=sorted(AggregationRegistry.keys()))
+    # reference default is "norm" (sum/100; cli/train.py:236-240)
+    g.add_argument(
+        "--aggregation", "--agg", default="norm", choices=sorted(AggregationRegistry.keys())
+    )
     g.add_argument("--aggregation-norm", type=float, default=100.0)
     g.add_argument("--batch-norm", action="store_true")
     g.add_argument("--mpn-shared", action="store_true")
