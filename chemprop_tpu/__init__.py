@@ -8,3 +8,26 @@ meshes, and a self-contained chemistry substrate (no RDKit dependency).
 """
 
 __version__ = "0.1.0"
+
+from chemprop_tpu import (  # noqa: E402
+    data,
+    exceptions,
+    featurizers,
+    models,
+    nn,
+    schedulers,
+    uncertainty,
+    utils,
+)
+
+__all__ = [
+    "data",
+    "exceptions",
+    "featurizers",
+    "models",
+    "nn",
+    "schedulers",
+    "uncertainty",
+    "utils",
+    "__version__",
+]

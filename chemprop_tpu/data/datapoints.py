@@ -178,6 +178,67 @@ class ReactionDatapoint(_DatapointMixin):
 
 
 @dataclass
+class LazyReactionDatapoint(ReactionDatapoint):
+    """Reaction-SMILES-lazy datapoint: rct/pdt Mols are parsed on first
+    access (cf. reference ``LazyReactionDatapoint``, ``data/datapoints.py``).
+    Pairs with the native C++ CGR batch path, which re-parses the strings."""
+
+    rxn_smiles: str = ""
+    keep_h: bool = False
+    add_h: bool = False
+    ignore_stereo: bool = False
+    reorder_atoms: bool = False
+
+    def __post_init__(self):
+        if not self.rxn_smiles:
+            raise ValueError("rxn_smiles is required")
+        if self.name is None:
+            self.name = self.rxn_smiles
+        _DatapointMixin.__post_init__(self)
+
+    @classmethod
+    def from_smi(cls, rxn_or_smis, **kwargs):
+        if isinstance(rxn_or_smis, tuple):
+            rxn_or_smis = ">>".join(rxn_or_smis)
+        kwargs.pop("name", None)
+        return cls(rxn_smiles=rxn_or_smis, **kwargs)
+
+    def _split(self):
+        parts = self.rxn_smiles.split(">")
+        if len(parts) == 3:
+            rct, agt, pdt = parts
+            return (f"{rct}.{agt}" if agt else rct), pdt
+        if len(parts) == 2:
+            return parts[0], parts[1]
+        raise ValueError(f"invalid reaction SMILES {self.rxn_smiles!r}")
+
+
+def _lazy_rxn_get(which):
+    def get(self):
+        m = self.__dict__.get(f"_{which}")
+        if m is None:
+            rct_smi, pdt_smi = self._split()
+            smi = rct_smi if which == "rct" else pdt_smi
+            m = make_mol(smi, self.keep_h, self.add_h, self.ignore_stereo, self.reorder_atoms)
+            self.__dict__[f"_{which}"] = m
+        return m
+
+    return get
+
+
+def _lazy_rxn_set(which):
+    def set_(self, value):
+        if value is not None and not isinstance(value, property):
+            self.__dict__[f"_{which}"] = value
+
+    return set_
+
+
+LazyReactionDatapoint.rct = property(_lazy_rxn_get("rct"), _lazy_rxn_set("rct"))
+LazyReactionDatapoint.pdt = property(_lazy_rxn_get("pdt"), _lazy_rxn_set("pdt"))
+
+
+@dataclass
 class MolAtomBondDatapoint(MoleculeDatapoint):
     """Adds per-atom and per-bond targets and optional molecule-level
     constraints (cf. reference ``datapoints.py:246-344``)."""

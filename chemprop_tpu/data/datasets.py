@@ -590,3 +590,31 @@ class MolAtomBondDataset(MoleculeDataset):
                 for c, y in zip(self._scaled_bond_c, ys)
             ]
         return scaler
+
+
+@dataclass
+class CuikmolmakerDataset(MoleculeDataset):
+    """MoleculeDataset whose graphs are featurized through the in-repo C++
+    batch featurizer at construction (the reference's cuik-backed
+    ``CuikmolmakerDataset``, ``data/datasets.py:369-433``); falls back to the
+    Python featurization cache when the native path does not apply."""
+
+    keep_h: bool = False
+
+    def __post_init__(self):
+        super().__post_init__()
+        if not self.populate_cache_native(keep_h=self.keep_h):
+            self.cache = True
+
+
+@dataclass
+class CuikmolmakerReactionDataset(ReactionDataset):
+    """ReactionDataset featurized through the C++ CGR batch featurizer (the
+    reference's ``CuikmolmakerReactionDataset``, ``data/datasets.py:722``)."""
+
+    keep_h: bool = False
+
+    def __post_init__(self):
+        super().__post_init__()
+        if not self.populate_cache_native(keep_h=self.keep_h):
+            self.cache = True

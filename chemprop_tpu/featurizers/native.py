@@ -180,3 +180,33 @@ def molgraphs_from_native(nb: NativeBatch) -> list:
             )
         )
     return out
+
+
+class CuikmolmakerMolGraphFeaturizer:
+    """Batch SMILES-list featurizer, API-compatible with the reference's
+    cuik-molmaker wrapper (``featurizers/molgraph/molecule.py:127-257``):
+    one call featurizes the whole list in C++ and returns the pre-batched
+    arrays (:class:`NativeBatch` = the BatchCuikMolGraph equivalent)."""
+
+    def __init__(self, keep_h: bool = False):
+        self.keep_h = keep_h
+
+    def __call__(self, smiles: list[str]) -> NativeBatch:
+        return featurize_batch_native(smiles, keep_h=self.keep_h)
+
+
+class CuikmolmakerCGRFeaturizer:
+    """Batch reaction-SMILES CGR featurizer over the C++ path (the cuik
+    ``batch_reaction_featurizer`` equivalent, reference
+    ``featurizers/molgraph/reaction.py:338-470``)."""
+
+    def __init__(self, mode: str = "REAC_DIFF", keep_h: bool = False):
+        self.mode = mode
+        self.keep_h = keep_h
+
+    def __call__(self, rxns: list[str]) -> NativeBatch:
+        return featurize_rxn_batch_native(rxns, keep_h=self.keep_h, mode=self.mode)
+
+
+# reference-compatible name for the pre-batched container
+BatchCuikMolGraph = NativeBatch

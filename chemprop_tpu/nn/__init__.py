@@ -24,10 +24,83 @@ from chemprop_tpu.nn.predictors import (
     RegressionFFN,
     SpectralFFN,
 )
+from chemprop_tpu.nn.message_passing.base import _MessagePassingBase as MessagePassing
+from chemprop_tpu.nn.message_passing.mol_atom_bond import (
+    MABAtomMessagePassing,
+    MABBondMessagePassing,
+    _MABMessagePassingBase as MABMessagePassing,
+)
+from chemprop_tpu.nn.metrics import (
+    MAE,
+    MSE,
+    RMSE,
+    SID,
+    BCELoss,
+    BinaryAccuracy,
+    BinaryAUPRC,
+    BinaryAUROC,
+    BinaryF1Score,
+    BinaryMCCLoss,
+    BinaryMCCMetric,
+    BoundedMAE,
+    BoundedMixin,
+    BoundedMSE,
+    BoundedRMSE,
+    CrossEntropyLoss,
+    DirichletLoss,
+    EvidentialLoss,
+    MulticlassMCCLoss,
+    MulticlassMCCMetric,
+    MVELoss,
+    QuantileLoss,
+    R2Score,
+    Wasserstein,
+)
+from chemprop_tpu.nn.predictors import (
+    BinaryClassificationFFNBase,
+    _FFNPredictorBase as Predictor,
+)
+
+# the reference's ClassificationMixin (predictors.py) provides the
+# logits-vs-probabilities train/inference split; here that split lives on
+# BinaryClassificationFFNBase directly
+ClassificationMixin = BinaryClassificationFFNBase
+
 from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform, UnscaleTransform
 from chemprop_tpu.nn.utils import Activation, get_activation_function
 
 __all__ = [
+    "MessagePassing",
+    "MABAtomMessagePassing",
+    "MABBondMessagePassing",
+    "MABMessagePassing",
+    "MAE",
+    "MSE",
+    "RMSE",
+    "SID",
+    "BCELoss",
+    "BinaryAccuracy",
+    "BinaryAUPRC",
+    "BinaryAUROC",
+    "BinaryF1Score",
+    "BinaryMCCLoss",
+    "BinaryMCCMetric",
+    "BoundedMAE",
+    "BoundedMixin",
+    "BoundedMSE",
+    "BoundedRMSE",
+    "CrossEntropyLoss",
+    "DirichletLoss",
+    "EvidentialLoss",
+    "MulticlassMCCLoss",
+    "MulticlassMCCMetric",
+    "MVELoss",
+    "QuantileLoss",
+    "R2Score",
+    "Wasserstein",
+    "BinaryClassificationFFNBase",
+    "Predictor",
+    "ClassificationMixin",
     "Activation",
     "Aggregation",
     "AggregationRegistry",

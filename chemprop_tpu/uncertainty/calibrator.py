@@ -21,8 +21,22 @@ class CalibratorBase:
         raise NotImplementedError
 
 
+# marker bases matching the reference class hierarchy
+# (``calibrator.py:47-76``): useful for isinstance dispatch
+class RegressionCalibrator(CalibratorBase):
+    """Base for calibrators of regression uncertainties (variances)."""
+
+
+class BinaryClassificationCalibrator(CalibratorBase):
+    """Base for calibrators of binary class probabilities."""
+
+
+class MulticlassClassificationCalibrator(CalibratorBase):
+    """Base for calibrators of multiclass probabilities."""
+
+
 @CalibratorRegistry.register("zscaling")
-class ZScalingCalibrator(CalibratorBase):
+class ZScalingCalibrator(RegressionCalibrator):
     """Per-task scalar on the variance chosen to maximize Gaussian likelihood
     of the z-scores (cf. reference ``calibrator.py:78-113``)."""
 
@@ -49,7 +63,7 @@ class ZScalingCalibrator(CalibratorBase):
 
 
 @CalibratorRegistry.register("zelikman-interval")
-class ZelikmanCalibrator(CalibratorBase):
+class ZelikmanCalibrator(RegressionCalibrator):
     """Scale variance so the p-interval empirically covers p of the
     calibration set (cf. reference ``calibrator.py:114-154``)."""
 
@@ -74,7 +88,7 @@ class ZelikmanCalibrator(CalibratorBase):
 
 
 @CalibratorRegistry.register("mve-weighting")
-class MVEWeightingCalibrator(CalibratorBase):
+class MVEWeightingCalibrator(RegressionCalibrator):
     """For ensembles of MVE/evidential heads: learn convex weights over the
     per-model variances maximizing calibration NLL (cf. reference
     ``calibrator.py:155-227``). Here ``uncs`` must be [m, n, t]."""
@@ -104,7 +118,7 @@ class MVEWeightingCalibrator(CalibratorBase):
 
 
 @CalibratorRegistry.register("conformal-regression")
-class ConformalRegressionCalibrator(CalibratorBase):
+class ConformalRegressionCalibrator(RegressionCalibrator):
     """Split-conformal half-interval per task (cf. reference
     ``calibrator.py:228-340``)."""
 
@@ -128,7 +142,7 @@ class ConformalRegressionCalibrator(CalibratorBase):
 
 
 @CalibratorRegistry.register("platt")
-class PlattCalibrator(CalibratorBase):
+class PlattCalibrator(BinaryClassificationCalibrator):
     """Logistic recalibration of classification probabilities (cf. reference
     ``calibrator.py:341-410``)."""
 
@@ -154,7 +168,7 @@ class PlattCalibrator(CalibratorBase):
 
 
 @CalibratorRegistry.register("isotonic")
-class IsotonicCalibrator(CalibratorBase):
+class IsotonicCalibrator(BinaryClassificationCalibrator):
     """Isotonic regression of classification probabilities (cf. reference
     ``calibrator.py:411-450``)."""
 
@@ -182,7 +196,7 @@ def _higher_quantile(x: np.ndarray, q: float) -> float:
 
 
 @CalibratorRegistry.register("conformal-multilabel")
-class ConformalMultilabelCalibrator(CalibratorBase):
+class ConformalMultilabelCalibrator(BinaryClassificationCalibrator):
     """Conformal in-set/out-set pair for multilabel classification
     (Cauchois et al. 2020; cf. reference ``calibrator.py:451-546``):
     nonconformity score is ``-p``; the in-threshold is the ``alpha/2``
@@ -223,7 +237,7 @@ class ConformalMultilabelCalibrator(CalibratorBase):
 
 
 @CalibratorRegistry.register("conformal-multiclass")
-class MulticlassConformalCalibrator(CalibratorBase):
+class MulticlassConformalCalibrator(MulticlassClassificationCalibrator):
     """Split-conformal prediction sets for multiclass classification
     (cf. reference ``calibrator.py:578-646``). ``uncs`` is ``[n, t, c]``
     class probabilities, ``targets`` ``[n, t]`` class ids; the
@@ -279,7 +293,7 @@ class AdaptiveMulticlassConformalCalibrator(MulticlassConformalCalibrator):
 
 
 @CalibratorRegistry.register("isotonic-multiclass")
-class IsotonicMulticlassCalibrator(CalibratorBase):
+class IsotonicMulticlassCalibrator(MulticlassClassificationCalibrator):
     """One-vs-all isotonic recalibration of ``[n, t, c]`` class
     probabilities, renormalized over classes (Guo et al. 2017; cf.
     reference ``calibrator.py:668-713``)."""
@@ -305,3 +319,9 @@ class IsotonicMulticlassCalibrator(CalibratorBase):
             for k, iso in enumerate(per_class):
                 out[:, j, k] = iso.predict(uncs[:, j, k])
         return out / np.maximum(out.sum(axis=-1, keepdims=True), 1e-12)
+
+
+# reference-compatible names (``chemprop/uncertainty/__init__.py:1-17``)
+RegressionConformalCalibrator = ConformalRegressionCalibrator
+MultilabelConformalCalibrator = ConformalMultilabelCalibrator
+UncertaintyCalibratorRegistry = CalibratorRegistry

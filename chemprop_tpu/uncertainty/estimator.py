@@ -22,14 +22,22 @@ from chemprop_tpu.utils.registry import ClassRegistry
 UncertaintyEstimatorRegistry = ClassRegistry()
 
 
+class UncertaintyEstimator:
+    """Base: map stacked model outputs to per-sample uncertainties
+    (reference ``estimator.py:15-60``)."""
+
+    def __call__(self, stacked: np.ndarray):
+        raise NotImplementedError
+
+
 @UncertaintyEstimatorRegistry.register("none")
-class NoUncertaintyEstimator:
+class NoUncertaintyEstimator(UncertaintyEstimator):
     def __call__(self, stacked: np.ndarray) -> None:
         return None
 
 
 @UncertaintyEstimatorRegistry.register("ensemble")
-class EnsembleEstimator:
+class EnsembleEstimator(UncertaintyEstimator):
     def __call__(self, stacked: np.ndarray) -> np.ndarray:
         if stacked.shape[0] == 1:
             raise ValueError("ensemble uncertainty requires >= 2 models")
@@ -47,14 +55,14 @@ class DropoutEstimator(EnsembleEstimator):
 
 
 @UncertaintyEstimatorRegistry.register("mve")
-class MVEEstimator:
+class MVEEstimator(UncertaintyEstimator):
     def __call__(self, stacked: np.ndarray) -> np.ndarray:
         if stacked.ndim != 4 or stacked.shape[-1] != 2:
             raise ValueError("mve uncertainty requires [m, n, t, 2] outputs")
         return stacked[..., 1].mean(axis=0)
 
 
-class _EvidentialBase:
+class _EvidentialBase(UncertaintyEstimator):
     def _vab(self, stacked):
         if stacked.ndim != 4 or stacked.shape[-1] != 4:
             raise ValueError("evidential uncertainty requires [m, n, t, 4] outputs")
@@ -86,7 +94,7 @@ class EvidentialAleatoricEstimator(_EvidentialBase):
 
 
 @UncertaintyEstimatorRegistry.register("classification")
-class ClassEstimator:
+class ClassEstimator(UncertaintyEstimator):
     """The predicted probabilities themselves (binary [m, n, t] ->
     [n, t]; multiclass [m, n, t, c] -> [n, t, c])."""
 
@@ -95,7 +103,7 @@ class ClassEstimator:
 
 
 @UncertaintyEstimatorRegistry.register("classification-dirichlet")
-class ClassificationDirichletEstimator:
+class ClassificationDirichletEstimator(UncertaintyEstimator):
     """Binary Dirichlet head outputs [m, n, t, 2] = (p, u); uncertainty is
     the mean Dirichlet ``u = K / sum(alpha)`` (cf. reference ``:648-721``)."""
 
@@ -106,7 +114,7 @@ class ClassificationDirichletEstimator:
 
 
 @UncertaintyEstimatorRegistry.register("multiclass-dirichlet")
-class MulticlassDirichletEstimator:
+class MulticlassDirichletEstimator(UncertaintyEstimator):
     """Multiclass Dirichlet head outputs [m, n, t, c+1] = (p_1..p_c, u);
     uncertainty is the mean ``u`` channel (cf. reference ``:724-816``)."""
 
@@ -117,7 +125,7 @@ class MulticlassDirichletEstimator:
 
 
 @UncertaintyEstimatorRegistry.register("quantile-regression")
-class QuantileRegressionEstimator:
+class QuantileRegressionEstimator(UncertaintyEstimator):
     def __call__(self, stacked: np.ndarray) -> np.ndarray:
         if stacked.ndim != 4 or stacked.shape[-1] != 2:
             raise ValueError("quantile uncertainty requires [m, n, t, 2] outputs")

@@ -143,3 +143,22 @@ class MulticlassConformalCoverageEvaluator:
         in_set = np.take_along_axis(uncs, targets[..., None], axis=2)[..., 0] > 0
         mask = np.asarray(mask, dtype=bool)
         return (in_set & mask).sum(0) / np.maximum(mask.sum(0), 1)
+
+
+# marker bases + reference-compatible names
+# (``chemprop/uncertainty/evaluator.py:13,222,294`` and ``__init__.py:33-48``)
+class RegressionEvaluator:
+    """Base for regression-uncertainty evaluators."""
+
+
+class BinaryClassificationEvaluator:
+    """Base for binary-classification-uncertainty evaluators."""
+
+
+class MulticlassClassificationEvaluator:
+    """Base for multiclass-uncertainty evaluators."""
+
+
+RegressionConformalEvaluator = RegressionConformalCoverageEvaluator
+MultilabelConformalEvaluator = MultilabelConformalCoverageEvaluator
+MulticlassConformalEvaluator = MulticlassConformalCoverageEvaluator

@@ -69,3 +69,17 @@ def batched(iterable: Iterable[T], n: int) -> Iterable[list[T]]:
             batch = []
     if batch:
         yield batch
+
+
+def create_and_call_object(
+    cls, call_args: tuple = (), call_kwargs: dict | None = None,
+    init_args: tuple = (), init_kwargs: dict | None = None,
+):
+    """Instantiate ``cls`` and immediately call the instance (reference
+    ``utils/utils.py:93-109``; used for parallel calls to callable objects)."""
+    return cls(*init_args, **(init_kwargs or {}))(*call_args, **(call_kwargs or {}))
+
+
+def pretty_shape(shape) -> str:
+    """'10 x 4'-style shape string (reference ``utils/utils.py:158-170``)."""
+    return " x ".join(map(str, shape))
