@@ -398,42 +398,61 @@ def _point(p):
     return p[..., 0] if p.ndim == 3 else p
 
 
-def write_MAB_preds(path, dset, preds, mol_cols, atom_cols, bond_cols) -> None:
+def write_MAB_preds(path, dset, preds, mol_cols, atom_cols, bond_cols, uncs=None) -> None:
     """Predictions CSV: scalar mol columns + list-literal atom/bond columns
-    (one list per molecule, in canonical atom/bond order)."""
+    (one list per molecule, in canonical atom/bond order). ``uncs`` is an
+    optional (mol, atom, bond) uncertainty triple written as ``<col>_unc``."""
     mol_p, atom_p, bond_p = preds
+    mol_u, atom_u, bond_u = uncs if uncs is not None else (None, None, None)
     rows: dict[str, list] = {"smiles": [d.name for d in dset.data]}
-    if mol_p is not None:
-        P = _point(mol_p)
-        for j, c in enumerate(mol_cols or [f"mol_{j}" for j in range(P.shape[1])]):
-            rows[c] = P[:, j].tolist()
     n_atoms = [d.mol.num_atoms for d in dset.data]
     n_bonds = [d.mol.num_bonds for d in dset.data]
+
+    def put_mol(P, cols, suffix=""):
+        for j, c in enumerate(cols or [f"mol_{j}" for j in range(P.shape[1])]):
+            rows[c + suffix] = P[:, j].tolist()
+
+    def put_lists(P, cols, counts, prefix, suffix=""):
+        offs = np.cumsum([0] + counts)
+        for j, c in enumerate(cols or [f"{prefix}_{j}" for j in range(P.shape[1])]):
+            rows[c + suffix] = [
+                str([round(float(v), 6) for v in P[offs[i] : offs[i + 1], j]])
+                for i in range(len(dset.data))
+            ]
+
+    if mol_p is not None:
+        put_mol(_point(mol_p), mol_cols)
     if atom_p is not None:
-        P = _point(atom_p)
-        offs = np.cumsum([0] + n_atoms)
-        for j, c in enumerate(atom_cols or [f"atom_{j}" for j in range(P.shape[1])]):
-            rows[c] = [
-                str([round(float(v), 6) for v in P[offs[i] : offs[i + 1], j]])
-                for i in range(len(dset.data))
-            ]
+        put_lists(_point(atom_p), atom_cols, n_atoms, "atom")
     if bond_p is not None:
-        P = _point(bond_p)
-        offs = np.cumsum([0] + n_bonds)
-        for j, c in enumerate(bond_cols or [f"bond_{j}" for j in range(P.shape[1])]):
-            rows[c] = [
-                str([round(float(v), 6) for v in P[offs[i] : offs[i + 1], j]])
-                for i in range(len(dset.data))
-            ]
+        put_lists(_point(bond_p), bond_cols, n_bonds, "bond")
+    if mol_u is not None:
+        put_mol(np.asarray(mol_u), mol_cols, "_unc")
+    if atom_u is not None:
+        put_lists(np.asarray(atom_u), atom_cols, n_atoms, "atom", "_unc")
+    if bond_u is not None:
+        put_lists(np.asarray(bond_u), bond_cols, n_bonds, "bond", "_unc")
     pd.DataFrame(rows).to_csv(path, index=False)
 
 
+def _mab_uncertainty(args, stacks):
+    """Per-head uncertainties from per-model stacks ``[m, n, ...]`` (cf. the
+    reference MAB estimator paths, ``uncertainty/estimator.py``: each
+    estimator handles the (mol, atom, bond) triple head-by-head)."""
+    method = getattr(args, "uncertainty_method", "none")
+    if method in ("none", "dropout"):  # dropout uncs are computed inline
+        return None
+    from chemprop_tpu.uncertainty import UncertaintyEstimatorRegistry
+
+    estimator = UncertaintyEstimatorRegistry[method]()
+    return tuple(None if st is None else estimator(st) for st in stacks)
+
+
 def predict_MAB(args, model, variables, extra) -> int:
-    """MAB predict path: smiles-only CSV -> triple-head predictions CSV."""
-    if getattr(args, "uncertainty_method", "none") == "dropout":
-        raise NotImplementedError(
-            "MC-dropout uncertainty is not yet supported for MolAtomBond models"
-        )
+    """MAB predict path: smiles-only CSV -> triple-head predictions CSV,
+    optionally with ensemble / MC-dropout / head-based uncertainties."""
+    from chemprop_tpu.models.serialize import load_model
+
     df = pd.read_csv(args.data_path)
     smiles_col = (args.smiles_columns or [df.columns[0]])[0]
     dps = [
@@ -444,8 +463,46 @@ def predict_MAB(args, model, variables, extra) -> int:
     ]
     dset = MolAtomBondDataset(dps)
     loader = DataLoader(dset, batch_size=args.batch_size)
-    trainer = MABTrainer(model)
-    preds = trainer.predict(loader, variables=variables)
+
+    from chemprop_tpu.cli.common import find_models
+
+    model_paths = find_models(args.model_paths)
+    method = getattr(args, "uncertainty_method", "none")
+    per_model = []  # list of per-head preds triples
+    mc_uncs = []  # dropout: per-model per-head MC variances
+    for i, path in enumerate(model_paths):
+        m_i, v_i = (model, variables) if i == 0 else load_model(path)[:2]
+        trainer = MABTrainer(m_i)
+        if method == "dropout":
+            from chemprop_tpu.cli.predict import _override_dropout
+
+            mc = trainer.predict_mc_dropout(
+                loader,
+                variables=v_i,
+                sampling_size=getattr(args, "dropout_sampling_size", 10),
+            ) if getattr(args, "uncertainty_dropout_p", 0) == 0 else MABTrainer(
+                _override_dropout(m_i, args.uncertainty_dropout_p)
+            ).predict_mc_dropout(
+                loader, variables=v_i, sampling_size=args.dropout_sampling_size
+            )
+            point = lambda a: a[..., 0] if a is not None and a.ndim == 4 else a
+            per_model.append(tuple(None if s is None else s.mean(0) for s in mc))
+            mc_uncs.append(tuple(None if s is None else point(s).var(0) for s in mc))
+        else:
+            per_model.append(trainer.predict(loader, variables=v_i))
+
+    stacks = tuple(
+        np.stack([pm[k] for pm in per_model]) if per_model[0][k] is not None else None
+        for k in range(3)
+    )
+    preds = tuple(None if st is None else st.mean(0) for st in stacks)
+    if method == "dropout":
+        uncs = tuple(
+            np.stack([u[k] for u in mc_uncs]).mean(0) if mc_uncs[0][k] is not None else None
+            for k in range(3)
+        )
+    else:
+        uncs = _mab_uncertainty(args, stacks)
 
     cols = extra.get("output_columns") or []
     n_mol = model.mol_predictor.n_tasks if model.mol_predictor is not None else 0
@@ -455,6 +512,6 @@ def predict_MAB(args, model, variables, extra) -> int:
     bond_cols = cols[n_mol + n_atom :] or None
     out = args.output or args.data_path.with_name(args.data_path.stem + "_preds.csv")
     out.parent.mkdir(parents=True, exist_ok=True)
-    write_MAB_preds(out, dset, preds, mol_cols, atom_cols, bond_cols)
+    write_MAB_preds(out, dset, preds, mol_cols, atom_cols, bond_cols, uncs=uncs)
     print(f"wrote {out}")
     return 0

@@ -61,8 +61,9 @@ class MolAtomBondMPNN(nn.Module):
         E_d: jax.Array | None = None,
         X_d: jax.Array | None = None,
         is_training: bool = True,
+        mc_dropout: bool = False,
     ):
-        H_v, H_e = self.message_passing(bmg, V_d, E_d, is_training)
+        H_v, H_e = self.message_passing(bmg, V_d, E_d, is_training, mc_dropout)
         H_g = self.agg(H_v, bmg) if (self.agg is not None and H_v is not None) else None
 
         if self.batch_norm:
@@ -82,7 +83,7 @@ class MolAtomBondMPNN(nn.Module):
             H_e = jnp.concatenate([H_e, _gather_rev(H_e, bmg)], axis=1)
         return H_g, H_v, H_e
 
-    def _headwise(self, fps, bmg, constraints, is_training, train_space: bool):
+    def _headwise(self, fps, bmg, constraints, is_training, train_space: bool, mc: bool = False):
         H_g, H_v, H_e = fps
         outs = []
         for kind, fp, predictor in zip(
@@ -91,9 +92,12 @@ class MolAtomBondMPNN(nn.Module):
             if predictor is None or fp is None:
                 outs.append(None)
                 continue
-            preds = predictor.train_step(fp, is_training) if train_space else predictor(
-                fp, is_training
-            )
+            if mc:
+                preds = predictor.mc_step(fp)
+            elif train_space:
+                preds = predictor.train_step(fp, is_training)
+            else:
+                preds = predictor(fp, is_training)
             if kind == "bond":
                 # direction-pair averaging (both directions carry the value)
                 if preds.ndim == 3:
@@ -135,6 +139,19 @@ class MolAtomBondMPNN(nn.Module):
     ):
         fps = self.fingerprint(bmg, V_d, E_d, X_d, is_training)
         return self._headwise(fps, bmg, constraints, is_training, train_space=False)
+
+    def mc_dropout_preds(
+        self,
+        bmg: BatchMolGraph,
+        V_d=None,
+        E_d=None,
+        X_d=None,
+        constraints=None,
+    ):
+        """Inference-space triple-head predictions with dropout layers active
+        (one Monte-Carlo sample; cf. reference MC-dropout estimator)."""
+        fps = self.fingerprint(bmg, V_d, E_d, X_d, is_training=False, mc_dropout=True)
+        return self._headwise(fps, bmg, constraints, is_training=False, train_space=False, mc=True)
 
     def train_step_preds(
         self,

@@ -95,7 +95,11 @@ class _MABMessagePassingBase(nn.Module):
         V_d: jax.Array | None = None,
         E_d: jax.Array | None = None,
         is_training: bool = True,
+        mc_dropout: bool = False,
     ) -> tuple[jax.Array | None, jax.Array | None]:
+        # mc_dropout: dropout layers active, eval-only transforms stay eval
+        # (Monte-Carlo dropout; cf. reference uncertainty/estimator.py:605-636)
+        drop_on = is_training or mc_dropout
         if self.graph_transform is not None:
             bmg = self.graph_transform(bmg, is_training)
         H_0 = self._initialize(bmg).astype(self.compute_dtype)
@@ -104,7 +108,7 @@ class _MABMessagePassingBase(nn.Module):
             if self.undirected:
                 H = (H + _gather_rev(H, bmg)) / 2
             M = self._message(H, bmg)
-            H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not is_training)
+            H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not drop_on)
 
         H_v = H_e = None
         if self.return_vertex_embeddings:
@@ -114,12 +118,12 @@ class _MABMessagePassingBase(nn.Module):
             H_v = self.tau(
                 self.W_vo(jnp.concatenate([bmg.V.astype(self.compute_dtype), M_v], axis=1))
             )
-            H_v = self.drop(H_v, deterministic=not is_training)
+            H_v = self.drop(H_v, deterministic=not drop_on)
             if V_d is not None:
                 if self.V_d_transform is not None:
                     V_d = self.V_d_transform(V_d, is_training)
                 H_v = self.W_vd(jnp.concatenate([H_v, V_d.astype(self.compute_dtype)], axis=1))
-                H_v = self.drop(H_v, deterministic=not is_training)
+                H_v = self.drop(H_v, deterministic=not drop_on)
             H_v = H_v.astype(jnp.float32)
         if self.return_edge_embeddings:
             H_e = self.tau(
@@ -129,12 +133,12 @@ class _MABMessagePassingBase(nn.Module):
                     )
                 )
             )
-            H_e = self.drop(H_e, deterministic=not is_training)
+            H_e = self.drop(H_e, deterministic=not drop_on)
             if E_d is not None:
                 if self.E_d_transform is not None:
                     E_d = self.E_d_transform(E_d, is_training)
                 H_e = self.W_ed(jnp.concatenate([H_e, E_d.astype(self.compute_dtype)], axis=1))
-                H_e = self.drop(H_e, deterministic=not is_training)
+                H_e = self.drop(H_e, deterministic=not drop_on)
             H_e = H_e.astype(jnp.float32)
         return H_v, H_e
 

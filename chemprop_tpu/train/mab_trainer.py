@@ -190,19 +190,44 @@ class MABTrainer(Trainer):
     def predict(self, loader, variables=None, **kwargs):
         """Returns (mol_preds, atom_preds, bond_preds) with padding stripped
         (bond predictions on primary directed edges, one per bond)."""
-        if variables is None:
-            variables = self.best_variables or {
-                "params": self.state.params,
-                "batch_stats": self.state.batch_stats,
-            }
         apply = jax.jit(
             lambda v, b: self.model.apply(
                 v, b.bmg, b.V_d, b.E_d, b.X_d, b.constraints, is_training=False
             )
         )
+        return self._predict_with(loader, variables, lambda v, b: apply(v, b))
+
+    def predict_mc_dropout(self, loader, variables=None, sampling_size: int = 10, seed: int = 0):
+        """``sampling_size`` stochastic passes with dropout active; returns
+        per-head ``[S, n, ...]`` stacks (None for absent heads). Cf. the
+        reference MC-dropout estimator (``uncertainty/estimator.py:491-636``)."""
+        apply = jax.jit(
+            lambda v, b, key: self.model.apply(
+                v, b.bmg, b.V_d, b.E_d, b.X_d, b.constraints,
+                method="mc_dropout_preds", rngs={"dropout": key},
+            )
+        )
+        keys = jax.random.split(jax.random.PRNGKey(seed), sampling_size)
+        samples = []
+        for s_i in range(sampling_size):
+            counter = iter(range(1 << 30))  # distinct dropout key per batch
+
+            def fn(v, b, s_i=s_i, counter=counter):
+                return apply(v, b, jax.random.fold_in(keys[s_i], next(counter)))
+
+            samples.append(self._predict_with(loader, variables, fn))
+        stack = lambda xs: np.stack(xs, 0) if xs[0] is not None else None
+        return tuple(stack([s[k] for s in samples]) for k in range(3))
+
+    def _predict_with(self, loader, variables, apply_fn):
+        if variables is None:
+            variables = self.best_variables or {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            }
         mol_chunks, atom_chunks, bond_chunks = [], [], []
         for batch in loader:
-            mol_p, atom_p, bond_p = apply(variables, batch)
+            mol_p, atom_p, bond_p = apply_fn(variables, batch)
             bmg = batch.bmg
             if mol_p is not None:
                 counts = np.zeros(bmg.n_graphs + 1)

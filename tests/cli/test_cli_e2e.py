@@ -195,6 +195,26 @@ class TestMolAtomBondCLI:
         assert len(ast.literal_eval(r0["atom_y1"])) == 2
         assert len(ast.literal_eval(r0["bond_y1"])) == 1
 
+        # MC-dropout uncertainty on all three heads (reference MAB estimator
+        # path, cli/predict.py:592+)
+        preds_unc = tmp_path / "mab_preds_unc.csv"
+        run_cli(
+            monkeypatch,
+            [
+                "predict", "-i", str(data_dir / "mol_atom_bond" / "regression.csv"),
+                "--model-paths", str(out), "--keep-h", "-o", str(preds_unc),
+                "--uncertainty-method", "dropout",
+                "--uncertainty-dropout-p", "0.2", "--dropout-sampling-size", "4",
+            ],
+        )
+        rows = list(csv.DictReader(open(preds_unc)))
+        r0 = rows[0]
+        assert float(r0["mol_y1_unc"]) > 0
+        atom_uncs = ast.literal_eval(r0["atom_y1_unc"])
+        bond_uncs = ast.literal_eval(r0["bond_y1_unc"])
+        assert len(atom_uncs) == 2 and all(u > 0 for u in atom_uncs)
+        assert len(bond_uncs) == 1 and all(u > 0 for u in bond_uncs)
+
     def test_train_mab_constrained(self, monkeypatch, data_dir, tmp_path):
         out = tmp_path / "mab_con"
         run_cli(
