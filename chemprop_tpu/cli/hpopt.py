@@ -39,6 +39,7 @@ def add_hpopt_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--raytune-num-samples", "--num-trials", type=int, default=10, dest="num_trials")
     g.add_argument(
         "--search-algorithm",
+        "--raytune-search-algorithm",
         choices=["random", "hyperopt", "optuna"],
         default="hyperopt",
         help="random = independent draws; hyperopt/optuna = sequential TPE "
@@ -69,7 +70,41 @@ def add_hpopt_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         "budget, the top 1/eta per rung resume (full training state) with "
         "eta x the budget (reference ASHAScheduler)",
     )
-    g.add_argument("--asha-eta", type=int, default=3)
+    g.add_argument(
+        "--asha-eta",
+        "--raytune-reduction-factor",
+        type=int,
+        default=3,
+        dest="asha_eta",
+        help="ASHA reduction factor (reference --raytune-reduction-factor)",
+    )
+    g.add_argument(
+        "--raytune-trial-scheduler",
+        choices=["FIFO", "AsyncHyperBand"],
+        default=None,
+        help="reference-compatible spelling of --scheduler "
+        "(FIFO -> fifo, AsyncHyperBand -> asha); cf. reference cli/hpopt.py:197-201",
+    )
+    g.add_argument(
+        "--raytune-grace-period",
+        type=int,
+        default=None,
+        help="ASHA: minimum epochs a trial runs before it can be halved "
+        "(rung-0 budget); cf. reference cli/hpopt.py:224-229",
+    )
+    # Ray cluster-resource knobs: accepted for CLI compatibility with the
+    # reference (cli/hpopt.py:203-240) but inert here — trials run in-process
+    # on the local host/chip, so there is no Ray cluster to size.
+    for flag in (
+        "--raytune-num-workers",
+        "--raytune-num-checkpoints-to-keep",
+        "--raytune-max-concurrent-trials",
+        "--raytune-num-cpus",
+        "--raytune-num-gpus",
+    ):
+        g.add_argument(flag, type=int, default=None, help=argparse.SUPPRESS)
+    g.add_argument("--raytune-use-gpu", action="store_true", help=argparse.SUPPRESS)
+    g.add_argument("--raytune-temp-dir", default=None, help=argparse.SUPPRESS)
     return parser
 
 
@@ -232,6 +267,8 @@ def main(args) -> int:
     results = []
     best = (np.inf, None, None)
 
+    if getattr(args, "raytune_trial_scheduler", None) is not None:
+        args.scheduler = {"FIFO": "fifo", "AsyncHyperBand": "asha"}[args.raytune_trial_scheduler]
     if args.scheduler == "asha":
         # synchronous successive halving: every survivor resumes its full
         # training state (params + Adam moments + LR step) at eta x budget
@@ -241,6 +278,10 @@ def main(args) -> int:
             n_rungs += 1
         survivors = list(range(args.num_trials))
         budget = max(1, args.epochs // eta**n_rungs)
+        grace = getattr(args, "raytune_grace_period", None)
+        if grace is not None:
+            # reference ASHAScheduler grace_period: floor on the rung-0 budget
+            budget = min(args.epochs, max(budget, grace))
         rung = 0
         while True:
             scored = []

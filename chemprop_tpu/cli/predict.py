@@ -81,6 +81,18 @@ def add_predict_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
         help="extra bond features (.npz) for the calibration set",
     )
     g.add_argument(
+        "--cal-bond-descriptors-path",
+        type=Path,
+        help="post-MP bond descriptors (.npz) for the calibration set "
+        "(cf. reference cli/predict.py:197)",
+    )
+    g.add_argument(
+        "--cal-constraints-path",
+        type=Path,
+        help="per-molecule sum constraints CSV for the calibration set "
+        "(cf. reference cli/predict.py:203)",
+    )
+    g.add_argument(
         "--test-path",
         dest="data_path",
         type=Path,
@@ -241,6 +253,8 @@ def main(args) -> int:
         cal_args.atom_features_path = args.cal_atom_features_path
         cal_args.atom_descriptors_path = args.cal_atom_descriptors_path
         cal_args.bond_features_path = args.cal_bond_features_path
+        cal_args.bond_descriptors_path = args.cal_bond_descriptors_path
+        cal_args.constraints_path = args.cal_constraints_path
         cal_args.descriptors_columns = []
         cal_loader, cal_dset, cal_Y = _build_loader(cal_args, args.cal_path, with_targets=True)
         if args.uncertainty_method == "dropout":
