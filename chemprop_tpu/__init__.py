@@ -10,6 +10,7 @@ meshes, and a self-contained chemistry substrate (no RDKit dependency).
 __version__ = "0.1.0"
 
 from chemprop_tpu import (  # noqa: E402
+    callbacks,
     data,
     exceptions,
     featurizers,
@@ -21,6 +22,7 @@ from chemprop_tpu import (  # noqa: E402
 )
 
 __all__ = [
+    "callbacks",
     "data",
     "exceptions",
     "featurizers",

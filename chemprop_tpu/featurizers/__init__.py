@@ -25,7 +25,9 @@ S = TypeVar("S")
 T = TypeVar("T")
 from chemprop_tpu.featurizers.bond import MultiHotBondFeaturizer, RIGRBondFeaturizer
 from chemprop_tpu.featurizers.molecule import (
+    BinaryFeaturizerMixin,
     ChargeFeaturizer,
+    CountFeaturizerMixin,
     MoleculeFeaturizerRegistry,
     MorganBinaryFeaturizer,
     MorganCountFeaturizer,
@@ -51,6 +53,8 @@ __all__ = [
     "MolGraphCacheFacade",
     "MolGraphCacheOnTheFly",
     "MorganFeaturizerMixin",
+    "BinaryFeaturizerMixin",
+    "CountFeaturizerMixin",
     "RDKit2DFeaturizer",
     "S",
     "T",

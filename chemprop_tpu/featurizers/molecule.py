@@ -33,16 +33,30 @@ class MorganFeaturizerMixin:
         return self.length
 
 
-@MoleculeFeaturizerRegistry.register("morgan_binary")
-class MorganBinaryFeaturizer(MorganFeaturizerMixin):
+class BinaryFeaturizerMixin:
+    """Presence/absence fingerprint output (cf. reference
+    ``featurizers/molecule.py:32``)."""
+
     def __call__(self, mol: Mol) -> np.ndarray:
         return morgan_binary_fingerprint(mol, self.radius, self.length)
 
 
-@MoleculeFeaturizerRegistry.register("morgan_count")
-class MorganCountFeaturizer(MorganFeaturizerMixin):
+class CountFeaturizerMixin:
+    """Occurrence-count fingerprint output (cf. reference
+    ``featurizers/molecule.py:37``)."""
+
     def __call__(self, mol: Mol) -> np.ndarray:
         return morgan_count_fingerprint(mol, self.radius, self.length)
+
+
+@MoleculeFeaturizerRegistry.register("morgan_binary")
+class MorganBinaryFeaturizer(MorganFeaturizerMixin, BinaryFeaturizerMixin):
+    pass
+
+
+@MoleculeFeaturizerRegistry.register("morgan_count")
+class MorganCountFeaturizer(MorganFeaturizerMixin, CountFeaturizerMixin):
+    pass
 
 
 @MoleculeFeaturizerRegistry.register("charge")
