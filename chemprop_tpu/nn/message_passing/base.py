@@ -31,7 +31,7 @@ from chemprop_tpu.conf import DEFAULT_HIDDEN_DIM
 from chemprop_tpu.data.collate import BatchMolGraph
 from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
 from chemprop_tpu.nn.utils import get_activation_function
-from chemprop_tpu.ops.fused_message import fused_message
+from chemprop_tpu.ops.fused_message import fused_message, fused_message_iter
 from chemprop_tpu.ops.gather import gather_dst, gather_rev, gather_src
 from chemprop_tpu.ops.segment import segment_sum
 
@@ -56,22 +56,37 @@ class PaddedDense(nn.Module):
     in_features: int | None = None  # real input width; inferred if None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        d_in = self.in_features if self.in_features is not None else x.shape[-1]
+    def __call__(
+        self, x: jax.Array | None = None, *, weights_only: bool = False, in_width: int | None = None
+    ) -> jax.Array | tuple[jax.Array, jax.Array | None]:
+        """Apply the dense layer, or — with ``weights_only=True`` — create
+        the parameters and return the zero-padded ``(kernel, bias)`` pair
+        (for fused Pallas ops that consume the weights directly; gradients
+        flow back through the pad slices)."""
+        if weights_only:
+            d_in = self.in_features if self.in_features is not None else in_width
+            x_width = in_width if in_width is not None else d_in
+        else:
+            d_in = self.in_features if self.in_features is not None else x.shape[-1]
+            x_width = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (d_in, self.features), jnp.float32
         )
         out_w = self.pad_to or self.features
         k = kernel
-        if x.shape[-1] != d_in:
-            k = jnp.pad(k, ((0, x.shape[-1] - d_in), (0, 0)))
+        if x_width != d_in:
+            k = jnp.pad(k, ((0, x_width - d_in), (0, 0)))
         if out_w != self.features:
             k = jnp.pad(k, ((0, 0), (0, out_w - self.features)))
-        y = x.astype(self.dtype) @ k.astype(self.dtype)
+        b = None
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
             if out_w != self.features:
                 b = jnp.pad(b, (0, out_w - self.features))
+        if weights_only:
+            return k.astype(self.dtype), (b.astype(self.dtype) if b is not None else None)
+        y = x.astype(self.dtype) @ k.astype(self.dtype)
+        if b is not None:
             y = y + b.astype(self.dtype)
         return y
 
@@ -140,6 +155,10 @@ class _MessagePassingBase(nn.Module):
     def _message(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
         raise NotImplementedError
 
+    def _fused_iter_ok(self, bmg: BatchMolGraph) -> bool:
+        """Whether the whole-iteration fused kernel applies (bond MP only)."""
+        return False
+
     def __call__(
         self,
         bmg: BatchMolGraph,
@@ -158,11 +177,23 @@ class _MessagePassingBase(nn.Module):
 
         H_0 = self._initialize(bmg).astype(self.compute_dtype)
         H = self.tau(H_0)
+        # bond MP with ReLU on sorted fused-safe batches runs each depth
+        # iteration as ONE Pallas pass (message + W_h GEMM + residual + ReLU;
+        # dispatches internally, composing on other backends)
+        fuse_iter = self._fused_iter_ok(bmg)
+        if fuse_iter:
+            W_h, b_h = self.W_h(weights_only=True, in_width=self._dp)
         for _ in range(1, self.depth):
             if self.undirected:
                 H = (H + _gather_rev(H, bmg)) / 2
-            M = self._message(H, bmg)
-            H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not drop_on)
+            if fuse_iter:
+                H = fused_message_iter(
+                    H, H_0, W_h, b_h, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window
+                )
+                H = self.drop(H, deterministic=not drop_on)
+            else:
+                M = self._message(H, bmg)
+                H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not drop_on)
 
         M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)[:, : self.d_h]
         H_v = self.tau(self.W_o(jnp.concatenate([bmg.V.astype(self.compute_dtype), M_v], axis=1)))
@@ -189,9 +220,19 @@ class BondMessagePassing(_MessagePassingBase):
 
     _pad_hidden = True
 
+    def _fused_iter_ok(self, bmg: BatchMolGraph) -> bool:
+        # ReLU is baked into the fused kernel; other activations (and the
+        # undirected pre-average) take the composed path
+        return bmg.edges_sorted and bmg.fused_ok and self.activation == "relu" and not self.undirected
+
     def _initialize(self, bmg: BatchMolGraph) -> jax.Array:
+        # cast BEFORE the node->edge gather: exact (casts commute with
+        # gathers) and halves the gathered bytes in bf16 mode
         VE = jnp.concatenate(
-            [_gather_src(bmg.V, bmg).astype(self.compute_dtype), bmg.E.astype(self.compute_dtype)],
+            [
+                _gather_src(bmg.V.astype(self.compute_dtype), bmg),
+                bmg.E.astype(self.compute_dtype),
+            ],
             axis=1,
         )
         return self.W_i(VE)

@@ -199,6 +199,409 @@ def _fused_message_impl(
     return out[:n] if c_pad != n_chunks else out
 
 
+def _iter_kernel(
+    row2d_ref,
+    col2d_ref,
+    revloc_ref,
+    data_ref,
+    h0_ref,
+    w_ref,
+    b_ref,
+    out_ref,
+    bufs,
+    sems,
+    *,
+    n_chunks,
+    kw,
+    has_bias,
+):
+    """One full D-MPNN depth iteration per edge chunk:
+
+        out = relu(H0 + fused_message(H) @ W [+ b])
+
+    — the message windows stream through the DMA ring exactly as in
+    ``_kernel``, then the ``W_h`` GEMM, residual add, bias, and ReLU happen
+    on the VMEM tile before the single HBM write. Removes the intermediate
+    message table M entirely (two HBM passes per iteration at d=384)."""
+    NWIN = UNROLL + 2 * kw
+    NSLOTS = NWIN + PREFETCH + UNROLL
+    s = pl.program_id(0)
+    u0 = s * UNROLL
+
+    def dma(k):
+        return pltpu.make_async_copy(
+            data_ref.at[pl.ds(k * CHUNK, CHUNK), :],
+            bufs.at[jax.lax.rem(k, NSLOTS)],
+            sems.at[jax.lax.rem(k, NSLOTS)],
+        )
+
+    @pl.when(s == 0)
+    def _():
+        for k in range(NWIN + PREFETCH):
+
+            @pl.when(k < n_chunks)
+            def _(k=k):
+                dma(k).start()
+
+    @pl.when(s >= 1)
+    def _():
+        for j in range(UNROLL):
+            f = u0 + kw + PREFETCH + j
+
+            @pl.when((f < n_chunks) & (f >= NWIN + PREFETCH))
+            def _(f=f):
+                dma(f).start()
+
+    @pl.when(s == 0)
+    def _():
+        for k in range(NWIN):
+
+            @pl.when(k < n_chunks)
+            def _(k=k):
+                dma(k).wait()
+
+    @pl.when(s >= 1)
+    def _():
+        for j in range(UNROLL):
+            e = u0 + kw + j
+
+            @pl.when((e < n_chunks) & (e >= NWIN))
+            def _(e=e):
+                dma(e).wait()
+
+    W = w_ref[...]
+    for u in range(UNROLL):
+        c = u0 + u
+        cb = jnp.clip(c - kw, 0, n_chunks - (2 * kw + 1))
+        row_c = row2d_ref[c, :]
+        rev_l = revloc_ref[c, :]
+        acc = jnp.zeros((CHUNK, bufs.shape[-1]), jnp.float32)
+        for j in range(2 * kw + 1):
+            k = cb + j
+            col_w = col2d_ref[k, :]
+            same = col_w[None, :] == row_c[:, None]
+            col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) + j * CHUNK
+            isrev = col == rev_l[:, None]
+            C = same.astype(jnp.bfloat16) - isrev.astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot(
+                C, bufs[jax.lax.rem(k, NSLOTS)], preferred_element_type=jnp.float32
+            )
+        z = jax.lax.dot(acc.astype(jnp.bfloat16), W, preferred_element_type=jnp.float32)
+        h0 = h0_ref[pl.ds(u * CHUNK, CHUNK), :].astype(jnp.float32)
+        if has_bias:
+            z = z + b_ref[0, :].astype(jnp.float32)[None, :]
+        out_ref[pl.ds(u * CHUNK, CHUNK), :] = jnp.maximum(h0 + z, 0.0).astype(out_ref.dtype)
+
+
+def _iter_impl(H, H0, W, b, row_ids, col_ids, rev, kw):
+    NWIN = UNROLL + 2 * kw
+    NSLOTS = NWIN + PREFETCH + UNROLL
+    n, d = H.shape
+    n_chunks = n // CHUNK
+    n_steps = -(-n_chunks // UNROLL)
+    c_pad = n_steps * UNROLL
+    row2d = row_ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
+    col2d = col_ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
+    base = jnp.clip(jnp.arange(n_chunks, dtype=jnp.int32) - kw, 0, n_chunks - (2 * kw + 1))
+    rev_local = rev.astype(jnp.int32).reshape(n_chunks, CHUNK) - base[:, None] * CHUNK
+    H0p = H0
+    if c_pad != n_chunks:
+        pad = ((0, c_pad - n_chunks), (0, 0))
+        row2d = jnp.pad(row2d, pad, constant_values=-1)
+        col2d = jnp.pad(col2d, pad, constant_values=-2)
+        rev_local = jnp.pad(rev_local, pad, constant_values=-1)
+        H0p = jnp.pad(H0, ((0, c_pad * CHUNK - n), (0, 0)))
+    has_bias = b is not None
+    b2d = b.reshape(1, d) if has_bias else jnp.zeros((1, d), H.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # row ids
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # col ids
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rev_local
+            pl.BlockSpec(memory_space=pl.ANY),  # H stays in HBM (ring-streamed)
+            pl.BlockSpec((UNROLL * CHUNK, d), lambda s: (s, 0), memory_space=pltpu.VMEM),  # H0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W fully resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+        ],
+        out_specs=pl.BlockSpec(
+            (UNROLL * CHUNK, d), lambda s: (s, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOTS, CHUNK, d), H.dtype),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_iter_kernel, n_chunks=n_chunks, kw=kw, has_bias=has_bias),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c_pad * CHUNK, d), H.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=os.environ.get("CHEMPROP_TPU_INTERPRET", "0") == "1",
+    )(row2d, col2d, rev_local, H, H0p, W, b2d)
+    return out[:n] if c_pad != n_chunks else out
+
+
+def _iter_bwd_kernel(
+    row2d_ref,  # dst ids (transposed-message rows)
+    col2d_ref,  # src ids (transposed-message cols)
+    revloc_ref,
+    g_ref,  # upstream cotangent, HBM (ring-streamed)
+    y_ref,  # saved forward output (ReLU mask), HBM (ring-streamed)
+    h_ref,  # forward input H, auto-pipelined blocks (for dW)
+    wT_ref,  # Wᵀ, fully VMEM-resident
+    dh_ref,  # out: dL/dH blocks
+    gz_ref,  # out: gz = g ∘ (y > 0) blocks (= dL/dH0)
+    dw_ref,  # out: dL/dW (d, d) f32, accumulated across the whole grid
+    g_bufs,
+    y_bufs,
+    g_sems,
+    y_sems,
+    *,
+    n_chunks,
+    kw,
+):
+    """Whole-iteration backward in one pass. With S the message operator and
+    gz the ReLU-masked cotangent:
+
+        dH  = (Sᵀ gz) Wᵀ      dW = Hᵀ (Sᵀ gz)      dH0 = gz
+
+    G = Sᵀ gz is never materialized: each output chunk's G tile feeds the
+    Wᵀ GEMM (→ dH) and the Hᵀ-contraction (→ dW accumulator) while still in
+    VMEM. gz is recomputed from the g/y rings per window access (cheap VPU
+    work) and written once as the dH0 output."""
+    NWIN = UNROLL + 2 * kw
+    NSLOTS = NWIN + PREFETCH + UNROLL
+    s = pl.program_id(0)
+    u0 = s * UNROLL
+
+    def dma(ref, bufs, sems, k):
+        return pltpu.make_async_copy(
+            ref.at[pl.ds(k * CHUNK, CHUNK), :],
+            bufs.at[jax.lax.rem(k, NSLOTS)],
+            sems.at[jax.lax.rem(k, NSLOTS)],
+        )
+
+    def start(k):
+        dma(g_ref, g_bufs, g_sems, k).start()
+        dma(y_ref, y_bufs, y_sems, k).start()
+
+    def wait(k):
+        dma(g_ref, g_bufs, g_sems, k).wait()
+        dma(y_ref, y_bufs, y_sems, k).wait()
+
+    @pl.when(s == 0)
+    def _():
+        for k in range(NWIN + PREFETCH):
+
+            @pl.when(k < n_chunks)
+            def _(k=k):
+                start(k)
+
+    @pl.when(s >= 1)
+    def _():
+        for j in range(UNROLL):
+            f = u0 + kw + PREFETCH + j
+
+            @pl.when((f < n_chunks) & (f >= NWIN + PREFETCH))
+            def _(f=f):
+                start(f)
+
+    @pl.when(s == 0)
+    def _():
+        for k in range(NWIN):
+
+            @pl.when(k < n_chunks)
+            def _(k=k):
+                wait(k)
+
+    @pl.when(s >= 1)
+    def _():
+        for j in range(UNROLL):
+            e = u0 + kw + j
+
+            @pl.when((e < n_chunks) & (e >= NWIN))
+            def _(e=e):
+                wait(e)
+
+    def gz_at(k):
+        slot = jax.lax.rem(k, NSLOTS)
+        g = g_bufs[slot]
+        # compare in f32: Mosaic has no bf16 cmpf on this target
+        y = y_bufs[slot].astype(jnp.float32)
+        return jnp.where(y > 0, g, jnp.zeros_like(g))
+
+    WT = wT_ref[...]
+    dw_step = jnp.zeros((wT_ref.shape[0], wT_ref.shape[1]), jnp.float32)
+    for u in range(UNROLL):
+        c = u0 + u
+        cb = jnp.clip(c - kw, 0, n_chunks - (2 * kw + 1))
+        row_c = row2d_ref[c, :]
+        rev_l = revloc_ref[c, :]
+        acc = jnp.zeros((CHUNK, g_bufs.shape[-1]), jnp.float32)
+        for j in range(2 * kw + 1):
+            k = cb + j
+            col_w = col2d_ref[k, :]
+            same = col_w[None, :] == row_c[:, None]
+            col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) + j * CHUNK
+            isrev = col == rev_l[:, None]
+            C = same.astype(jnp.bfloat16) - isrev.astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot(C, gz_at(k), preferred_element_type=jnp.float32)
+        G = acc.astype(jnp.bfloat16)
+        dh_ref[pl.ds(u * CHUNK, CHUNK), :] = jax.lax.dot(
+            G, WT, preferred_element_type=jnp.float32
+        ).astype(dh_ref.dtype)
+        gz_ref[pl.ds(u * CHUNK, CHUNK), :] = gz_at(c).astype(gz_ref.dtype)
+        h_c = h_ref[pl.ds(u * CHUNK, CHUNK), :]
+        # Hᵀ-contraction over the chunk's rows: (d, CHUNK) @ (CHUNK, d)
+        dw_step = dw_step + jax.lax.dot_general(
+            h_c, G, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(s == 0)
+    def _():
+        dw_ref[...] = dw_step
+
+    @pl.when(s != 0)
+    def _():
+        dw_ref[...] = dw_ref[...] + dw_step
+
+
+def _iter_bwd_impl(g, y, H, W, src, dst, rev, kw):
+    NWIN = UNROLL + 2 * kw
+    NSLOTS = NWIN + PREFETCH + UNROLL
+    n, d = H.shape
+    n_chunks = n // CHUNK
+    n_steps = -(-n_chunks // UNROLL)
+    c_pad = n_steps * UNROLL
+    # transposed message: row ids = dst, col ids = src (R is symmetric)
+    row2d = dst.astype(jnp.int32).reshape(n_chunks, CHUNK)
+    col2d = src.astype(jnp.int32).reshape(n_chunks, CHUNK)
+    base = jnp.clip(jnp.arange(n_chunks, dtype=jnp.int32) - kw, 0, n_chunks - (2 * kw + 1))
+    rev_local = rev.astype(jnp.int32).reshape(n_chunks, CHUNK) - base[:, None] * CHUNK
+    gp, yp, hp = g, y, H
+    if c_pad != n_chunks:
+        pad = ((0, c_pad - n_chunks), (0, 0))
+        row2d = jnp.pad(row2d, pad, constant_values=-1)
+        col2d = jnp.pad(col2d, pad, constant_values=-2)
+        rev_local = jnp.pad(rev_local, pad, constant_values=-1)
+        rpad = ((0, c_pad * CHUNK - n), (0, 0))
+        hp = jnp.pad(H, rpad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # row ids
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # col ids
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rev_local
+            pl.BlockSpec(memory_space=pl.ANY),  # g
+            pl.BlockSpec(memory_space=pl.ANY),  # y
+            pl.BlockSpec((UNROLL * CHUNK, d), lambda s: (s, 0), memory_space=pltpu.VMEM),  # H
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Wᵀ
+        ],
+        out_specs=[
+            pl.BlockSpec((UNROLL * CHUNK, d), lambda s: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((UNROLL * CHUNK, d), lambda s: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NSLOTS, CHUNK, d), g.dtype),
+            pltpu.VMEM((NSLOTS, CHUNK, d), y.dtype),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+        ],
+    )
+    dh, gz, dw = pl.pallas_call(
+        functools.partial(_iter_bwd_kernel, n_chunks=n_chunks, kw=kw),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c_pad * CHUNK, d), H.dtype),
+            jax.ShapeDtypeStruct((c_pad * CHUNK, d), g.dtype),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=os.environ.get("CHEMPROP_TPU_INTERPRET", "0") == "1",
+    )(row2d, col2d, rev_local, gp, yp, hp, W.T)
+    if c_pad != n_chunks:
+        dh, gz = dh[:n], gz[:n]
+    return dh, gz, dw
+
+
+def iter_usable(H, W, kw: int) -> bool:
+    """Gate for the fused-iteration kernel: bf16 compute only (the TPU
+    production precision policy), square lane-aligned W."""
+    n, d = H.shape
+    return (
+        _usable(H, kw)
+        and H.dtype == jnp.bfloat16
+        and W.shape == (d, d)
+        and W.dtype == jnp.bfloat16
+    )
+
+
+def _iter_composed(H, H0, W, b, src, dst, rev, n_nodes, window):
+    y = fused_message(H, src, dst, rev, n_nodes, window) @ W
+    if b is not None:
+        y = y + b
+    return jax.nn.relu(H0 + y)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_message_iter(H, H0, W, b, src, dst, rev, n_nodes: int, window: int = 2):
+    """One D-MPNN depth iteration, ``relu(H0 + message(H) @ W [+ b])``, as a
+    single Pallas pass (reference semantics: ``chemprop/nn/message_passing/
+    base.py:135-141`` update with ReLU activation).
+
+    The custom VJP never materializes the message table M: with S the
+    message operator, ``d/dW = Hᵀ(Sᵀ gz)`` and ``d/dH = (Sᵀ gz) Wᵀ`` share
+    the single transposed-kernel product ``G = Sᵀ gz`` (gz masked by the
+    saved ReLU output), so the backward pass is one kernel call plus two
+    GEMMs. Same safety-window requirements as :func:`fused_message`."""
+    return _iter_fwd(H, H0, W, b, src, dst, rev, n_nodes, window)[0]
+
+
+def _iter_fwd(H, H0, W, b, src, dst, rev, n_nodes, window):
+    if iter_usable(H, W, window):
+        y = _iter_impl(H, H0, W, b, src, dst, rev, window)
+    else:
+        y = _iter_composed(H, H0, W, b, src, dst, rev, n_nodes, window)
+    return y, (y, H, W, b, src, dst, rev)
+
+
+def _iter_bwd(n_nodes, window, res, g):
+    y, H, W, b, src, dst, rev = res
+    # the all-in-one bwd kernel measures SLOWER than the composed bwd on
+    # v5e (1.48 vs 0.95 ms on the 123k-edge batch: the in-kernel Hᵀ
+    # contraction and double-ring gz recompute cost more than the saved
+    # HBM passes), so it stays opt-in for future tuning
+    fused_bwd = os.environ.get("CHEMPROP_TPU_FUSED_BWD", "0") == "1"
+    if fused_bwd and iter_usable(H, W, window) and g.dtype == jnp.bfloat16:
+        dH, gz, dWf = _iter_bwd_impl(g, y, H, W, src, dst, rev, window)
+        dW = dWf.astype(W.dtype)
+    else:
+        gz = g * (y > 0).astype(g.dtype)
+        # G = Sᵀ gz: the transposed message kernel (row/col id roles swapped)
+        if _usable(gz, window):
+            G = _fused_message_impl(gz, dst, src, rev, window)
+        else:
+            from chemprop_tpu.ops.gather import gather_dst, gather_rev
+            from chemprop_tpu.ops.segment import segment_sum
+
+            g_rev = gather_rev(gz, rev)
+            G = gather_dst(segment_sum(g_rev, dst, n_nodes, sorted=True), dst) - g_rev
+            G = G.astype(gz.dtype)
+        dH = jax.lax.dot(G, W.T, preferred_element_type=jnp.float32).astype(H.dtype)
+        dW = jax.lax.dot(H.T, G, preferred_element_type=jnp.float32).astype(W.dtype)
+    db = None if b is None else jnp.sum(gz.astype(jnp.float32), axis=0).astype(b.dtype)
+    return dH, gz, dW, db, None, None, None
+
+
+fused_message_iter.defvjp(_iter_fwd, _iter_bwd)
+
+
 def _usable(H, kw: int = 2) -> bool:
     n, d = H.shape
     if os.environ.get("CHEMPROP_TPU_PALLAS", "1") != "1":
