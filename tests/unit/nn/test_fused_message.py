@@ -121,3 +121,82 @@ def test_model_level_fused_vs_composed(bmg, monkeypatch):
     out_comp = np.asarray(model.apply(variables, b_no, None, False))
     node_mask = np.asarray(bmg.node_mask)
     np.testing.assert_allclose(out_fused[node_mask], out_comp[node_mask], atol=1e-4)
+
+
+class TestFusedMessageIter:
+    """The whole-iteration op relu(H0 + message(H) @ W [+ b]): kernel
+    (interpret) vs the composed formulation, values and custom-VJP grads."""
+
+    def _inputs(self, bmg, d=128, seed=3):
+        rng = np.random.default_rng(seed)
+        n = bmg.E.shape[0]
+        H = jnp.asarray(rng.standard_normal((n, d)), jnp.bfloat16)
+        H0 = jnp.asarray(rng.standard_normal((n, d)), jnp.bfloat16)
+        W = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((d,)), jnp.bfloat16)
+        return H, H0, W, b
+
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_forward_matches_composed(self, bmg, with_bias):
+        from chemprop_tpu.ops.fused_message import (
+            _iter_composed,
+            fused_message_iter,
+            iter_usable,
+        )
+
+        H, H0, W, b = self._inputs(bmg)
+        bias = b if with_bias else None
+        assert iter_usable(H, W, bmg.fused_window)
+        n_nodes = bmg.V.shape[0]
+        y_k = np.asarray(
+            fused_message_iter(
+                H, H0, W, bias, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window
+            ),
+            np.float32,
+        )
+        y_c = np.asarray(
+            _iter_composed(H, H0, W, bias, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window),
+            np.float32,
+        )
+        mask = np.asarray(bmg.edge_mask)
+        np.testing.assert_allclose(y_k[mask], y_c[mask], atol=0.15, rtol=0.05)
+
+    @pytest.mark.parametrize("fused_bwd", ["0", "1"])
+    def test_grads_match_composed(self, bmg, monkeypatch, fused_bwd):
+        from chemprop_tpu.ops.fused_message import _iter_composed, fused_message_iter
+
+        monkeypatch.setenv("CHEMPROP_TPU_FUSED_BWD", fused_bwd)
+        H, H0, W, b = self._inputs(bmg)
+        n_nodes = bmg.V.shape[0]
+        mask = jnp.asarray(np.asarray(bmg.edge_mask))[:, None]
+
+        def loss(fn):
+            def f(H, H0, W, b):
+                y = fn(H, H0, W, b, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window)
+                return jnp.sum(jnp.where(mask, y.astype(jnp.float32), 0.0) ** 2)
+
+            return f
+
+        gk = jax.grad(loss(fused_message_iter), argnums=(0, 1, 2, 3))(H, H0, W, b)
+        gc = jax.grad(loss(_iter_composed), argnums=(0, 1, 2, 3))(H, H0, W, b)
+        real = np.asarray(bmg.edge_mask)
+        for name, a, c in zip(["dH", "dH0", "dW", "db"], gk, gc):
+            a, c = np.asarray(a, np.float32), np.asarray(c, np.float32)
+            if a.ndim == 2 and a.shape[0] == bmg.E.shape[0]:
+                a, c = a[real], c[real]
+            scale = np.abs(c).max() + 1e-3
+            np.testing.assert_allclose(a / scale, c / scale, atol=0.03, err_msg=name)
+
+    def test_model_uses_iter_path(self, bmg):
+        """BondMessagePassing with bf16 compute and ReLU matches the
+        composed path through the whole module."""
+        from chemprop_tpu.nn import BondMessagePassing
+
+        model = BondMessagePassing(d_h=128, depth=3, compute_dtype=jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), bmg, None, False)
+        assert model.bind(variables)._fused_iter_ok(bmg)
+        out_fused = np.asarray(model.apply(variables, bmg, None, False), np.float32)
+        b_no = bmg.replace(fused_ok=False)
+        out_comp = np.asarray(model.apply(variables, b_no, None, False), np.float32)
+        node_mask = np.asarray(bmg.node_mask)
+        np.testing.assert_allclose(out_fused[node_mask], out_comp[node_mask], atol=0.05, rtol=0.05)
