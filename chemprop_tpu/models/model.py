@@ -55,8 +55,19 @@ class MPNN(nn.Module):
         is_training: bool = True,
         mc_dropout: bool = False,
     ) -> jax.Array:
-        H_v = self.message_passing(bmg, V_d, is_training, mc_dropout)
+        # mean/sum/norm readouts are width-agnostic per column, so the MP
+        # block may keep its lane-aligned (zero-tail) node width through the
+        # readout — the graph-level slice below is ~30x cheaper than slicing
+        # or re-padding the node table (see docs/performance.md)
+        keep_padded = type(self.agg).__name__ in (
+            "MeanAggregation",
+            "SumAggregation",
+            "NormAggregation",
+        )
+        H_v = self.message_passing(bmg, V_d, is_training, mc_dropout, keep_padded=keep_padded)
         H = self.agg(H_v, bmg)
+        if H.shape[1] != self.message_passing.output_dim:
+            H = H[:, : self.message_passing.output_dim]
         if self.batch_norm:
             # graph_mask: real graphs have at least one node
             graph_counts = jnp.zeros(bmg.n_graphs + 1).at[bmg.batch].add(1.0)[: bmg.n_graphs]

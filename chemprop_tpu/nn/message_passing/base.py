@@ -57,22 +57,34 @@ class PaddedDense(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array | None = None, *, weights_only: bool = False, in_width: int | None = None
+        self,
+        x: jax.Array | None = None,
+        *,
+        weights_only: bool = False,
+        in_width: int | None = None,
+        d_in: int | None = None,
+        out_width: int | None = None,
     ) -> jax.Array | tuple[jax.Array, jax.Array | None]:
         """Apply the dense layer, or — with ``weights_only=True`` — create
         the parameters and return the zero-padded ``(kernel, bias)`` pair
         (for fused Pallas ops that consume the weights directly; gradients
-        flow back through the pad slices)."""
+        flow back through the pad slices). ``d_in``/``out_width`` override
+        the real input width / padded output width per call (the parameter
+        shapes always follow ``d_in``/``features``), letting one layer serve
+        both the tight and the lane-aligned layout of the same computation."""
         if weights_only:
-            d_in = self.in_features if self.in_features is not None else in_width
+            d_in = d_in if d_in is not None else (
+                self.in_features if self.in_features is not None else in_width
+            )
             x_width = in_width if in_width is not None else d_in
         else:
-            d_in = self.in_features if self.in_features is not None else x.shape[-1]
+            if d_in is None:
+                d_in = self.in_features if self.in_features is not None else x.shape[-1]
             x_width = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (d_in, self.features), jnp.float32
         )
-        out_w = self.pad_to or self.features
+        out_w = out_width or self.pad_to or self.features
         k = kernel
         if x_width != d_in:
             k = jnp.pad(k, ((0, x_width - d_in), (0, 0)))
@@ -143,7 +155,9 @@ class _MessagePassingBase(nn.Module):
             name="W_h",
             dtype=dt,
         )
-        self.W_o = nn.Dense(self.d_h, use_bias=True, name="W_o", dtype=dt)
+        # PaddedDense with no pad_to behaves exactly like nn.Dense; the
+        # lane-aligned finalize path overrides d_in/out_width per call
+        self.W_o = PaddedDense(self.d_h, use_bias=True, name="W_o", dtype=dt)
         if self.d_vd:
             self.W_d = nn.Dense(self.d_h + self.d_vd, use_bias=True, name="W_d", dtype=dt)
         self.drop = nn.Dropout(self.dropout)
@@ -165,6 +179,7 @@ class _MessagePassingBase(nn.Module):
         V_d: jax.Array | None = None,
         is_training: bool = True,
         mc_dropout: bool = False,
+        keep_padded: bool = False,
     ) -> jax.Array:
         # mc_dropout activates dropout layers ONLY (Monte-Carlo dropout
         # uncertainty, reference ``uncertainty/estimator.py:605-636`` patches
@@ -195,8 +210,30 @@ class _MessagePassingBase(nn.Module):
                 M = self._message(H, bmg)
                 H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not drop_on)
 
-        M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)[:, : self.d_h]
-        H_v = self.tau(self.W_o(jnp.concatenate([bmg.V.astype(self.compute_dtype), M_v], axis=1)))
+        M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)
+        d_v = bmg.V.shape[1]
+        wide = (
+            keep_padded
+            and self._pad_hidden
+            and V_d is None
+            and self._dp != self.d_h
+            # the zero output columns stay exactly zero only when tau(0) == 0
+            and self.activation in ("relu", "leakyrelu", "prelu", "tanh", "elu", "gelu", "silu")
+        )
+        if wide:
+            # lane-aligned finalize: keep the 128-multiple edge-hidden width
+            # through W_o and the readout, slicing only at graph level — the
+            # M_v column slice and the pre-readout pad copy both disappear.
+            # M_v's pad block sits at the END of the concat, so W_o's kernel
+            # rows zero-pad to cover it and the extra output columns are
+            # exact zeros (zero kernel columns, zero bias; tau(0) == 0 for
+            # every registered MP activation).
+            VM = jnp.concatenate([bmg.V.astype(self.compute_dtype), M_v], axis=1)
+            H_v = self.tau(self.W_o(VM, d_in=d_v + self.d_h, out_width=self._dp))
+        else:
+            M_v = M_v[:, : self.d_h]
+            VM = jnp.concatenate([bmg.V.astype(self.compute_dtype), M_v], axis=1)
+            H_v = self.tau(self.W_o(VM, d_in=d_v + self.d_h))
         H_v = self.drop(H_v, deterministic=not drop_on)
 
         if V_d is not None:
