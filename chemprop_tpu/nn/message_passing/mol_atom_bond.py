@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from chemprop_tpu.conf import DEFAULT_HIDDEN_DIM
 from chemprop_tpu.data.collate import BatchMolGraph
 from chemprop_tpu.nn.message_passing.base import PaddedDense, _gather_rev, _gather_src
-from chemprop_tpu.ops.fused_message import fused_message
+from chemprop_tpu.ops.fused_message import fused_message, fused_message_iter
 from chemprop_tpu.ops.gather import gather_dst
 from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
 from chemprop_tpu.nn.utils import get_activation_function
@@ -89,6 +89,10 @@ class _MABMessagePassingBase(nn.Module):
     def _message(self, H, bmg):
         raise NotImplementedError
 
+    def _fused_iter_ok(self, bmg) -> bool:
+        """Whether the whole-iteration fused kernel applies (bond MP only)."""
+        return False
+
     def __call__(
         self,
         bmg: BatchMolGraph,
@@ -104,11 +108,23 @@ class _MABMessagePassingBase(nn.Module):
             bmg = self.graph_transform(bmg, is_training)
         H_0 = self._initialize(bmg).astype(self.compute_dtype)
         H = self.tau(H_0)
+        # bond MP with ReLU on sorted fused-safe batches: one Pallas pass per
+        # depth iteration (message + W_h GEMM + residual + ReLU); see
+        # nn/message_passing/base.py
+        fuse_iter = self._fused_iter_ok(bmg)
+        if fuse_iter:
+            W_h, b_h = self.W_h(weights_only=True, in_width=self._dp)
         for _ in range(1, self.depth):
             if self.undirected:
                 H = (H + _gather_rev(H, bmg)) / 2
-            M = self._message(H, bmg)
-            H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not drop_on)
+            if fuse_iter:
+                H = fused_message_iter(
+                    H, H_0, W_h, b_h, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0], bmg.fused_window
+                )
+                H = self.drop(H, deterministic=not drop_on)
+            else:
+                M = self._message(H, bmg)
+                H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not drop_on)
 
         H_v = H_e = None
         if self.return_vertex_embeddings:
@@ -146,9 +162,18 @@ class _MABMessagePassingBase(nn.Module):
 class MABBondMessagePassing(_MABMessagePassingBase):
     _pad_hidden = True
 
+    def _fused_iter_ok(self, bmg) -> bool:
+        return (
+            bmg.edges_sorted and bmg.fused_ok and self.activation == "relu" and not self.undirected
+        )
+
     def _initialize(self, bmg):
+        # cast BEFORE the node->edge gather (exact; halves gathered bytes in bf16)
         VE = jnp.concatenate(
-            [_gather_src(bmg.V, bmg).astype(self.compute_dtype), bmg.E.astype(self.compute_dtype)],
+            [
+                _gather_src(bmg.V.astype(self.compute_dtype), bmg),
+                bmg.E.astype(self.compute_dtype),
+            ],
             axis=1,
         )
         return self.W_i(VE)
