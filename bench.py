@@ -54,8 +54,16 @@ def build_batch(n_batches: int = 1, seed: int = 0):
         batches.append(collate_batch([data[j] for j in order], pad))
     n_real_edges = int(batches[0].bmg.edge_mask.sum())
     if n_batches == 1:
-        return batches[0], n_real_edges
+        return batches[0], n_real_edges  # single-batch convenience (experiments)
     return batches, n_real_edges
+
+
+def build_batches(n_batches: int, seed: int = 0):
+    """List-returning variant of :func:`build_batch` (uniform for n==1)."""
+    out = build_batch(n_batches, seed)
+    if n_batches == 1:
+        return [out[0]], out[1]
+    return out
 
 
 def bench_jax(batches, n_real_edges) -> float:
@@ -192,7 +200,7 @@ def bench_torch_reference(batch, n_real_edges) -> float:
 
 def main():
     n_body = int(os.environ.get("BENCH_BODY_BATCHES", 10))
-    batches, n_real_edges = build_batch(n_batches=n_body)
+    batches, n_real_edges = build_batches(n_body)
     jax_eps = bench_jax(batches, n_real_edges)
     batch = batches[0]
     try:

@@ -55,15 +55,11 @@ class MPNN(nn.Module):
         is_training: bool = True,
         mc_dropout: bool = False,
     ) -> jax.Array:
-        # mean/sum/norm readouts are width-agnostic per column, so the MP
-        # block may keep its lane-aligned (zero-tail) node width through the
+        # columnwise readouts are width-agnostic per column, so the MP block
+        # may keep its lane-aligned (zero-tail) node width through the
         # readout — the graph-level slice below is ~30x cheaper than slicing
         # or re-padding the node table (see docs/performance.md)
-        keep_padded = type(self.agg).__name__ in (
-            "MeanAggregation",
-            "SumAggregation",
-            "NormAggregation",
-        )
+        keep_padded = getattr(self.agg, "columnwise", False)
         H_v = self.message_passing(bmg, V_d, is_training, mc_dropout, keep_padded=keep_padded)
         H = self.agg(H_v, bmg)
         if H.shape[1] != self.message_passing.output_dim:

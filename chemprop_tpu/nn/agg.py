@@ -21,12 +21,21 @@ AggregationRegistry = ClassRegistry()
 
 
 class Aggregation(nn.Module):
+    # True when each output column depends only on the same input column —
+    # such readouts may consume lane-aligned (zero-tail) node tables and be
+    # sliced at graph level (see MPNN.fingerprint). Attention-style readouts
+    # that mix columns must leave this False. Deliberately NOT a dataclass
+    # field (no annotation): it is a capability of the class, not a config.
+    columnwise = False
+
     def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
         raise NotImplementedError
 
 
 @AggregationRegistry.register("sum")
 class SumAggregation(Aggregation):
+    columnwise = True
+
     @nn.compact
     def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
         return segment_sum(H, bmg.batch, bmg.n_graphs + 1, sorted=True)[: bmg.n_graphs]
@@ -34,6 +43,8 @@ class SumAggregation(Aggregation):
 
 @AggregationRegistry.register("mean")
 class MeanAggregation(Aggregation):
+    columnwise = True
+
     @nn.compact
     def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
         totals = segment_sum(H, bmg.batch, bmg.n_graphs + 1, sorted=True)[: bmg.n_graphs]
@@ -45,6 +56,7 @@ class MeanAggregation(Aggregation):
 
 @AggregationRegistry.register("norm")
 class NormAggregation(Aggregation):
+    columnwise = True
     norm: float = 100.0
 
     @nn.compact

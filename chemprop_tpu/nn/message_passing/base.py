@@ -195,7 +195,10 @@ class _MessagePassingBase(nn.Module):
         # bond MP with ReLU on sorted fused-safe batches runs each depth
         # iteration as ONE Pallas pass (message + W_h GEMM + residual + ReLU;
         # dispatches internally, composing on other backends)
-        fuse_iter = self._fused_iter_ok(bmg)
+        # depth > 1 guard: at depth=1 neither branch touches W_h, and the
+        # weights-only call would create params the composed branch never
+        # does (param-structure divergence across batch flags)
+        fuse_iter = self.depth > 1 and self._fused_iter_ok(bmg)
         if fuse_iter:
             W_h, b_h = self.W_h(weights_only=True, in_width=self._dp)
         for _ in range(1, self.depth):

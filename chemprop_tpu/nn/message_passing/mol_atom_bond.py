@@ -111,7 +111,8 @@ class _MABMessagePassingBase(nn.Module):
         # bond MP with ReLU on sorted fused-safe batches: one Pallas pass per
         # depth iteration (message + W_h GEMM + residual + ReLU); see
         # nn/message_passing/base.py
-        fuse_iter = self._fused_iter_ok(bmg)
+        # depth > 1: see base.py — avoids param-structure divergence at depth=1
+        fuse_iter = self.depth > 1 and self._fused_iter_ok(bmg)
         if fuse_iter:
             W_h, b_h = self.W_h(weights_only=True, in_width=self._dp)
         for _ in range(1, self.depth):

@@ -77,320 +77,26 @@ def _window_dot(acc, C, x, dtype):
     return acc + jax.lax.dot(C, lo, preferred_element_type=jnp.float32)
 
 
-def _kernel(row2d_ref, col2d_ref, revloc_ref, data_ref, out_ref, bufs, sems, *, n_chunks, dtype, kw):
-    """One grid step: DMA-stream the sliding window and emit UNROLL output
-    chunks. Fetch/wait schedule: chunk k is DMA'd exactly once and waited
-    exactly once — each H row gets a single HBM read per call."""
-    NWIN = UNROLL + 2 * kw  # chunks covered by one step's output window
-    NSLOTS = NWIN + PREFETCH + UNROLL
-    s = pl.program_id(0)
-    u0 = s * UNROLL  # first output chunk of this step
-
-    def dma(k):
-        return pltpu.make_async_copy(
-            data_ref.at[pl.ds(k * CHUNK, CHUNK), :],
-            bufs.at[jax.lax.rem(k, NSLOTS)],
-            sems.at[jax.lax.rem(k, NSLOTS)],
-        )
-
-    @pl.when(s == 0)
-    def _():
-        for k in range(NWIN + PREFETCH):
-
-            @pl.when(k < n_chunks)
-            def _(k=k):
-                dma(k).start()
-
-    # steady state: the window advances UNROLL chunks/step; issue the next
-    # UNROLL chunks beyond what step s-1 issued
-    @pl.when(s >= 1)
-    def _():
-        for j in range(UNROLL):
-            f = u0 + kw + PREFETCH + j
-
-            @pl.when((f < n_chunks) & (f >= NWIN + PREFETCH))
-            def _(f=f):
-                dma(f).start()
-
-    @pl.when(s == 0)
-    def _():
-        for k in range(NWIN):
-
-            @pl.when(k < n_chunks)
-            def _(k=k):
-                dma(k).wait()
-
-    @pl.when(s >= 1)
-    def _():
-        for j in range(UNROLL):
-            e = u0 + kw + j
-
-            @pl.when((e < n_chunks) & (e >= NWIN))
-            def _(e=e):
-                dma(e).wait()
-
-    for u in range(UNROLL):
-        c = u0 + u
-        # per-output-chunk window [cb, cb+2kw]; clamped to real chunks so
-        # ragged-tail output chunks (c >= n_chunks, sliced off by the caller)
-        # still only read DMA'd slots
-        cb = jnp.clip(c - kw, 0, n_chunks - (2 * kw + 1))
-        row_c = row2d_ref[c, :]  # (CHUNK,) row ids (fwd: src of this chunk)
-        rev_l = revloc_ref[c, :]  # (CHUNK,) rev index local to the window
-        acc = jnp.zeros((CHUNK, bufs.shape[-1]), jnp.float32)
-        for j in range(2 * kw + 1):  # static unroll over window chunks
-            k = cb + j
-            col_w = col2d_ref[k, :]  # (CHUNK,) column ids (fwd: dst of window)
-            # C block: id match minus rev indicator; exact in bf16
-            same = col_w[None, :] == row_c[:, None]
-            col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) + j * CHUNK
-            isrev = col == rev_l[:, None]
-            C = same.astype(jnp.bfloat16) - isrev.astype(jnp.bfloat16)
-            acc = _window_dot(acc, C, bufs[jax.lax.rem(k, NSLOTS)], dtype)
-        out_ref[pl.ds(u * CHUNK, CHUNK), :] = acc.astype(out_ref.dtype)
+# --------------------------------------------------------------------------
+# shared kernel scaffolding: every kernel in this module streams the edge
+# table in 128-row chunks through a ring buffer, UNROLL output chunks per
+# grid step, with a ±kw-chunk sliding window per output chunk. The DMA
+# fetch/wait schedule and the one-hot window product are defined ONCE here.
+# --------------------------------------------------------------------------
 
 
-def _fused_message_impl(
-    H: jax.Array, row_ids: jax.Array, col_ids: jax.Array, rev: jax.Array, kw: int = 2
-) -> jax.Array:
-    """out[e] = sum_{k in window(e): col_ids[k] == row_ids[e]} H[k] - H[rev[e]]."""
+def _nslots(kw: int) -> int:
+    return (UNROLL + 2 * kw) + PREFETCH + UNROLL
+
+
+def _dma_schedule(s, n_chunks, kw, start, wait):
+    """Exactly-once fetch/wait schedule for the UNROLL-chunk sliding window:
+    step 0 issues chunks [0, NWIN+PREFETCH) and waits [0, NWIN); step s>=1
+    issues [u0+kw+PREFETCH, u0+UNROLL+kw+PREFETCH) and waits
+    [u0+kw, u0+UNROLL+kw) — each chunk is DMA'd and waited exactly once, so
+    each data row gets a single HBM read per call."""
     NWIN = UNROLL + 2 * kw
-    NSLOTS = NWIN + PREFETCH + UNROLL
-    n, d = H.shape
-    n_chunks = n // CHUNK
-    n_steps = -(-n_chunks // UNROLL)
-    c_pad = n_steps * UNROLL  # id tables padded to whole steps
-    row2d = row_ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
-    col2d = col_ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
-    base = jnp.clip(jnp.arange(n_chunks, dtype=jnp.int32) - kw, 0, n_chunks - (2 * kw + 1))
-    rev_local = rev.astype(jnp.int32).reshape(n_chunks, CHUNK) - base[:, None] * CHUNK
-    if c_pad != n_chunks:
-        # ragged tail: padded id rows use -1 (match nothing); their output
-        # chunks are garbage and sliced off below
-        pad = ((0, c_pad - n_chunks), (0, 0))
-        row2d = jnp.pad(row2d, pad, constant_values=-1)
-        col2d = jnp.pad(col2d, pad, constant_values=-2)
-        rev_local = jnp.pad(rev_local, pad, constant_values=-1)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # row ids (whole-array resident)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # col ids
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rev_local
-            pl.BlockSpec(memory_space=pl.ANY),  # data stays in HBM
-        ],
-        out_specs=pl.BlockSpec(
-            (UNROLL * CHUNK, d), lambda s: (s, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((NSLOTS, CHUNK, d), H.dtype),
-            pltpu.SemaphoreType.DMA((NSLOTS,)),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel, n_chunks=n_chunks, dtype=H.dtype, kw=kw),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((c_pad * CHUNK, d), H.dtype),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-        interpret=os.environ.get("CHEMPROP_TPU_INTERPRET", "0") == "1",
-    )(row2d, col2d, rev_local, H)
-    return out[:n] if c_pad != n_chunks else out
-
-
-def _iter_kernel(
-    row2d_ref,
-    col2d_ref,
-    revloc_ref,
-    data_ref,
-    h0_ref,
-    w_ref,
-    b_ref,
-    out_ref,
-    bufs,
-    sems,
-    *,
-    n_chunks,
-    kw,
-    has_bias,
-):
-    """One full D-MPNN depth iteration per edge chunk:
-
-        out = relu(H0 + fused_message(H) @ W [+ b])
-
-    — the message windows stream through the DMA ring exactly as in
-    ``_kernel``, then the ``W_h`` GEMM, residual add, bias, and ReLU happen
-    on the VMEM tile before the single HBM write. Removes the intermediate
-    message table M entirely (two HBM passes per iteration at d=384)."""
-    NWIN = UNROLL + 2 * kw
-    NSLOTS = NWIN + PREFETCH + UNROLL
-    s = pl.program_id(0)
     u0 = s * UNROLL
-
-    def dma(k):
-        return pltpu.make_async_copy(
-            data_ref.at[pl.ds(k * CHUNK, CHUNK), :],
-            bufs.at[jax.lax.rem(k, NSLOTS)],
-            sems.at[jax.lax.rem(k, NSLOTS)],
-        )
-
-    @pl.when(s == 0)
-    def _():
-        for k in range(NWIN + PREFETCH):
-
-            @pl.when(k < n_chunks)
-            def _(k=k):
-                dma(k).start()
-
-    @pl.when(s >= 1)
-    def _():
-        for j in range(UNROLL):
-            f = u0 + kw + PREFETCH + j
-
-            @pl.when((f < n_chunks) & (f >= NWIN + PREFETCH))
-            def _(f=f):
-                dma(f).start()
-
-    @pl.when(s == 0)
-    def _():
-        for k in range(NWIN):
-
-            @pl.when(k < n_chunks)
-            def _(k=k):
-                dma(k).wait()
-
-    @pl.when(s >= 1)
-    def _():
-        for j in range(UNROLL):
-            e = u0 + kw + j
-
-            @pl.when((e < n_chunks) & (e >= NWIN))
-            def _(e=e):
-                dma(e).wait()
-
-    W = w_ref[...]
-    for u in range(UNROLL):
-        c = u0 + u
-        cb = jnp.clip(c - kw, 0, n_chunks - (2 * kw + 1))
-        row_c = row2d_ref[c, :]
-        rev_l = revloc_ref[c, :]
-        acc = jnp.zeros((CHUNK, bufs.shape[-1]), jnp.float32)
-        for j in range(2 * kw + 1):
-            k = cb + j
-            col_w = col2d_ref[k, :]
-            same = col_w[None, :] == row_c[:, None]
-            col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) + j * CHUNK
-            isrev = col == rev_l[:, None]
-            C = same.astype(jnp.bfloat16) - isrev.astype(jnp.bfloat16)
-            acc = acc + jax.lax.dot(
-                C, bufs[jax.lax.rem(k, NSLOTS)], preferred_element_type=jnp.float32
-            )
-        z = jax.lax.dot(acc.astype(jnp.bfloat16), W, preferred_element_type=jnp.float32)
-        h0 = h0_ref[pl.ds(u * CHUNK, CHUNK), :].astype(jnp.float32)
-        if has_bias:
-            z = z + b_ref[0, :].astype(jnp.float32)[None, :]
-        out_ref[pl.ds(u * CHUNK, CHUNK), :] = jnp.maximum(h0 + z, 0.0).astype(out_ref.dtype)
-
-
-def _iter_impl(H, H0, W, b, row_ids, col_ids, rev, kw):
-    NWIN = UNROLL + 2 * kw
-    NSLOTS = NWIN + PREFETCH + UNROLL
-    n, d = H.shape
-    n_chunks = n // CHUNK
-    n_steps = -(-n_chunks // UNROLL)
-    c_pad = n_steps * UNROLL
-    row2d = row_ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
-    col2d = col_ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
-    base = jnp.clip(jnp.arange(n_chunks, dtype=jnp.int32) - kw, 0, n_chunks - (2 * kw + 1))
-    rev_local = rev.astype(jnp.int32).reshape(n_chunks, CHUNK) - base[:, None] * CHUNK
-    H0p = H0
-    if c_pad != n_chunks:
-        pad = ((0, c_pad - n_chunks), (0, 0))
-        row2d = jnp.pad(row2d, pad, constant_values=-1)
-        col2d = jnp.pad(col2d, pad, constant_values=-2)
-        rev_local = jnp.pad(rev_local, pad, constant_values=-1)
-        H0p = jnp.pad(H0, ((0, c_pad * CHUNK - n), (0, 0)))
-    has_bias = b is not None
-    b2d = b.reshape(1, d) if has_bias else jnp.zeros((1, d), H.dtype)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # row ids
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # col ids
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rev_local
-            pl.BlockSpec(memory_space=pl.ANY),  # H stays in HBM (ring-streamed)
-            pl.BlockSpec((UNROLL * CHUNK, d), lambda s: (s, 0), memory_space=pltpu.VMEM),  # H0
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # W fully resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
-        ],
-        out_specs=pl.BlockSpec(
-            (UNROLL * CHUNK, d), lambda s: (s, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((NSLOTS, CHUNK, d), H.dtype),
-            pltpu.SemaphoreType.DMA((NSLOTS,)),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_iter_kernel, n_chunks=n_chunks, kw=kw, has_bias=has_bias),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((c_pad * CHUNK, d), H.dtype),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-        interpret=os.environ.get("CHEMPROP_TPU_INTERPRET", "0") == "1",
-    )(row2d, col2d, rev_local, H, H0p, W, b2d)
-    return out[:n] if c_pad != n_chunks else out
-
-
-def _iter_bwd_kernel(
-    row2d_ref,  # dst ids (transposed-message rows)
-    col2d_ref,  # src ids (transposed-message cols)
-    revloc_ref,
-    g_ref,  # upstream cotangent, HBM (ring-streamed)
-    y_ref,  # saved forward output (ReLU mask), HBM (ring-streamed)
-    h_ref,  # forward input H, auto-pipelined blocks (for dW)
-    wT_ref,  # Wᵀ, fully VMEM-resident
-    dh_ref,  # out: dL/dH blocks
-    gz_ref,  # out: gz = g ∘ (y > 0) blocks (= dL/dH0)
-    dw_ref,  # out: dL/dW (d, d) f32, accumulated across the whole grid
-    g_bufs,
-    y_bufs,
-    g_sems,
-    y_sems,
-    *,
-    n_chunks,
-    kw,
-):
-    """Whole-iteration backward in one pass. With S the message operator and
-    gz the ReLU-masked cotangent:
-
-        dH  = (Sᵀ gz) Wᵀ      dW = Hᵀ (Sᵀ gz)      dH0 = gz
-
-    G = Sᵀ gz is never materialized: each output chunk's G tile feeds the
-    Wᵀ GEMM (→ dH) and the Hᵀ-contraction (→ dW accumulator) while still in
-    VMEM. gz is recomputed from the g/y rings per window access (cheap VPU
-    work) and written once as the dH0 output."""
-    NWIN = UNROLL + 2 * kw
-    NSLOTS = NWIN + PREFETCH + UNROLL
-    s = pl.program_id(0)
-    u0 = s * UNROLL
-
-    def dma(ref, bufs, sems, k):
-        return pltpu.make_async_copy(
-            ref.at[pl.ds(k * CHUNK, CHUNK), :],
-            bufs.at[jax.lax.rem(k, NSLOTS)],
-            sems.at[jax.lax.rem(k, NSLOTS)],
-        )
-
-    def start(k):
-        dma(g_ref, g_bufs, g_sems, k).start()
-        dma(y_ref, y_bufs, y_sems, k).start()
-
-    def wait(k):
-        dma(g_ref, g_bufs, g_sems, k).wait()
-        dma(y_ref, y_bufs, y_sems, k).wait()
 
     @pl.when(s == 0)
     def _():
@@ -426,8 +132,237 @@ def _iter_bwd_kernel(
             def _(e=e):
                 wait(e)
 
+
+def _ring_dma(ref, bufs, sems, k):
+    slot = jax.lax.rem(k, bufs.shape[0])
+    return pltpu.make_async_copy(
+        ref.at[pl.ds(k * CHUNK, CHUNK), :], bufs.at[slot], sems.at[slot]
+    )
+
+
+def _window_product(c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, x_at, d, dtype):
+    """f32 accumulator of the one-hot window product for output chunk ``c``:
+    ``acc = Σ_j C_j @ x(k_j)`` with ``C = [col==row] − [k==rev]`` (exact in
+    bf16). The window is clamped to real chunks so ragged-tail output chunks
+    (c >= n_chunks, sliced off by the caller) only read DMA'd slots."""
+    cb = jnp.clip(c - kw, 0, n_chunks - (2 * kw + 1))
+    row_c = row2d_ref[c, :]  # (CHUNK,) row ids (fwd: src of this chunk)
+    rev_l = revloc_ref[c, :]  # (CHUNK,) rev index local to the window
+    acc = jnp.zeros((CHUNK, d), jnp.float32)
+    for j in range(2 * kw + 1):  # static unroll over window chunks
+        k = cb + j
+        col_w = col2d_ref[k, :]  # (CHUNK,) column ids (fwd: dst of window)
+        same = col_w[None, :] == row_c[:, None]
+        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) + j * CHUNK
+        isrev = col == rev_l[:, None]
+        C = same.astype(jnp.bfloat16) - isrev.astype(jnp.bfloat16)
+        acc = _window_dot(acc, C, x_at(k), dtype)
+    return acc
+
+
+def _prep_tables(row_ids, col_ids, rev, kw):
+    """Chunked id tables (row, col, window-local rev), padded to whole grid
+    steps; padded rows use ids that match nothing, so their output chunks
+    are garbage and sliced off by the caller."""
+    n = row_ids.shape[0]
+    n_chunks = n // CHUNK
+    n_steps = -(-n_chunks // UNROLL)
+    c_pad = n_steps * UNROLL
+    row2d = row_ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
+    col2d = col_ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
+    base = jnp.clip(jnp.arange(n_chunks, dtype=jnp.int32) - kw, 0, n_chunks - (2 * kw + 1))
+    rev_local = rev.astype(jnp.int32).reshape(n_chunks, CHUNK) - base[:, None] * CHUNK
+    if c_pad != n_chunks:
+        pad = ((0, c_pad - n_chunks), (0, 0))
+        row2d = jnp.pad(row2d, pad, constant_values=-1)
+        col2d = jnp.pad(col2d, pad, constant_values=-2)
+        rev_local = jnp.pad(rev_local, pad, constant_values=-1)
+    return row2d, col2d, rev_local, n_chunks, n_steps, c_pad
+
+
+def _id_specs():
+    return [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # row ids (whole-array resident)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # col ids
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # rev_local
+    ]
+
+
+def _block_spec(d):
+    return pl.BlockSpec((UNROLL * CHUNK, d), lambda s: (s, 0), memory_space=pltpu.VMEM)
+
+
+def _interpret() -> bool:
+    return os.environ.get("CHEMPROP_TPU_INTERPRET", "0") == "1"
+
+
+def _kernel(row2d_ref, col2d_ref, revloc_ref, data_ref, out_ref, bufs, sems, *, n_chunks, dtype, kw):
+    """The plain message operator, UNROLL output chunks per grid step."""
+    s = pl.program_id(0)
+    _dma_schedule(
+        s,
+        n_chunks,
+        kw,
+        lambda k: _ring_dma(data_ref, bufs, sems, k).start(),
+        lambda k: _ring_dma(data_ref, bufs, sems, k).wait(),
+    )
+    x_at = lambda k: bufs[jax.lax.rem(k, bufs.shape[0])]
+    for u in range(UNROLL):
+        c = s * UNROLL + u
+        acc = _window_product(
+            c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, x_at, bufs.shape[-1], dtype
+        )
+        out_ref[pl.ds(u * CHUNK, CHUNK), :] = acc.astype(out_ref.dtype)
+
+
+def _fused_message_impl(
+    H: jax.Array, row_ids: jax.Array, col_ids: jax.Array, rev: jax.Array, kw: int = 2
+) -> jax.Array:
+    """out[e] = sum_{k in window(e): col_ids[k] == row_ids[e]} H[k] - H[rev[e]]."""
+    n, d = H.shape
+    row2d, col2d, rev_local, n_chunks, n_steps, c_pad = _prep_tables(row_ids, col_ids, rev, kw)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=_id_specs() + [pl.BlockSpec(memory_space=pl.ANY)],  # data stays in HBM
+        out_specs=_block_spec(d),
+        scratch_shapes=[
+            pltpu.VMEM((_nslots(kw), CHUNK, d), H.dtype),
+            pltpu.SemaphoreType.DMA((_nslots(kw),)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_chunks=n_chunks, dtype=H.dtype, kw=kw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c_pad * CHUNK, d), H.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(row2d, col2d, rev_local, H)
+    return out[:n] if c_pad != n_chunks else out
+
+
+def _iter_kernel(
+    row2d_ref,
+    col2d_ref,
+    revloc_ref,
+    data_ref,
+    h0_ref,
+    w_ref,
+    b_ref,
+    out_ref,
+    bufs,
+    sems,
+    *,
+    n_chunks,
+    kw,
+    has_bias,
+):
+    """One full D-MPNN depth iteration per edge chunk:
+
+        out = relu(H0 + fused_message(H) @ W [+ b])
+
+    — the message windows stream through the DMA ring exactly as in
+    ``_kernel``, then the ``W_h`` GEMM, residual add, bias, and ReLU happen
+    on the VMEM tile before the single HBM write. Removes the intermediate
+    message table M entirely (two HBM passes per iteration at d=384)."""
+    s = pl.program_id(0)
+    _dma_schedule(
+        s,
+        n_chunks,
+        kw,
+        lambda k: _ring_dma(data_ref, bufs, sems, k).start(),
+        lambda k: _ring_dma(data_ref, bufs, sems, k).wait(),
+    )
+    x_at = lambda k: bufs[jax.lax.rem(k, bufs.shape[0])]
+    W = w_ref[...]
+    for u in range(UNROLL):
+        c = s * UNROLL + u
+        acc = _window_product(
+            c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, x_at, bufs.shape[-1], jnp.bfloat16
+        )
+        z = jax.lax.dot(acc.astype(jnp.bfloat16), W, preferred_element_type=jnp.float32)
+        h0 = h0_ref[pl.ds(u * CHUNK, CHUNK), :].astype(jnp.float32)
+        if has_bias:
+            z = z + b_ref[0, :].astype(jnp.float32)[None, :]
+        out_ref[pl.ds(u * CHUNK, CHUNK), :] = jnp.maximum(h0 + z, 0.0).astype(out_ref.dtype)
+
+
+def _iter_impl(H, H0, W, b, row_ids, col_ids, rev, kw):
+    n, d = H.shape
+    row2d, col2d, rev_local, n_chunks, n_steps, c_pad = _prep_tables(row_ids, col_ids, rev, kw)
+    H0p = H0 if c_pad == n_chunks else jnp.pad(H0, ((0, c_pad * CHUNK - n), (0, 0)))
+    has_bias = b is not None
+    b2d = b.reshape(1, d) if has_bias else jnp.zeros((1, d), H.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=_id_specs()
+        + [
+            pl.BlockSpec(memory_space=pl.ANY),  # H stays in HBM (ring-streamed)
+            _block_spec(d),  # H0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W fully resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+        ],
+        out_specs=_block_spec(d),
+        scratch_shapes=[
+            pltpu.VMEM((_nslots(kw), CHUNK, d), H.dtype),
+            pltpu.SemaphoreType.DMA((_nslots(kw),)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_iter_kernel, n_chunks=n_chunks, kw=kw, has_bias=has_bias),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c_pad * CHUNK, d), H.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(row2d, col2d, rev_local, H, H0p, W, b2d)
+    return out[:n] if c_pad != n_chunks else out
+
+
+def _iter_bwd_kernel(
+    row2d_ref,  # dst ids (transposed-message rows)
+    col2d_ref,  # src ids (transposed-message cols)
+    revloc_ref,
+    g_ref,  # upstream cotangent, HBM (ring-streamed)
+    y_ref,  # saved forward output (ReLU mask), HBM (ring-streamed)
+    h_ref,  # forward input H, auto-pipelined blocks (for dW)
+    wT_ref,  # Wᵀ, fully VMEM-resident
+    dh_ref,  # out: dL/dH blocks
+    gz_ref,  # out: gz = g ∘ (y > 0) blocks (= dL/dH0)
+    dw_ref,  # out: dL/dW (d, d) f32, accumulated across the whole grid
+    g_bufs,
+    y_bufs,
+    g_sems,
+    y_sems,
+    *,
+    n_chunks,
+    kw,
+):
+    """Whole-iteration backward in one pass. With S the message operator and
+    gz the ReLU-masked cotangent:
+
+        dH  = (Sᵀ gz) Wᵀ      dW = Hᵀ (Sᵀ gz)      dH0 = gz
+
+    G = Sᵀ gz is never materialized: each output chunk's G tile feeds the
+    Wᵀ GEMM (→ dH) and the Hᵀ-contraction (→ dW accumulator) while still in
+    VMEM. gz is recomputed from the g/y rings per window access (cheap VPU
+    work) and written once as the dH0 output."""
+    s = pl.program_id(0)
+
+    def start(k):
+        _ring_dma(g_ref, g_bufs, g_sems, k).start()
+        _ring_dma(y_ref, y_bufs, y_sems, k).start()
+
+    def wait(k):
+        _ring_dma(g_ref, g_bufs, g_sems, k).wait()
+        _ring_dma(y_ref, y_bufs, y_sems, k).wait()
+
+    _dma_schedule(s, n_chunks, kw, start, wait)
+
     def gz_at(k):
-        slot = jax.lax.rem(k, NSLOTS)
+        slot = jax.lax.rem(k, g_bufs.shape[0])
         g = g_bufs[slot]
         # compare in f32: Mosaic has no bf16 cmpf on this target
         y = y_bufs[slot].astype(jnp.float32)
@@ -436,19 +371,10 @@ def _iter_bwd_kernel(
     WT = wT_ref[...]
     dw_step = jnp.zeros((wT_ref.shape[0], wT_ref.shape[1]), jnp.float32)
     for u in range(UNROLL):
-        c = u0 + u
-        cb = jnp.clip(c - kw, 0, n_chunks - (2 * kw + 1))
-        row_c = row2d_ref[c, :]
-        rev_l = revloc_ref[c, :]
-        acc = jnp.zeros((CHUNK, g_bufs.shape[-1]), jnp.float32)
-        for j in range(2 * kw + 1):
-            k = cb + j
-            col_w = col2d_ref[k, :]
-            same = col_w[None, :] == row_c[:, None]
-            col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) + j * CHUNK
-            isrev = col == rev_l[:, None]
-            C = same.astype(jnp.bfloat16) - isrev.astype(jnp.bfloat16)
-            acc = acc + jax.lax.dot(C, gz_at(k), preferred_element_type=jnp.float32)
+        c = s * UNROLL + u
+        acc = _window_product(
+            c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, gz_at, g_bufs.shape[-1], jnp.bfloat16
+        )
         G = acc.astype(jnp.bfloat16)
         dh_ref[pl.ds(u * CHUNK, CHUNK), :] = jax.lax.dot(
             G, WT, preferred_element_type=jnp.float32
@@ -470,48 +396,32 @@ def _iter_bwd_kernel(
 
 
 def _iter_bwd_impl(g, y, H, W, src, dst, rev, kw):
-    NWIN = UNROLL + 2 * kw
-    NSLOTS = NWIN + PREFETCH + UNROLL
     n, d = H.shape
-    n_chunks = n // CHUNK
-    n_steps = -(-n_chunks // UNROLL)
-    c_pad = n_steps * UNROLL
     # transposed message: row ids = dst, col ids = src (R is symmetric)
-    row2d = dst.astype(jnp.int32).reshape(n_chunks, CHUNK)
-    col2d = src.astype(jnp.int32).reshape(n_chunks, CHUNK)
-    base = jnp.clip(jnp.arange(n_chunks, dtype=jnp.int32) - kw, 0, n_chunks - (2 * kw + 1))
-    rev_local = rev.astype(jnp.int32).reshape(n_chunks, CHUNK) - base[:, None] * CHUNK
-    gp, yp, hp = g, y, H
-    if c_pad != n_chunks:
-        pad = ((0, c_pad - n_chunks), (0, 0))
-        row2d = jnp.pad(row2d, pad, constant_values=-1)
-        col2d = jnp.pad(col2d, pad, constant_values=-2)
-        rev_local = jnp.pad(rev_local, pad, constant_values=-1)
-        rpad = ((0, c_pad * CHUNK - n), (0, 0))
-        hp = jnp.pad(H, rpad)
+    row2d, col2d, rev_local, n_chunks, n_steps, c_pad = _prep_tables(dst, src, rev, kw)
+    gp, yp = g, y
+    hp = H if c_pad == n_chunks else jnp.pad(H, ((0, c_pad * CHUNK - n), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # row ids
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # col ids
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rev_local
-            pl.BlockSpec(memory_space=pl.ANY),  # g
-            pl.BlockSpec(memory_space=pl.ANY),  # y
-            pl.BlockSpec((UNROLL * CHUNK, d), lambda s: (s, 0), memory_space=pltpu.VMEM),  # H
+        in_specs=_id_specs()
+        + [
+            pl.BlockSpec(memory_space=pl.ANY),  # g (ring-streamed)
+            pl.BlockSpec(memory_space=pl.ANY),  # y (ring-streamed)
+            _block_spec(d),  # H
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Wᵀ
         ],
         out_specs=[
-            pl.BlockSpec((UNROLL * CHUNK, d), lambda s: (s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((UNROLL * CHUNK, d), lambda s: (s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            _block_spec(d),  # dH
+            _block_spec(d),  # gz (= dH0)
+            pl.BlockSpec((d, d), lambda s: (0, 0), memory_space=pltpu.VMEM),  # dW
         ],
         scratch_shapes=[
-            pltpu.VMEM((NSLOTS, CHUNK, d), g.dtype),
-            pltpu.VMEM((NSLOTS, CHUNK, d), y.dtype),
-            pltpu.SemaphoreType.DMA((NSLOTS,)),
-            pltpu.SemaphoreType.DMA((NSLOTS,)),
+            pltpu.VMEM((_nslots(kw), CHUNK, d), g.dtype),
+            pltpu.VMEM((_nslots(kw), CHUNK, d), y.dtype),
+            pltpu.SemaphoreType.DMA((_nslots(kw),)),
+            pltpu.SemaphoreType.DMA((_nslots(kw),)),
         ],
     )
     dh, gz, dw = pl.pallas_call(
@@ -523,7 +433,7 @@ def _iter_bwd_impl(g, y, H, W, src, dst, rev, kw):
             jax.ShapeDtypeStruct((d, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-        interpret=os.environ.get("CHEMPROP_TPU_INTERPRET", "0") == "1",
+        interpret=_interpret(),
     )(row2d, col2d, rev_local, gp, yp, hp, W.T)
     if c_pad != n_chunks:
         dh, gz = dh[:n], gz[:n]
@@ -532,13 +442,26 @@ def _iter_bwd_impl(g, y, H, W, src, dst, rev, kw):
 
 def iter_usable(H, W, kw: int) -> bool:
     """Gate for the fused-iteration kernel: bf16 compute only (the TPU
-    production precision policy), square lane-aligned W."""
+    production precision policy), square lane-aligned W, and a VMEM budget
+    that also covers the iteration kernels' extra residents beyond the
+    plain message kernel (W / Wᵀ, the double-buffered H0 and output blocks,
+    and the opt-in backward's second ring + (d, d) f32 accumulator)."""
     n, d = H.shape
+    nslots = (UNROLL + 2 * kw) + PREFETCH + UNROLL
+    vmem = (
+        2 * nslots * CHUNK * d * 2  # two bf16 DMA rings (bwd streams g AND y)
+        + 2 * d * d * 2  # W and Wᵀ tiles
+        + d * d * 4  # bwd dW f32 accumulator block
+        + 3 * 2 * UNROLL * CHUNK * d * 2  # double-buffered H0/out/gz blocks
+        + CHUNK * d * 4  # f32 message accumulator
+        + n * 12  # id tables
+    )
     return (
         _usable(H, kw)
         and H.dtype == jnp.bfloat16
         and W.shape == (d, d)
         and W.dtype == jnp.bfloat16
+        and vmem <= MAX_VMEM_BYTES
     )
 
 
@@ -606,8 +529,7 @@ def _usable(H, kw: int = 2) -> bool:
     n, d = H.shape
     if os.environ.get("CHEMPROP_TPU_PALLAS", "1") != "1":
         return False
-    interpret = os.environ.get("CHEMPROP_TPU_INTERPRET", "0") == "1"
-    if jax.devices()[0].platform != "tpu" and not interpret:
+    if jax.devices()[0].platform != "tpu" and not _interpret():
         return False
     nslots = (UNROLL + 2 * kw) + PREFETCH + UNROLL
     itemsize = jnp.dtype(H.dtype).itemsize
