@@ -90,3 +90,30 @@ def test_zero_bond_molecule():
     tb = collate_batch([ds[0], ds[1]])
     assert tb.bmg.node_mask.sum() == 3  # He + 2 C
     assert tb.bmg.edge_mask.sum() == 2
+
+
+def test_padspec_edges_align_to_512():
+    """Edge buckets follow the 128-granular ladder then align up to 512 so
+    whole-kernel-step tables need no ragged-tail slice."""
+    from chemprop_tpu.data.collate import PadSpec
+    from chemprop_tpu.data.molgraph import MolGraph
+    import numpy as np
+
+    def mg(n_atoms, n_bonds):
+        return MolGraph(
+            V=np.zeros((n_atoms, 4), np.float32),
+            E=np.zeros((2 * n_bonds, 3), np.float32),
+            edge_index=np.zeros((2, 2 * n_bonds), np.int64),
+            rev_edge_index=np.arange(2 * n_bonds),
+        )
+
+    # small: one 512 bucket
+    spec = PadSpec.for_graphs([mg(5, 4)])
+    assert spec.n_edges == 512
+    # large: ladder value rounded up to a 512-multiple, within +512 of the
+    # 128-ladder (tight, not the coarse 512-ladder)
+    big = [mg(30, 32)] * 2000  # 128000 directed edges
+    spec = PadSpec.for_graphs(big)
+    assert spec.n_edges % 512 == 0
+    from chemprop_tpu.data.collate import pad_to_bucket
+    assert spec.n_edges <= pad_to_bucket(2 * 32 * 2000) + 512
