@@ -91,6 +91,66 @@ class TestMulticomponentCLI:
 
 
 @pytest.mark.cli
+class TestReactionCLI:
+    """cf. reference ``tests/cli/test_cli_regression_rxn.py``: rxn-only CGR
+    training + prediction on the bundled atom-mapped ea dataset."""
+
+    def test_train_predict_rxn(self, monkeypatch, data_dir, tmp_path):
+        out = tmp_path / "rxn"
+        csv_in = data_dir / "regression" / "rxn" / "rxn.csv"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(csv_in),
+                "--reaction-columns", "smiles",
+                "--target-columns", "ea",
+                "--keep-h",
+                "--epochs", "2", "--batch-size", "16", "--output-dir", str(out),
+            ],
+        )
+        assert (out / "best.ckpt").exists()
+        preds = tmp_path / "rxn_preds.csv"
+        run_cli(
+            monkeypatch,
+            [
+                "predict", "-i", str(csv_in),
+                "--reaction-columns", "smiles",
+                "--keep-h",
+                "--model-paths", str(out), "-o", str(preds),
+            ],
+        )
+        rows = list(csv.DictReader(open(preds)))
+        assert len(rows) > 0
+        assert np.isfinite([float(r["ea"]) for r in rows]).all()
+
+
+@pytest.mark.cli
+class TestBoundedCLI:
+    """Bounded ("<x"/">x") regression targets end-to-end (reference parses
+    them at ``cli/utils/parsing.py:85-93`` and trains with bounded-mse)."""
+
+    def test_train_bounded_mse(self, monkeypatch, data_dir, tmp_path):
+        out = tmp_path / "bounded"
+        csv_in = data_dir / "regression" / "bounded.csv"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(csv_in),
+                "--loss-function", "bounded-mse",
+                "--epochs", "2", "--batch-size", "32", "--output-dir", str(out),
+            ],
+        )
+        assert (out / "best.ckpt").exists()
+        import json
+
+        scores = json.load(open(out / "test_scores.json"))
+        flat = []
+        for entry in scores if isinstance(scores, list) else [scores]:
+            flat.extend(entry.values() if isinstance(entry, dict) else [entry])
+        assert flat and all(np.isfinite(v) for v in flat)
+
+
+@pytest.mark.cli
 class TestMulticlassCLI:
     def test_train_predict_multiclass(self, monkeypatch, data_dir, tmp_path):
         out = tmp_path / "mc"
