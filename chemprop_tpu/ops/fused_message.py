@@ -55,8 +55,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 128
-UNROLL = 4  # output chunks emitted per grid step (amortizes per-step cost)
-PREFETCH = 2  # issued-ahead chunks beyond the window
+# env-overridable for on-device tuning sweeps (values are compile-time
+# constants; the persistent compile cache keys on the resulting kernels)
+UNROLL = int(os.environ.get("CHEMPROP_TPU_UNROLL", 4))  # output chunks per grid step
+PREFETCH = int(os.environ.get("CHEMPROP_TPU_PREFETCH", 2))  # issued-ahead chunks beyond the window
 # total VMEM the kernel may claim (ring buffer + out/acc tiles + id tables);
 # conservative vs the ~16 MB/core on v5e so wide hidden dims fall back to the
 # composed XLA path instead of dying in a Mosaic VMEM-exhaustion error

@@ -42,7 +42,11 @@ def segment_sum(
         if _use_pallas() and data.ndim == 2 and data.shape[0] % 128 == 0:
             from chemprop_tpu.ops.sorted_segments import sorted_segment_sum
 
-            return sorted_segment_sum(data, segment_ids, num_segments).astype(data.dtype)
+            # out_dtype=data.dtype: f32 accumulation inside the kernel, cast
+            # at the tile write — numerics identical to .astype on the f32
+            # result, one fewer full HBM pass (and half the write bytes in
+            # bf16 mode)
+            return sorted_segment_sum(data, segment_ids, num_segments, data.dtype)
         return jax.ops.segment_sum(
             data, segment_ids, num_segments=num_segments, indices_are_sorted=True
         )

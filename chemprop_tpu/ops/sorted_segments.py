@@ -36,9 +36,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_S = 256  # output segment rows per grid step
+import os
+
+# TILE_S/DEPTH env-overridable for on-device tuning sweeps
+TILE_S = int(os.environ.get("CHEMPROP_TPU_TILE_S", 256))  # output segment rows per grid step
 CHUNK = 128  # input rows per inner iteration
-DEPTH = 8  # DMA pipeline depth (in-flight chunk copies)
+DEPTH = int(os.environ.get("CHEMPROP_TPU_SEG_DEPTH", 8))  # DMA pipeline depth (in-flight chunk copies)
 # total VMEM budget (ids table + data pipeline + acc/out tiles); conservative
 # vs ~16 MB/core so oversized configs fall back to XLA instead of failing to
 # compile
@@ -103,7 +106,10 @@ def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int):
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
-        out_ref[...] = acc_ref[...]
+        # accumulation stays f32 in VMEM; the (possibly narrowing) cast
+        # happens at the single tile write, so a bf16 out_dtype halves the
+        # HBM write bytes with numerics identical to casting afterwards
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
     return _kernel
 
@@ -116,7 +122,9 @@ def _tile_tables(ids: jax.Array, num_segments: int):
     return bounds[:-1], bounds[1:]
 
 
-def _sorted_segment_sum_fwd_impl(data: jax.Array, ids: jax.Array, num_segments: int):
+def _sorted_segment_sum_fwd_impl(
+    data: jax.Array, ids: jax.Array, num_segments: int, out_dtype=jnp.float32
+):
     n, d_orig = data.shape
     if n % CHUNK != 0:
         raise ValueError(f"row count {n} must be a multiple of {CHUNK}")
@@ -150,19 +158,23 @@ def _sorted_segment_sum_fwd_impl(data: jax.Array, ids: jax.Array, num_segments: 
     out = pl.pallas_call(
         _make_kernel(TILE_S, CHUNK, DEPTH),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((s_pad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((s_pad, d), out_dtype),
     )(e_lo, e_hi, ids2d, data)
     return out[:num_segments, :d_orig]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def sorted_segment_sum(data: jax.Array, ids: jax.Array, num_segments: int) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sorted_segment_sum(
+    data: jax.Array, ids: jax.Array, num_segments: int, out_dtype=jnp.float32
+) -> jax.Array:
     """segment_sum(data, ids) for ``ids`` sorted ascending; TPU Pallas fast
-    path with XLA fallback on other backends."""
-    return _dispatch(data, ids, num_segments)
+    path with XLA fallback on other backends. Accumulation is always f32;
+    ``out_dtype`` only narrows the final tile write (one fewer HBM pass than
+    ``.astype`` on the f32 result)."""
+    return _dispatch(data, ids, num_segments, out_dtype)
 
 
-def _dispatch(data, ids, num_segments):
+def _dispatch(data, ids, num_segments, out_dtype=jnp.float32):
     platform = jax.devices()[0].platform
     d = -(-data.shape[1] // 128) * 128  # lane-aligned feature dim
     itemsize = jnp.dtype(data.dtype).itemsize
@@ -177,19 +189,19 @@ def _dispatch(data, ids, num_segments):
         and data.shape[0] % CHUNK == 0
         and vmem <= MAX_VMEM_BYTES
     ):
-        return _sorted_segment_sum_fwd_impl(data, ids, num_segments)
+        return _sorted_segment_sum_fwd_impl(data, ids, num_segments, out_dtype)
     return jax.ops.segment_sum(
         data, ids, num_segments=num_segments, indices_are_sorted=True
-    ).astype(jnp.float32)
+    ).astype(out_dtype)
 
 
-def _fwd(data, ids, num_segments):
+def _fwd(data, ids, num_segments, out_dtype):
     # zero-size residual carries the primal dtype (a dtype object itself is
     # not a valid JAX residual type)
-    return _dispatch(data, ids, num_segments), (ids, jnp.zeros((0,), data.dtype))
+    return _dispatch(data, ids, num_segments, out_dtype), (ids, jnp.zeros((0,), data.dtype))
 
 
-def _bwd(num_segments, res, g):
+def _bwd(num_segments, out_dtype, res, g):
     ids, proto = res
     return g[ids].astype(proto.dtype), None
 
