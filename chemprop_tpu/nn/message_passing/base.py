@@ -191,6 +191,9 @@ class _MessagePassingBase(nn.Module):
         n_nodes = bmg.V.shape[0]
 
         H_0 = self._initialize(bmg).astype(self.compute_dtype)
+        # per-layer activation taps for the reference parity gate (no-ops
+        # unless the caller makes the 'intermediates' collection mutable)
+        self.sow("intermediates", "H_0", H_0)
         H = self.tau(H_0)
         # bond MP with ReLU on sorted fused-safe batches runs each depth
         # iteration as ONE Pallas pass (message + W_h GEMM + residual + ReLU;
@@ -212,8 +215,10 @@ class _MessagePassingBase(nn.Module):
             else:
                 M = self._message(H, bmg)
                 H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not drop_on)
+            self.sow("intermediates", "H", H)
 
         M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)
+        self.sow("intermediates", "M_v", M_v)
         d_v = bmg.V.shape[1]
         wide = (
             keep_padded
