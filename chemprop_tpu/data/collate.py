@@ -291,6 +291,179 @@ def collate_multicomponent(
     )
 
 
+# --------------------------------------------------------------------------
+# sharded (multi-chip) batching: stacked self-contained shards
+# --------------------------------------------------------------------------
+
+
+def partition_shards(sizes: Sequence[int], n_shards: int) -> list[list[int]]:
+    """Deterministic LPT (longest-processing-time) partition of items into
+    ``n_shards`` load-balanced groups, capped at ``ceil(n/n_shards)`` items
+    per group so every shard holds the same graph count (static shapes).
+
+    Shard assignment never affects model output: each graph's loss/gradient
+    contribution is independent and globally reduced, so balancing purely by
+    edge count (the compute cost driver) is safe."""
+    sizes = np.asarray(list(sizes), dtype=np.int64)
+    cap = -(-len(sizes) // max(n_shards, 1))
+    order = np.argsort(-sizes, kind="stable")
+    loads = np.zeros(n_shards, dtype=np.int64)
+    groups: list[list[int]] = [[] for _ in range(n_shards)]
+    for i in order:
+        open_shards = [k for k in range(n_shards) if len(groups[k]) < cap]
+        k = min(open_shards, key=lambda k: (loads[k], k))
+        groups[k].append(int(i))
+        loads[k] += sizes[i]
+    return [sorted(g) for g in groups]
+
+
+def _empty_like_bmg(bmg: BatchMolGraph) -> BatchMolGraph:
+    """An all-padding shard with the same static shape/flags: every edge
+    targets the sacrificial node, every node belongs to the sacrificial
+    graph segment."""
+    n_nodes, n_edges = bmg.V.shape[0], bmg.E.shape[0]
+    return bmg.replace(
+        V=np.zeros_like(bmg.V),
+        E=np.zeros_like(bmg.E),
+        src=np.full(n_edges, n_nodes - 1, dtype=np.int32),
+        dst=np.full(n_edges, n_nodes - 1, dtype=np.int32),
+        rev=np.arange(n_edges, dtype=np.int32),
+        batch=np.full(n_nodes, bmg.n_graphs, dtype=np.int32),
+        node_mask=np.zeros(n_nodes, dtype=bool),
+        edge_mask=np.zeros(n_edges, dtype=bool),
+    )
+
+
+def _empty_like_batch(tb: TrainingBatch) -> TrainingBatch:
+    """All-padding TrainingBatch shaped like ``tb`` (zero weights and NaN
+    targets, so it contributes nothing to any globally-reduced loss/metric)."""
+    tup = isinstance(tb.bmg, tuple)
+    bmg = tuple(_empty_like_bmg(b) for b in tb.bmg) if tup else _empty_like_bmg(tb.bmg)
+    V_d = None
+    if tb.V_d is not None:
+        V_d = (
+            tuple(None if v is None else np.zeros_like(v) for v in tb.V_d)
+            if tup
+            else np.zeros_like(tb.V_d)
+        )
+    return TrainingBatch(
+        bmg=bmg,
+        V_d=V_d,
+        X_d=None if tb.X_d is None else np.zeros_like(tb.X_d),
+        Y=None if tb.Y is None else np.full_like(tb.Y, np.nan),
+        w=np.zeros_like(tb.w),
+        lt_mask=None if tb.lt_mask is None else np.zeros_like(tb.lt_mask),
+        gt_mask=None if tb.gt_mask is None else np.zeros_like(tb.gt_mask),
+    )
+
+
+def _unify_fused_flags(bmgs: Sequence[BatchMolGraph]) -> list[BatchMolGraph]:
+    """Static batch flags must agree across shards (one compiled program for
+    the whole stacked batch): fused only if every shard qualifies, widest
+    window wins."""
+    fused_ok = all(b.fused_ok for b in bmgs)
+    window = max(b.fused_window for b in bmgs)
+    sorted_ = all(b.edges_sorted for b in bmgs)
+    return [
+        b.replace(fused_ok=fused_ok, fused_window=window, edges_sorted=sorted_) for b in bmgs
+    ]
+
+
+def stack_shards(shards: Sequence[TrainingBatch]) -> TrainingBatch:
+    """Stack per-shard TrainingBatches into one batch with a leading shard
+    axis on every array leaf. Sharded over a device mesh's data axis, chip
+    ``k`` owns exactly shard ``k`` — whole graphs, no edge block straddles a
+    chip (the graph-granularity guarantee the shard_map train step relies
+    on). Static metadata (``n_graphs``, fused flags) is per-shard and must
+    match across shards."""
+    tup = isinstance(shards[0].bmg, tuple)
+    if tup:
+        unified_cols = [
+            _unify_fused_flags([tb.bmg[c] for tb in shards])
+            for c in range(len(shards[0].bmg))
+        ]
+        shards = [
+            tb._replace(bmg=tuple(unified_cols[c][k] for c in range(len(tb.bmg))))
+            for k, tb in enumerate(shards)
+        ]
+    else:
+        unified = _unify_fused_flags([tb.bmg for tb in shards])
+        shards = [tb._replace(bmg=bmg) for tb, bmg in zip(shards, unified)]
+    return jax_tree_stack(shards)
+
+
+def jax_tree_stack(trees):
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
+def collate_sharded(
+    data: Iterable,
+    n_shards: int,
+    pad: PadSpec | None = None,
+    n_targets: int | None = None,
+) -> TrainingBatch:
+    """Collate Datum rows into ``n_shards`` self-contained padded shards
+    stacked on a leading axis (see :func:`stack_shards`).
+
+    Graphs are LPT-balanced across shards by edge count; every shard is
+    padded to the same :class:`PadSpec` (given per-shard, or the max over
+    shards of the auto bucket). Shards left without any graphs (batch
+    smaller than the shard count) become all-padding shards that contribute
+    zero loss/gradient."""
+    rows = list(data)
+    if not rows:
+        raise ValueError("collate_sharded needs at least one datum")
+    multi = isinstance(rows[0], list)
+    if multi:
+        sizes = [sum(c.mg.E.shape[0] for c in row) for row in rows]
+    else:
+        sizes = [row[0].E.shape[0] for row in rows]
+    groups = partition_shards(sizes, n_shards)
+    cap = max(len(g) for g in groups)
+
+    if multi:
+        # one unified PadSpec per component (all shards share shapes)
+        n_comp = len(rows[0])
+        comp_pads = []
+        for c in range(n_comp):
+            per_group = [
+                PadSpec.for_graphs([rows[i][c].mg for i in g], n_graphs=cap)
+                for g in groups
+                if g
+            ]
+            comp_pads.append(
+                PadSpec(
+                    max(p.n_nodes for p in per_group),
+                    max(p.n_edges for p in per_group),
+                    cap,
+                )
+            )
+    elif pad is None:
+        per_group = [
+            PadSpec.for_graphs([rows[i][0] for i in g], n_graphs=cap) for g in groups if g
+        ]
+        pad = PadSpec(
+            max(p.n_nodes for p in per_group), max(p.n_edges for p in per_group), cap
+        )
+
+    shard_batches: list[TrainingBatch | None] = []
+    template: TrainingBatch | None = None
+    for g in groups:
+        if g:
+            if multi:
+                tb = collate_multicomponent([rows[i] for i in g], comp_pads)
+            else:
+                tb = collate_batch([rows[i] for i in g], pad, n_targets)
+            template = template or tb
+            shard_batches.append(tb)
+        else:
+            shard_batches.append(None)
+    shard_batches = [tb if tb is not None else _empty_like_batch(template) for tb in shard_batches]
+    return stack_shards(shard_batches)
+
+
 class MABTrainingBatch(NamedTuple):
     """Triple-head training batch (cf. reference ``collate.py:113-195``):
     targets/weights/masks are per kind (mol [B,t], atom [N_pad,ta] aligned to

@@ -35,12 +35,17 @@ class DataLoader:
         drop_last: bool = False,
         pad_spec: PadSpec | None = None,
         prefetch: int = 2,
+        n_shards: int = 0,
     ):
+        """``n_shards > 0`` emits stacked-shard batches (leading shard axis,
+        one self-contained padded shard per chip) for the shard_map SPMD
+        trainer; ``pad_spec`` is then interpreted per shard."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.pad_spec = pad_spec
         self.prefetch = prefetch
+        self.n_shards = n_shards
 
         if class_balance:
             self.sampler = ClassBalanceSampler(dataset.Y, seed, shuffle)
@@ -60,6 +65,12 @@ class DataLoader:
         from chemprop_tpu.data.datasets import MABDatum
 
         data = [self.dataset[i] for i in idxs]
+        if self.n_shards:
+            from chemprop_tpu.data.collate import collate_sharded
+
+            if data and isinstance(data[0], MABDatum):
+                raise NotImplementedError("sharded MAB batches are not supported yet")
+            return collate_sharded(data, self.n_shards, self.pad_spec)
         if data and isinstance(data[0], list):  # multicomponent rows
             pads = self.pad_spec
             if pads is None:

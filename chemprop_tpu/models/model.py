@@ -30,10 +30,13 @@ class MPNN(nn.Module):
     predictor: _FFNPredictorBase
     batch_norm: bool = False
     X_d_transform: ScaleTransform | None = None
+    # mesh axis for cross-chip batch-statistic sync under shard_map training
+    # (set by the Trainer in sharded mode; no effect on params or inference)
+    bn_axis: str | None = None
 
     def setup(self):
         if self.batch_norm:
-            self.bn = MaskedBatchNorm()
+            self.bn = MaskedBatchNorm(axis_name=self.bn_axis)
 
     @property
     def criterion(self) -> ChempropMetric:

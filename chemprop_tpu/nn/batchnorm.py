@@ -19,6 +19,10 @@ class MaskedBatchNorm(nn.Module):
     epsilon: float = 1e-5
     use_scale: bool = True
     use_bias: bool = True
+    # mesh axis to sync batch statistics over (shard_map/SPMD training):
+    # moments are psum'd so every chip normalizes with the GLOBAL batch
+    # statistics — numerically identical to single-device training
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(
@@ -35,9 +39,17 @@ class MaskedBatchNorm(nn.Module):
                 w = jnp.ones((x.shape[0], 1), x.dtype)
             else:
                 w = mask.reshape(-1, 1).astype(x.dtype)
-            n = jnp.maximum(w.sum(), 1.0)
-            mean = (x * w).sum(0) / n
-            var = (jnp.square(x - mean) * w).sum(0) / n
+            n = w.sum()
+            s = (x * w).sum(0)
+            if self.axis_name is not None and not self.is_initializing():
+                n = jax.lax.psum(n, self.axis_name)
+                s = jax.lax.psum(s, self.axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = s / n
+            v = (jnp.square(x - mean) * w).sum(0)
+            if self.axis_name is not None and not self.is_initializing():
+                v = jax.lax.psum(v, self.axis_name)
+            var = v / n
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean

@@ -113,6 +113,11 @@ class Trainer:
     profile_steps: int = 5
     mesh: Any = None  # jax.sharding.Mesh: shard batches / replicate params
     data_sharding: Any = None  # NamedSharding pytree for input batches
+    # explicit-SPMD mode: expects stacked-shard batches (DataLoader
+    # n_shards = mesh size) and runs the train/eval steps under shard_map so
+    # each chip executes the Pallas fast path on its own shard
+    # (chemprop_tpu/parallel/shard_train.py); mesh is required
+    sharded: bool = False
     # transfer learning: predicate on the flattened param path; matching
     # subtrees get zero updates (reference --freeze-encoder / --frzn-ffn-layers)
     freeze: Callable[[str], bool] | None = None
@@ -169,6 +174,12 @@ class Trainer:
 
     # ------------------------------------------------------------------ steps
     def _make_train_step(self) -> Callable:
+        if self.sharded:
+            from chemprop_tpu.parallel.shard_train import make_sharded_train_step
+
+            return make_sharded_train_step(
+                self.model, self.model.criterion, self.tx, self.mesh
+            )
         model, criterion, tx = self.model, self.model.criterion, self.tx
 
         def train_step(state: TrainState, batch: TrainingBatch):
@@ -216,6 +227,10 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _make_eval_step(self) -> Callable:
+        if self.sharded:
+            from chemprop_tpu.parallel.shard_train import make_sharded_eval_step
+
+            return make_sharded_eval_step(self.model, self.model.criterion, self.mesh)
         model, criterion = self.model, self.model.criterion
 
         def eval_step(params, batch_stats, batch: TrainingBatch):
@@ -247,8 +262,27 @@ class Trainer:
     def fit(self, train_loader: DataLoader, val_loader: DataLoader | None = None) -> TrainState:
         steps_per_epoch = len(train_loader)
         first_batch = next(iter(train_loader))
+        init_batch = first_batch
+        if self.sharded:
+            from chemprop_tpu.parallel.shard_train import is_sharded_batch, local_shard
+            from chemprop_tpu.parallel.sharding import DATA_AXIS
+
+            if self.mesh is None:
+                raise ValueError("sharded=True requires a mesh")
+            if not is_sharded_batch(first_batch):
+                raise ValueError(
+                    "sharded=True requires stacked-shard batches "
+                    "(DataLoader(n_shards=mesh size))"
+                )
+            # sync batch-norm moments across chips so sharded training is
+            # numerically identical to single-device training
+            if getattr(self.model, "batch_norm", False) and getattr(
+                self.model, "bn_axis", None
+            ) is None:
+                self.model = self.model.clone(bn_axis=DATA_AXIS)
+            init_batch = local_shard(first_batch)
         if self.state is None:
-            self.state = self.init_state(first_batch, steps_per_epoch)
+            self.state = self.init_state(init_batch, steps_per_epoch)
         if self.mesh is not None:
             from chemprop_tpu.parallel.sharding import batch_shardings, replicate
 
@@ -353,15 +387,20 @@ class Trainer:
         state = None
         preds_chunks, Y_chunks = [], []
         for batch in val_loader:
-            batch = _device_put_batch(batch, self.data_sharding)
+            batch = self._put(batch) if self.mesh is not None else _device_put_batch(batch)
             loss_state, preds = eval_step(self.state.params, self.state.batch_stats, batch)
             if state is None:
                 state = loss_state
             else:
                 state = jax.tree.map(lambda a, b: a + b, state, loss_state)
             if self.val_metrics:
-                preds_chunks.append(np.asarray(preds)[batch.pad_mask])
-                Y_chunks.append(np.asarray(batch.Y)[batch.pad_mask])
+                p = np.asarray(preds)
+                Y = np.asarray(batch.Y)
+                if self.sharded:  # [S, B_shard, ...] -> flat rows
+                    p = p.reshape((-1,) + p.shape[2:])
+                    Y = Y.reshape((-1,) + Y.shape[2:])
+                preds_chunks.append(p[batch.pad_mask])
+                Y_chunks.append(Y[batch.pad_mask])
         record = {
             "val_loss": float(criterion.compute(state)) if state is not None else float("nan")
         }
@@ -416,6 +455,21 @@ class Trainer:
                 "batch_stats": self.state.batch_stats,
             }
         method = "train_step_preds" if train_space else None
+        if self.sharded and self.mesh is not None:
+            if use_batch_statistics:
+                raise NotImplementedError(
+                    "use_batch_statistics predict is single-device only"
+                )
+            from chemprop_tpu.parallel.shard_train import make_sharded_apply
+
+            apply_sharded = make_sharded_apply(self.model, self.mesh, method=method)
+            chunks = []
+            for batch in loader:
+                batch = self._put(batch)
+                preds = np.asarray(apply_sharded(variables, batch))
+                preds = preds.reshape((-1,) + preds.shape[2:])
+                chunks.append(preds[batch.pad_mask])
+            return np.concatenate(chunks, axis=0)
 
         def _apply(v, bmg, V_d, X_d):
             kwargs = {"method": method} if method else {}
@@ -436,9 +490,21 @@ class Trainer:
         apply = jax.jit(_apply)
         chunks = []
         for batch in loader:
+            batch = self._put(batch)
             preds = apply(variables, batch.bmg, batch.V_d, batch.X_d)
             chunks.append(np.asarray(preds)[batch.pad_mask])
         return np.concatenate(chunks, axis=0)
+
+    def _put(self, batch: TrainingBatch) -> TrainingBatch:
+        """Device-put a host batch with mesh shardings (multi-host safety:
+        on a global mesh, feeding host-local numpy arrays straight into a jit
+        would fail or silently replicate — the shardings are computed per
+        batch structure since predict batches may lack targets)."""
+        if self.mesh is None:
+            return batch
+        from chemprop_tpu.parallel.sharding import batch_shardings
+
+        return _device_put_batch(batch, batch_shardings(self.mesh, batch))
 
     def predict_mc_dropout(
         self,
@@ -468,6 +534,7 @@ class Trainer:
         for s in range(sampling_size):
             chunks = []
             for b, batch in enumerate(loader):
+                batch = self._put(batch)
                 key = jax.random.fold_in(keys[s], b)
                 preds = _apply(variables, batch.bmg, batch.V_d, batch.X_d, key)
                 chunks.append(np.asarray(preds)[batch.pad_mask])
