@@ -20,12 +20,35 @@ one transfer.
 
 from __future__ import annotations
 
+import logging
 from typing import Iterable, NamedTuple, Sequence
 
 import numpy as np
 from flax import struct
 
 from chemprop_tpu.types import MolGraph
+
+logger = logging.getLogger(__name__)
+_fused_fallback_warned = False
+
+
+def _warn_fused_fallback(max_block: int) -> None:
+    """One-time telemetry when a batch loses the fused Pallas fast path: a
+    single oversized molecule silently demotes the WHOLE batch to the
+    composed (3-4x more HBM traffic) message ops — users should know."""
+    global _fused_fallback_warned
+    if _fused_fallback_warned:
+        return
+    _fused_fallback_warned = True
+    from chemprop_tpu.ops.fused_message import SPAN_LIMIT
+
+    limit = SPAN_LIMIT[max(SPAN_LIMIT)]
+    logger.warning(
+        f"a molecule with {max_block} directed edges (> {limit}, ~{limit // 2} bonds) "
+        "disables the fused message kernel for its whole batch; message passing "
+        "falls back to the composed ops (3-4x more HBM traffic). Consider "
+        "isolating oversized molecules into their own batches."
+    )
 
 
 @struct.dataclass
@@ -202,8 +225,11 @@ def batch_mol_graphs(
     from chemprop_tpu.ops.fused_message import SPAN_LIMIT
 
     max_block = max((mg.E.shape[0] for mg in mgs), default=0)
-    fused_ok = sort_edges and max_block <= SPAN_LIMIT[2]
-    fused_window = 1 if max_block <= SPAN_LIMIT[1] else 2
+    max_window = max(SPAN_LIMIT)
+    fused_ok = sort_edges and max_block <= SPAN_LIMIT[max_window]
+    fused_window = next((w for w in sorted(SPAN_LIMIT) if max_block <= SPAN_LIMIT[w]), max_window)
+    if sort_edges and not fused_ok:
+        _warn_fused_fallback(max_block)
 
     bmg = BatchMolGraph(
         V=V,

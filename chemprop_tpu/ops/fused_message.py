@@ -66,8 +66,10 @@ MAX_VMEM_BYTES = 12 << 20
 
 # largest per-graph edge block each window width supports: kw=1 (3-chunk
 # window, 40% less one-hot MXU work) for blocks <= 129 edges, kw=2 (5-chunk)
-# for blocks <= 257. Collate stamps BatchMolGraph.fused_window accordingly.
-SPAN_LIMIT = {1: CHUNK + 1, 2: 2 * CHUNK + 1}
+# for blocks <= 257, kw=3 (7-chunk) for <= 385 (~192 bonds: peptides/small
+# polymers keep the fast path instead of dropping the whole batch to the
+# composed ops). Collate stamps BatchMolGraph.fused_window accordingly.
+SPAN_LIMIT = {1: CHUNK + 1, 2: 2 * CHUNK + 1, 3: 3 * CHUNK + 1}
 
 
 def _window_dot(acc, C, x, dtype):

@@ -117,3 +117,40 @@ def test_padspec_edges_align_to_512():
     assert spec.n_edges % 512 == 0
     from chemprop_tpu.data.collate import pad_to_bucket
     assert spec.n_edges <= pad_to_bucket(2 * 32 * 2000) + 512
+
+
+def test_fused_window_stamping_and_fallback_telemetry(caplog):
+    """VERDICT r1 item 9: a ~150-bond molecule (300 directed edges) keeps the
+    batch on the fused fast path (window widens to kw=3 instead of dropping
+    the whole batch to the composed ops); only a >192-bond molecule loses the
+    path, and that demotion is logged once."""
+    import logging
+
+    from chemprop_tpu.data import collate as collate_mod
+    from chemprop_tpu.data.collate import batch_mol_graphs
+    from chemprop_tpu.ops.fused_message import SPAN_LIMIT
+
+    dps = [
+        MoleculeDatapoint.from_smi("C" * 151, y=np.zeros(1)),  # 150 bonds
+        MoleculeDatapoint.from_smi("CCO", y=np.zeros(1)),
+    ]
+    ds = MoleculeDataset(dps)
+    bmg = batch_mol_graphs([ds[i].mg for i in range(2)])
+    assert bmg.fused_ok
+    assert bmg.fused_window == 3
+    # small-molecule batches stay on the cheapest window
+    small = batch_mol_graphs([ds[1].mg])
+    assert small.fused_ok and small.fused_window == 1
+
+    # a molecule exceeding the widest window demotes the batch, with one
+    # warning (not one per batch)
+    n_c = SPAN_LIMIT[max(SPAN_LIMIT)] // 2 + 3
+    giant = MoleculeDataset([MoleculeDatapoint.from_smi("C" * (n_c + 1), y=np.zeros(1))])
+    collate_mod._fused_fallback_warned = False
+    with caplog.at_level(logging.WARNING, logger="chemprop_tpu.data.collate"):
+        b1 = batch_mol_graphs([giant[0].mg, ds[1].mg])
+        b2 = batch_mol_graphs([giant[0].mg])
+    assert not b1.fused_ok and not b2.fused_ok
+    warnings = [r for r in caplog.records if "fused message kernel" in r.message]
+    assert len(warnings) == 1
+    collate_mod._fused_fallback_warned = False

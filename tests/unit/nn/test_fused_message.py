@@ -200,3 +200,65 @@ class TestFusedMessageIter:
         out_comp = np.asarray(model.apply(variables, b_no, None, False), np.float32)
         node_mask = np.asarray(bmg.node_mask)
         np.testing.assert_allclose(out_fused[node_mask], out_comp[node_mask], atol=0.05, rtol=0.05)
+
+
+class TestWideWindow:
+    """kw=3 (7-chunk window) coverage: a ~150-bond molecule (318 directed
+    edges, > SPAN_LIMIT[2]) keeps the fast path at the widened window."""
+
+    @pytest.fixture(scope="class")
+    def wide_bmg(self):
+        smis = ["C" * 160, "CCO", "c1ccccc1", "CC(=O)Nc1ccc(O)cc1"]
+        dps = [MoleculeDatapoint.from_smi(s, y=np.zeros(1)) for s in smis]
+        ds = MoleculeDataset(dps)
+        b = batch_mol_graphs([ds[i].mg for i in range(len(ds))], PadSpec(512, 1024, len(smis)))
+        assert b.fused_ok and b.fused_window == 3
+        assert b.E.shape[0] >= 7 * CHUNK
+        return b
+
+    @pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+    def test_forward_matches_composed(self, wide_bmg, dtype):
+        H = _rand(wide_bmg, 128, np.dtype(dtype) if dtype != "bfloat16" else jnp.bfloat16)
+        out_k = np.asarray(
+            _fused_message_impl(H, wide_bmg.src, wide_bmg.dst, wide_bmg.rev, 3), np.float32
+        )
+        out_c = np.asarray(
+            _composed(H, wide_bmg.src, wide_bmg.dst, wide_bmg.rev, wide_bmg.V.shape[0]),
+            np.float32,
+        )
+        mask = np.asarray(wide_bmg.edge_mask)
+        tol = 1e-4 if dtype == np.float32 else 0.3
+        np.testing.assert_allclose(out_k[mask], out_c[mask], atol=tol, rtol=tol)
+
+    def test_iter_grads_match_composed(self, wide_bmg):
+        from chemprop_tpu.ops.fused_message import (
+            _iter_composed,
+            fused_message_iter,
+            iter_usable,
+        )
+
+        rng = np.random.default_rng(7)
+        n, d = wide_bmg.E.shape[0], 128
+        H = jnp.asarray(rng.standard_normal((n, d)), jnp.bfloat16)
+        H0 = jnp.asarray(rng.standard_normal((n, d)), jnp.bfloat16)
+        W = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.bfloat16)
+        assert iter_usable(H, W, wide_bmg.fused_window)
+        n_nodes = wide_bmg.V.shape[0]
+        mask = jnp.asarray(np.asarray(wide_bmg.edge_mask))[:, None]
+
+        def loss(fn):
+            def f(H, H0, W):
+                y = fn(H, H0, W, None, wide_bmg.src, wide_bmg.dst, wide_bmg.rev, n_nodes, 3)
+                return jnp.sum(jnp.where(mask, y.astype(jnp.float32), 0.0) ** 2)
+
+            return f
+
+        gk = jax.grad(loss(fused_message_iter), argnums=(0, 1, 2))(H, H0, W)
+        gc = jax.grad(loss(_iter_composed), argnums=(0, 1, 2))(H, H0, W)
+        real = np.asarray(wide_bmg.edge_mask)
+        for name, a, c in zip(["dH", "dH0", "dW"], gk, gc):
+            a, c = np.asarray(a, np.float32), np.asarray(c, np.float32)
+            if a.shape[0] == n:
+                a, c = a[real], c[real]
+            scale = np.abs(c).max() + 1e-3
+            np.testing.assert_allclose(a / scale, c / scale, atol=0.03, err_msg=name)
