@@ -188,3 +188,86 @@ def test_nlogprob_enrichment_golden(n1, n2, method, mask, expected):
     targets = jnp.asarray([[1, 2], [3, 4]], jnp.float32)
     v = float(loss(preds, targets, mask=jnp.asarray(mask, bool)))
     assert v == pytest.approx(expected, rel=1e-4)
+
+
+# ------------------------------------------------------------------ quantile
+# golden values from /root/reference/tests/unit/nn/test_loss_functions.py:541-755
+@pytest.mark.parametrize(
+    "preds,targets,alpha,expected",
+    [
+        ([[1.0], [2.0]], [[2.0], [3.0]], 0.1, 0.1),  # under: alpha * d
+        ([[2.0], [3.0]], [[1.0], [2.0]], 0.1, 0.9),  # over: (1-alpha) * |d|
+        ([[1.0], [2.0]], [[1.0], [2.0]], 0.1, 0.0),  # exact
+        ([[1.0], [3.0]], [[2.0], [2.0]], 0.1, 0.5),  # mixed
+        ([[1.0], [3.0]], [[2.0], [2.0]], 0.5, 0.5),  # median regression
+        ([[1.0, 2.0], [3.0, 1.0]], [[2.0, 1.0], [2.0, 2.0]], 0.1, 0.5),  # multitask
+    ],
+)
+def test_point_quantile_golden(preds, targets, alpha, expected):
+    assert _call(M.PointQuantileLoss(alpha=alpha), preds, targets) == pytest.approx(
+        expected, abs=1e-6
+    )
+
+
+def test_point_quantile_masks_and_weights():
+    # mask drops the third sample entirely
+    v = _call(
+        M.PointQuantileLoss(alpha=0.1),
+        [[1.0], [2.0], [3.0]],
+        [[2.0], [3.0], [4.0]],
+        mask=[[True], [True], [False]],
+    )
+    assert v == pytest.approx(0.1 * 2 / 2, abs=1e-6)
+    # sample weights scale per-row contributions (weighted sum / masked count)
+    v = _call(
+        M.PointQuantileLoss(alpha=0.1),
+        [[1.0], [2.0]],
+        [[2.0], [3.0]],
+        weights=[0.5, 2.0],
+    )
+    assert v == pytest.approx((0.5 * 0.1 + 2.0 * 0.1) / 2, abs=1e-6)
+    # task weights scale per-column contributions
+    loss = M.PointQuantileLoss(alpha=0.1, task_weights=[0.5, 2.0])
+    v = _call(loss, [[1.0, 2.0]], [[2.0, 3.0]])
+    assert v == pytest.approx((0.5 * 0.1 + 2.0 * 0.1) / 2, abs=1e-6)
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0])
+def test_point_quantile_alpha_range(alpha):
+    preds, targets = [[1.0], [3.0]], [[2.0], [2.0]]
+    v = _call(M.PointQuantileLoss(alpha=alpha), preds, targets)
+    assert v >= 0
+    if alpha == 0.5:
+        swapped = _call(M.PointQuantileLoss(alpha=alpha), [[3.0], [1.0]], targets)
+        assert v == pytest.approx(swapped, abs=1e-6)
+
+
+def test_point_quantile_math():
+    # d > 0: alpha*d; d < 0: (1-alpha)*|d|; d == 0: 0
+    assert _call(M.PointQuantileLoss(alpha=0.2), [[1.0]], [[3.0]]) == pytest.approx(0.4)
+    assert _call(M.PointQuantileLoss(alpha=0.2), [[3.0]], [[1.0]]) == pytest.approx(1.6)
+    assert _call(M.PointQuantileLoss(alpha=0.2), [[2.0]], [[2.0]]) == pytest.approx(0.0)
+
+
+def test_interval_quantile_golden():
+    """Interval pinball over (mean, interval) heads: hand-computed from the
+    reference formula (chemprop/nn/metrics.py:588-615)."""
+    # mean 2, interval 2 -> bounds (1, 3); target 5: L_lower = a/2*(5-1)=0.2,
+    # L_upper = (1-a/2)*(5-3)=1.9 -> 2.1
+    v = _call(M.QuantileLoss(alpha=0.1), [[[2.0, 2.0]]], [[5.0]])
+    assert v == pytest.approx(0.05 * 4 + 0.95 * 2, abs=1e-6)
+    # target inside the interval (2.5): L_lower = a/2-1<0 branch ->
+    # max(0.05*1.5, -0.95*1.5) = 0.075; L_upper = max(0.95*-0.5, -0.05*-0.5) = 0.025
+    v = _call(M.QuantileLoss(alpha=0.1), [[[2.0, 2.0]]], [[2.5]])
+    assert v == pytest.approx(0.075 + 0.025, abs=1e-6)
+
+
+def test_bounded_mse_weighted_golden():
+    """Sample and task weights compose multiplicatively with bounds
+    (reference semantics: L * w[:,None] * task_w * mask, mean over mask)."""
+    loss = M.BoundedMSE(task_weights=[1.0, 2.0])
+    v = _call(loss, P22, Z22, weights=[2.0, 1.0], gt=ONES22)
+    # '>x' targets forgive overshoot: clamped preds [[-3,0],[0,-1]] ->
+    # sq [[9,0],[0,1]]; * w rows [2,1] -> [[18,0],[0,1]];
+    # * task [1,2] -> [[18,0],[0,2]]; mean over the 4 masked cells
+    assert v == pytest.approx((18 + 0 + 0 + 2) / 4, abs=1e-6)
