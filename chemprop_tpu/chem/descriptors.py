@@ -404,19 +404,28 @@ def _crippen_hydrogen(mol: Mol, heavy: Atom) -> str:
     return "H2"  # [#1][!C;!N;!O]
 
 
-def crippen_logp_mr(mol: Mol) -> tuple[float, float]:
-    """Wildman-Crippen octanol/water logP and molar refractivity."""
-    logp = mr = 0.0
+def crippen_atom_contribs(mol: Mol) -> tuple[np.ndarray, np.ndarray]:
+    """Per-heavy-atom Wildman-Crippen (logP, MR) contributions, with each
+    atom's hydrogen contributions folded into it (the convention the VSA
+    descriptor families bin by)."""
+    logp = np.zeros(mol.num_atoms)
+    mr = np.zeros(mol.num_atoms)
     for a in mol.atoms:
         lp, m = _CRIPPEN[_crippen_type(mol, a)]
-        logp += lp
-        mr += m
         nH = a.total_num_hs
         if nH:
             lp_h, m_h = _CRIPPEN[_crippen_hydrogen(mol, a)]
-            logp += nH * lp_h
-            mr += nH * m_h
+            lp += nH * lp_h
+            m += nH * m_h
+        logp[a.idx] = lp
+        mr[a.idx] = m
     return logp, mr
+
+
+def crippen_logp_mr(mol: Mol) -> tuple[float, float]:
+    """Wildman-Crippen octanol/water logP and molar refractivity."""
+    logp, mr = crippen_atom_contribs(mol)
+    return float(logp.sum()), float(mr.sum())
 
 
 # --------------------------------------------------------------------------
@@ -728,16 +737,41 @@ def chi4v(mol: Mol) -> float:
     return _chi(mol, 4, _valence_deltas(mol))
 
 
+def _nval_deltas(mol: Mol) -> np.ndarray:
+    """Unadjusted valence delta (Zv - h) for all rows — the delta RDKit's
+    ``ChiNn`` family uses (``_nVal``), distinct from the Kier-Hall
+    row-adjusted delta of the ``ChiNv`` family."""
+    out = np.zeros(mol.num_atoms)
+    for a in mol.atoms:
+        out[a.idx] = max(n_outer_electrons(a.atomic_num) - a.total_num_hs, 0)
+    return out
+
+
+def chi0n(mol: Mol) -> float:
+    d = _nval_deltas(mol)
+    return float((d[d > 0] ** -0.5).sum())
+
+
+def chi1n(mol: Mol) -> float:
+    d = _nval_deltas(mol)
+    total = 0.0
+    for b in mol.bonds:
+        p = d[b.begin_atom_idx] * d[b.end_atom_idx]
+        if p > 0:
+            total += p**-0.5
+    return total
+
+
 def chi2n(mol: Mol) -> float:
-    return _chi(mol, 2, _simple_deltas(mol))
+    return _chi(mol, 2, _nval_deltas(mol))
 
 
 def chi3n(mol: Mol) -> float:
-    return _chi(mol, 3, _simple_deltas(mol))
+    return _chi(mol, 3, _nval_deltas(mol))
 
 
 def chi4n(mol: Mol) -> float:
-    return _chi(mol, 4, _simple_deltas(mol))
+    return _chi(mol, 4, _nval_deltas(mol))
 
 
 def _weighted_distance_sums(mol: Mol) -> np.ndarray:
@@ -1053,3 +1087,367 @@ def compute_descriptors(mol: Mol, names: list[str] | None = None) -> np.ndarray:
     """Descriptor vector in the order of :data:`DESCRIPTORS` (or ``names``)."""
     keys = names or list(DESCRIPTORS)
     return np.array([DESCRIPTORS[k](mol) for k in keys], dtype=np.float64)
+
+
+# --------------------------------------------------------------------------
+# the descriptastorus-compatible 200-descriptor ``rdkit_2d`` vector
+# (reference ``chemprop/featurizers/molecule.py:53-99``: ``v1_rdkit_2d``
+# emits the descriptastorus RDKit2D 200-vector; this block provides the same
+# 200 names in the same string-sorted order)
+# --------------------------------------------------------------------------
+
+# monoisotopic masses for the elements the SMILES corpus uses; others fall
+# back to average mass (documented approximation)
+_MONOISOTOPIC: dict[int, float] = {
+    1: 1.00782503, 2: 4.00260325, 3: 7.01600344, 4: 9.01218307, 5: 11.00930536,
+    6: 12.0, 7: 14.00307401, 8: 15.99491462, 9: 18.99840316, 10: 19.99244018,
+    11: 22.98976928, 12: 23.98504170, 13: 26.98153853, 14: 27.97692653,
+    15: 30.97376200, 16: 31.97207117, 17: 34.96885268, 19: 38.96370649,
+    20: 39.96259086, 26: 55.93493633, 29: 62.92959772, 30: 63.92914201,
+    34: 79.91652180, 35: 78.91833760, 50: 119.90220163, 53: 126.90447190,
+}
+
+
+def exact_mol_weight(mol: Mol) -> float:
+    """Monoisotopic molecular weight (cf. RDKit ``ExactMolWt``)."""
+    total = 0.0
+    for a in mol.atoms:
+        if a.isotope:
+            total += float(a.isotope)
+        else:
+            total += _MONOISOTOPIC.get(a.atomic_num, MASSES[a.atomic_num])
+        total += a.total_num_hs * _MONOISOTOPIC[1]
+    return total
+
+
+def heavy_atom_mol_weight(mol: Mol) -> float:
+    """Average molecular weight ignoring hydrogens (RDKit ``HeavyAtomMolWt``)."""
+    return float(sum(a.mass for a in mol.atoms))
+
+
+def num_radical_electrons(mol: Mol) -> float:
+    """Unpaired electrons implied by bracket atoms whose stated H count
+    leaves them under their default valence (e.g. ``[CH3]`` -> 1). Neutral,
+    non-aromatic bracket atoms only — the common organic-SMILES cases;
+    charged/aromatic radical centers are a documented approximation gap."""
+    from chemprop_tpu.chem.periodic_table import DEFAULT_VALENCES
+
+    total = 0
+    for a in mol.atoms:
+        if a.num_explicit_hs is None or a.is_aromatic or a.formal_charge:
+            continue
+        vals = DEFAULT_VALENCES.get(a.atomic_num)
+        if not vals:
+            continue
+        ev = mol.explicit_valence(a.idx)  # bond orders + bracket H count
+        target = next((v for v in vals if v >= ev), None)
+        if target is not None:
+            total += max(target - ev, 0)
+    return float(total)
+
+
+def fp_density_morgan(mol: Mol, radius: int) -> float:
+    """Distinct Morgan environment identifiers per heavy atom (cf. RDKit
+    ``FpDensityMorgan1/2/3``; identifiers are the in-repo hash vocabulary)."""
+    from chemprop_tpu.chem.morgan import morgan_identifiers
+
+    if mol.num_atoms == 0:
+        return 0.0
+    return len(set(morgan_identifiers(mol, radius))) / mol.num_atoms
+
+
+def ipc(mol: Mol, avg: bool = False) -> float:
+    """Bonchev-Trinajstic information content of the coefficients of the
+    adjacency matrix's characteristic polynomial (RDKit ``Ipc``)."""
+    n = mol.num_atoms
+    if n == 0:
+        return 0.0
+    A = np.zeros((n, n))
+    for b in mol.bonds:
+        A[b.begin_atom_idx, b.end_atom_idx] = 1.0
+        A[b.end_atom_idx, b.begin_atom_idx] = 1.0
+    coeffs = np.abs(np.poly(A))
+    coeffs = coeffs[coeffs > 1e-12]
+    if coeffs.size == 0:
+        return 0.0
+    total = coeffs.sum()
+    p = coeffs / total
+    entropy = float(-(p * np.log2(p)).sum())
+    return entropy if avg else entropy * float(total)
+
+
+def bertz_ct(mol: Mol) -> float:
+    """Bertz complexity index: information content of bond-connection
+    equivalence classes plus element-distribution information (Bertz, JACS
+    1981, 103, 3599). Connection classes here are keyed by WL-refined atom
+    environments — a documented variant of RDKit's canonical-rank classes."""
+    from chemprop_tpu.chem.morgan import morgan_identifiers
+
+    n = mol.num_atoms
+    if n == 0 or mol.num_bonds == 0:
+        return 0.0
+    # WL-refined class per atom (radius-2 environment id)
+    ids = morgan_identifiers(mol, 2)[-n:]
+
+    def _info(counts: list[int]) -> float:
+        tot = sum(counts)
+        if tot <= 0:
+            return 0.0
+        return tot * np.log2(tot) - sum(c * np.log2(c) for c in counts if c)
+
+    # connections: unordered pairs of bonds sharing an atom, weighted by
+    # bond order; classed by (center env, sorted endpoint envs, orders)
+    conn: dict[tuple, float] = {}
+    for i in range(n):
+        bonds = mol.atom_bonds(i)
+        for x in range(len(bonds)):
+            for y in range(x + 1, len(bonds)):
+                bx, by = bonds[x], bonds[y]
+                jx, jy = bx.other_atom_idx(i), by.other_atom_idx(i)
+                ox, oy = bx.bond_type.order or 1.0, by.bond_type.order or 1.0
+                key = (ids[i], tuple(sorted((ids[jx], ids[jy]))), tuple(sorted((ox, oy))))
+                conn[key] = conn.get(key, 0.0) + (ox * oy) ** 0.5
+    # double bonds etc. add "parallel" connections: a bond of order m
+    # contributes C(m,2) self-pairs (Bertz counts multiple bonds as
+    # multi-edges)
+    for b in mol.bonds:
+        m = int(round(b.bond_type.order or 1.0))
+        if m >= 2:
+            key = ("multi", tuple(sorted((ids[b.begin_atom_idx], ids[b.end_atom_idx]))))
+            conn[key] = conn.get(key, 0.0) + m * (m - 1) / 2.0
+    elem_counts: dict[int, int] = {}
+    for a in mol.atoms:
+        elem_counts[a.atomic_num] = elem_counts.get(a.atomic_num, 0) + 1
+    return float(_info([int(round(v)) or 1 for v in conn.values()]) + _info(list(elem_counts.values())))
+
+
+# ----------------------------------------------------------------- E-State
+def max_estate_index(mol: Mol) -> float:
+    from chemprop_tpu.chem.estate import estate_indices
+
+    es = estate_indices(mol)
+    return float(es.max()) if es.size else 0.0
+
+
+def min_estate_index(mol: Mol) -> float:
+    from chemprop_tpu.chem.estate import estate_indices
+
+    es = estate_indices(mol)
+    return float(es.min()) if es.size else 0.0
+
+
+def max_abs_estate_index(mol: Mol) -> float:
+    from chemprop_tpu.chem.estate import estate_indices
+
+    es = estate_indices(mol)
+    return float(np.abs(es).max()) if es.size else 0.0
+
+
+def min_abs_estate_index(mol: Mol) -> float:
+    from chemprop_tpu.chem.estate import estate_indices
+
+    es = estate_indices(mol)
+    return float(np.abs(es).min()) if es.size else 0.0
+
+
+# -------------------------------------------------------------------- QED
+# Bickerton et al., "Quantifying the chemical beauty of drugs", Nat. Chem.
+# 2012, 4, 90-98: asymmetric double sigmoid (ADS) desirability per property,
+# weighted geometric mean. Parameters are the published table.
+_QED_ADS: dict[str, tuple[float, float, float, float, float, float, float]] = {
+    "MW": (2.817065973, 392.5754953, 290.7489764, 2.419764353, 49.22325677, 65.37051707, 104.9805561),
+    "ALOGP": (3.172690585, 137.8624751, 2.534937431, 4.581497897, 0.822739154, 0.576295591, 131.3186604),
+    "HBA": (2.948620388, 160.4605972, 3.615294657, 4.435986202, 0.290141953, 1.300669958, 148.7763046),
+    "HBD": (1.618662227, 1010.051101, 0.985094388, 0.000000001, 0.713820843, 0.920922555, 258.1632616),
+    "PSA": (1.876861559, 125.2232657, 62.90773554, 87.83366614, 12.01999824, 28.51324732, 104.5686167),
+    "ROTB": (0.010000, 272.4121427, 2.558379970, 1.565547684, 1.271567166, 2.758063707, 105.4420403),
+    "AROM": (3.217788970, 957.7374108, 2.274627939, 0.000000001, 1.317690384, 0.375760881, 312.3372610),
+    "ALERTS": (0.010000, 1199.094025, -0.09002883, 0.000000001, 0.185904477, 0.875193782, 417.7253140),
+}
+_QED_WEIGHTS = {
+    "MW": 0.66, "ALOGP": 0.46, "HBA": 0.05, "HBD": 0.61,
+    "PSA": 0.06, "ROTB": 0.65, "AROM": 0.48, "ALERTS": 0.95,
+}
+# structural-alert subset (Brenk filters; RDKit's QED ships 94 patterns —
+# this is the high-frequency core, a documented approximation)
+_QED_ALERTS = (
+    "[$([NX3](=O)=O),$([NX3+](=O)[O-])]",  # nitro
+    "[SX2H1]",  # thiol
+    "[OX2][OX2]",  # peroxide
+    "[SX2][SX2]",  # disulfide
+    "[NX3]-[NX3]",  # hydrazine
+    "[CX3](=[OX1])[F,Cl,Br,I]",  # acyl halide
+    "[CX4][Br,I]",  # alkyl Br/I
+    "[NX2]=[CX2]=[OX1]",  # isocyanate
+    "[NX2]=[CX2]=[SX1]",  # isothiocyanate
+    "[O,N,S;r3]",  # strained 3-ring heteroatom
+    "[#6]-[NX2]=[NX2]-[#6]",  # azo
+    "[NX2]~[NX2+]~[NX1-,NX1]",  # azide
+    "[CX3]=[CX3]-[CX3]=[OX1]",  # Michael acceptor
+    "[CX3H1](=O)[#6]",  # aldehyde
+    "[NX2]=[OX1]",  # nitroso
+    "C1C(=O)NC(=O)NC1=O",  # barbiturate
+    "[CR0]~[CR0]~[CR0]~[CR0]~[CR0]~[CR0]~[CR0]~[CR0]",  # long chain
+    "[NX4]",  # quaternary N
+)
+
+
+def _ads(x: float, p: tuple) -> float:
+    a, b, c, d, e, f, dmax = p
+    with np.errstate(over="ignore"):
+        val = a + b / (1.0 + np.exp(-(x - c + d / 2.0) / e)) * (
+            1.0 - 1.0 / (1.0 + np.exp(-(x - c - d / 2.0) / f))
+        )
+    return float(val / dmax)
+
+
+def qed(mol: Mol) -> float:
+    """Quantitative estimate of drug-likeness (weighted QED)."""
+    from chemprop_tpu.chem.smarts import count_matches
+
+    props = {
+        "MW": mol_weight(mol),
+        "ALOGP": mol_logp(mol),
+        "HBA": num_h_acceptors(mol),
+        "HBD": num_h_donors(mol),
+        "PSA": tpsa(mol),
+        "ROTB": num_rotatable_bonds(mol),
+        "AROM": num_aromatic_rings(mol),
+        "ALERTS": float(sum(1 for s in _QED_ALERTS if count_matches(mol, s) > 0)),
+    }
+    num = 0.0
+    den = 0.0
+    for k, x in props.items():
+        d = max(_ads(x, _QED_ADS[k]), 1e-10)
+        w = _QED_WEIGHTS[k]
+        num += w * np.log(d)
+        den += w
+    return float(np.exp(num / den))
+
+
+# ------------------------------------------------------- vector assembly
+RDKIT2D_NAMES: list[str] = (
+    [
+        "BalabanJ", "BertzCT",
+        "Chi0", "Chi0n", "Chi0v", "Chi1", "Chi1n", "Chi1v",
+        "Chi2n", "Chi2v", "Chi3n", "Chi3v", "Chi4n", "Chi4v",
+    ]
+    + [f"EState_VSA{i}" for i in (1, 10, 11, 2, 3, 4, 5, 6, 7, 8, 9)]
+    + [
+        "ExactMolWt", "FpDensityMorgan1", "FpDensityMorgan2", "FpDensityMorgan3",
+        "FractionCSP3", "HallKierAlpha", "HeavyAtomCount", "HeavyAtomMolWt",
+        "Ipc", "Kappa1", "Kappa2", "Kappa3", "LabuteASA",
+        "MaxAbsEStateIndex", "MaxAbsPartialCharge", "MaxEStateIndex",
+        "MaxPartialCharge", "MinAbsEStateIndex", "MinAbsPartialCharge",
+        "MinEStateIndex", "MinPartialCharge", "MolLogP", "MolMR", "MolWt",
+        "NHOHCount", "NOCount",
+        "NumAliphaticCarbocycles", "NumAliphaticHeterocycles", "NumAliphaticRings",
+        "NumAromaticCarbocycles", "NumAromaticHeterocycles", "NumAromaticRings",
+        "NumHAcceptors", "NumHDonors", "NumHeteroatoms", "NumRadicalElectrons",
+        "NumRotatableBonds",
+        "NumSaturatedCarbocycles", "NumSaturatedHeterocycles", "NumSaturatedRings",
+        "NumValenceElectrons",
+    ]
+    + [f"PEOE_VSA{i}" for i in (1, 10, 11, 12, 13, 14, 2, 3, 4, 5, 6, 7, 8, 9)]
+    + ["RingCount"]
+    + [f"SMR_VSA{i}" for i in (1, 10, 2, 3, 4, 5, 6, 7, 8, 9)]
+    + [f"SlogP_VSA{i}" for i in (1, 10, 11, 12, 2, 3, 4, 5, 6, 7, 8, 9)]
+    + ["TPSA"]
+    + [f"VSA_EState{i}" for i in (1, 10, 2, 3, 4, 5, 6, 7, 8, 9)]
+    + []  # fragment names appended below (import-time, keeps one source of truth)
+)
+
+
+def _finalize_names() -> None:
+    from chemprop_tpu.chem.fragments import FRAGMENT_NAMES
+
+    RDKIT2D_NAMES.extend(FRAGMENT_NAMES)
+    RDKIT2D_NAMES.append("qed")
+    assert RDKIT2D_NAMES == sorted(RDKIT2D_NAMES), "descriptastorus order is string-sorted"
+    assert len(RDKIT2D_NAMES) == 200, len(RDKIT2D_NAMES)
+
+
+_finalize_names()
+
+
+def compute_rdkit2d(mol: Mol) -> np.ndarray:
+    """The 200-descriptor vector, name/order-compatible with descriptastorus
+    RDKit2D (reference ``chemprop/featurizers/molecule.py:79`` returns 200).
+
+    Shared intermediates (VSA contributions, E-State, Gasteiger charges,
+    Crippen contributions) are computed once and reused across families.
+    """
+    from chemprop_tpu.chem import surface
+    from chemprop_tpu.chem.charges import gasteiger_charges
+    from chemprop_tpu.chem.estate import estate_indices
+    from chemprop_tpu.chem.fragments import fragment_counts
+
+    vsa, h_vsa = surface.labute_asa_contribs(mol)
+    es = estate_indices(mol)
+    charges = gasteiger_charges(mol)
+    charges = np.where(np.isfinite(charges), charges, 0.0)
+    logp_c, mr_c = crippen_atom_contribs(mol)
+
+    vals: dict[str, float] = {}
+    for i, v in enumerate(surface._binned_sum(es, vsa, surface.ESTATE_BINS)):
+        vals[f"EState_VSA{i + 1}"] = float(v)
+    for i, v in enumerate(surface._binned_sum(charges, vsa, surface.PEOE_BINS)):
+        vals[f"PEOE_VSA{i + 1}"] = float(v)
+    for i, v in enumerate(surface._binned_sum(mr_c, vsa, surface.SMR_BINS)):
+        vals[f"SMR_VSA{i + 1}"] = float(v)
+    for i, v in enumerate(surface._binned_sum(logp_c, vsa, surface.SLOGP_BINS)):
+        vals[f"SlogP_VSA{i + 1}"] = float(v)
+    for i, v in enumerate(surface._binned_sum(vsa, es, surface.VSA_BINS)):
+        vals[f"VSA_EState{i + 1}"] = float(v)
+    vals["LabuteASA"] = float(vsa.sum() + h_vsa)
+    vals["MaxEStateIndex"] = float(es.max()) if es.size else 0.0
+    vals["MinEStateIndex"] = float(es.min()) if es.size else 0.0
+    vals["MaxAbsEStateIndex"] = float(np.abs(es).max()) if es.size else 0.0
+    vals["MinAbsEStateIndex"] = float(np.abs(es).min()) if es.size else 0.0
+    vals["MaxPartialCharge"] = float(charges.max()) if charges.size else 0.0
+    vals["MinPartialCharge"] = float(charges.min()) if charges.size else 0.0
+    vals["MaxAbsPartialCharge"] = float(np.abs(charges).max()) if charges.size else 0.0
+    vals["MinAbsPartialCharge"] = float(np.abs(charges).min()) if charges.size else 0.0
+    vals["MolLogP"] = float(logp_c.sum())
+    vals["MolMR"] = float(mr_c.sum())
+
+    scalar_fns: dict[str, Callable[[Mol], float]] = {
+        "BalabanJ": balaban_j, "BertzCT": bertz_ct,
+        "Chi0": chi0, "Chi0n": chi0n, "Chi0v": chi0v,
+        "Chi1": chi1, "Chi1n": chi1n, "Chi1v": chi1v,
+        "Chi2n": chi2n, "Chi2v": chi2v, "Chi3n": chi3n, "Chi3v": chi3v,
+        "Chi4n": chi4n, "Chi4v": chi4v,
+        "ExactMolWt": exact_mol_weight,
+        "FpDensityMorgan1": lambda m: fp_density_morgan(m, 1),
+        "FpDensityMorgan2": lambda m: fp_density_morgan(m, 2),
+        "FpDensityMorgan3": lambda m: fp_density_morgan(m, 3),
+        "FractionCSP3": fraction_csp3, "HallKierAlpha": hall_kier_alpha,
+        "HeavyAtomCount": heavy_atom_count, "HeavyAtomMolWt": heavy_atom_mol_weight,
+        "Ipc": ipc, "Kappa1": kappa1, "Kappa2": kappa2, "Kappa3": kappa3,
+        "MolWt": mol_weight, "NHOHCount": nhoh_count, "NOCount": no_count,
+        "NumAliphaticCarbocycles": num_aliphatic_carbocycles,
+        "NumAliphaticHeterocycles": num_aliphatic_heterocycles,
+        "NumAliphaticRings": num_aliphatic_rings,
+        "NumAromaticCarbocycles": num_aromatic_carbocycles,
+        "NumAromaticHeterocycles": num_aromatic_heterocycles,
+        "NumAromaticRings": num_aromatic_rings,
+        "NumHAcceptors": num_h_acceptors, "NumHDonors": num_h_donors,
+        "NumHeteroatoms": num_heteroatoms,
+        "NumRadicalElectrons": num_radical_electrons,
+        "NumRotatableBonds": num_rotatable_bonds,
+        "NumSaturatedCarbocycles": num_saturated_carbocycles,
+        "NumSaturatedHeterocycles": num_saturated_heterocycles,
+        "NumSaturatedRings": num_saturated_rings,
+        "NumValenceElectrons": num_valence_electrons,
+        "RingCount": ring_count, "TPSA": tpsa, "qed": qed,
+    }
+    for name, fn in scalar_fns.items():
+        vals[name] = float(fn(mol))
+
+    frags = fragment_counts(mol)
+    from chemprop_tpu.chem.fragments import FRAGMENT_NAMES
+
+    for name, v in zip(FRAGMENT_NAMES, frags):
+        vals[name] = float(v)
+
+    return np.array([vals[n] for n in RDKIT2D_NAMES], dtype=np.float64)

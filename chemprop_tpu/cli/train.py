@@ -126,6 +126,13 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         help="capture a jax.profiler trace of the first few training steps "
         "into <output-dir>/profile (view with TensorBoard)",
     )
+    g.add_argument(
+        "--tensorboard",
+        action="store_true",
+        help="also log per-epoch scalars as tfevents into "
+        "<model-dir>/tensorboard (reference: Lightning TensorBoardLogger; "
+        "CSV/JSON history is always written regardless)",
+    )
 
     # splits
     g.add_argument(
@@ -564,6 +571,9 @@ def main(args) -> int:
                 val_metrics=val_metrics,
                 mesh=mesh,
                 profile_dir=(model_dir / "profile") if getattr(args, "profile", False) else None,
+                tensorboard_dir=(model_dir / "tensorboard")
+                if getattr(args, "tensorboard", False)
+                else None,
                 checkpoint_dir=model_dir / "checkpoints",
                 seed=args.seed + member,
                 log_every=1,

@@ -72,24 +72,26 @@ class ChargeFeaturizer:
 
 @MoleculeFeaturizerRegistry.register("rdkit_2d")
 class RDKit2DFeaturizer:
-    """2D physicochemical/topological descriptor vector (cf. reference
-    ``chemprop/featurizers/molecule.py:53-86``).
+    """The 200-descriptor 2D physicochemical/topological vector, name- and
+    order-compatible with the descriptastorus RDKit2D set the reference uses
+    (cf. reference ``chemprop/featurizers/molecule.py:53-86``; its
+    ``V1RDKit2DFeaturizerMixin.__len__`` returns 200).
 
-    The reference delegates to descriptastorus/RDKit; here the set is the
-    in-repo :mod:`chemprop_tpu.chem.descriptors` suite (Wildman-Crippen
-    LogP/MR, Ertl TPSA, Kier-Hall kappa/chi, Balaban J, constitutional
-    counts) computed from the primary literature — similar coverage, not a
-    bit-for-bit descriptastorus clone."""
+    Values come from the in-repo :mod:`chemprop_tpu.chem.descriptors` suite
+    (Wildman-Crippen LogP/MR, Ertl TPSA, Kier-Hall chi/kappa/E-State,
+    Gasteiger charges, Labute VSA families, 85 SMARTS fragment counts, QED)
+    computed from the primary literature — dimension/order compatible with
+    reference checkpoints, close but not bit-identical to RDKit numerics."""
 
     def __init__(self):
-        from chemprop_tpu.chem.descriptors import DESCRIPTORS
+        from chemprop_tpu.chem.descriptors import RDKIT2D_NAMES
 
-        self.names = list(DESCRIPTORS)
+        self.names = list(RDKIT2D_NAMES)
 
     def __call__(self, mol: Mol) -> np.ndarray:
-        from chemprop_tpu.chem.descriptors import compute_descriptors
+        from chemprop_tpu.chem.descriptors import compute_rdkit2d
 
-        return compute_descriptors(mol, self.names)
+        return compute_rdkit2d(mol)
 
     def __len__(self) -> int:
         return len(self.names)
@@ -98,16 +100,17 @@ class RDKit2DFeaturizer:
 @MoleculeFeaturizerRegistry.register("v1_rdkit_2d")
 class V1RDKit2DFeaturizer(RDKit2DFeaturizer):
     """v1-flavored alias of :class:`RDKit2DFeaturizer` (the reference's v1
-    set also differs from its current set only in membership)."""
+    set is the same 200-descriptor descriptastorus vector, reference
+    ``chemprop/featurizers/molecule.py:88-92``)."""
 
 
 @MoleculeFeaturizerRegistry.register("v1_rdkit_2d_normalized")
 class V1RDKit2DNormalizedFeaturizer(RDKit2DFeaturizer):
-    """Descriptors squashed to (-1, 1) via x/(1+|x|) per dimension.
+    """The 200 descriptors squashed to (-1, 1) via x/(1+|x|) per dimension.
 
     The reference's normalized variant applies descriptastorus CDFs fit on a
     proprietary corpus; without that corpus a bounded monotone transform is
-    used instead (documented deviation)."""
+    used instead (documented deviation — dimensionality matches)."""
 
     def __call__(self, mol: Mol) -> np.ndarray:
         x = super().__call__(mol)

@@ -106,6 +106,11 @@ class Trainer:
     # _evaluate_batch (inference activations, no output unscaling)
     val_metrics: dict[str, ChempropMetric] = field(default_factory=dict)
     log_every: int = 0
+    # per-epoch scalar logging as tfevents (reference: Lightning
+    # TensorBoardLogger, chemprop/cli/train.py:1843-1851); written by the
+    # in-repo torch-free writer (chemprop_tpu/utils/tbevents.py). CSV/JSON
+    # history stays the default — this is additive, behind the flag.
+    tensorboard_dir: str | Path | None = None
     # jax.profiler trace of training steps in epoch 0 (TensorBoard-viewable);
     # the reference has no profiling at all (SURVEY.md §5.1) — on TPU this is
     # the tool that finds HBM-bandwidth stalls in the scatter path
@@ -292,6 +297,12 @@ class Trainer:
         train_step = self._make_train_step()
         eval_step = self._make_eval_step() if val_loader is not None else None
 
+        tb_writer = None
+        if self.tensorboard_dir is not None:
+            from chemprop_tpu.utils.tbevents import ScalarEventWriter
+
+            tb_writer = ScalarEventWriter(self.tensorboard_dir)
+
         best_score = np.inf if self.mode == "min" else -np.inf
         best_epoch = -1
         epochs_since_improvement = 0
@@ -345,6 +356,9 @@ class Trainer:
                 record.update(self._run_validation(val_loader, eval_step))
 
             self.history.append(record)
+            if tb_writer is not None:
+                tb_writer.add_scalars(record, step=epoch)
+                tb_writer.flush()
             if self.log_every and epoch % self.log_every == 0:
                 logger.info(
                     " ".join(
@@ -376,6 +390,8 @@ class Trainer:
                 logger.info(f"early stopping at epoch {epoch} (best epoch {best_epoch})")
                 break
 
+        if tb_writer is not None:
+            tb_writer.close()
         if self.best_variables is None:
             self.best_variables = jax.device_get(
                 {"params": self.state.params, "batch_stats": self.state.batch_stats}

@@ -126,6 +126,26 @@ class TestClassificationTrain:
         assert 0.0 <= list(scores[-1].values())[0] <= 1.0
 
 
+class TestTensorBoardFlag:
+    def test_train_writes_tfevents(self, monkeypatch, mol_csv, tmp_path):
+        """--tensorboard adds per-epoch scalar tfevents next to the CSV/JSON
+        history (reference: Lightning TensorBoardLogger scalars,
+        ``chemprop/cli/train.py:1843-1851``)."""
+        out = tmp_path / "tb"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(mol_csv), "--epochs", "2", "--batch-size", "16",
+                "--tensorboard", "-o", str(out),
+            ],
+        )
+        events = list(out.rglob("tensorboard/events.out.tfevents.*"))
+        assert events, "no tfevents written"
+        assert events[0].stat().st_size > 0
+        # history.json is still written regardless of the flag
+        assert list(out.rglob("history.json"))
+
+
 class TestHpopt:
     def test_hpopt_smoke(self, monkeypatch, mol_csv, tmp_path):
         out = tmp_path / "hpopt"

@@ -1,0 +1,230 @@
+"""The descriptastorus-compatible 200-descriptor ``rdkit_2d`` vector.
+
+Reference parity target: ``chemprop/featurizers/molecule.py:53-99`` — the
+``v1_rdkit_2d(_normalized)`` featurizers emit descriptastorus RDKit2D's 200
+descriptors. These tests pin (a) exact name set + string-sorted order,
+(b) chemically-known golden values (monoisotopic masses, E-State/Gasteiger
+signs and magnitudes, fragment counts on molecules with unambiguous
+functional groups), (c) vector finiteness over the real SMILES corpus.
+"""
+
+import numpy as np
+import pytest
+
+from chemprop_tpu.chem import make_mol
+from chemprop_tpu.chem.charges import gasteiger_charges
+from chemprop_tpu.chem.descriptors import (
+    RDKIT2D_NAMES,
+    bertz_ct,
+    compute_rdkit2d,
+    exact_mol_weight,
+    fp_density_morgan,
+    heavy_atom_mol_weight,
+    ipc,
+    num_radical_electrons,
+    qed,
+)
+from chemprop_tpu.chem.estate import estate_indices, intrinsic_states
+from chemprop_tpu.chem.fragments import FRAGMENT_NAMES, fragment_count
+from chemprop_tpu.chem.surface import labute_asa, labute_asa_contribs
+
+
+def M(smi):
+    return make_mol(smi, keep_h=False, add_h=False)
+
+
+class TestNamesAndOrder:
+    def test_length_and_sort(self):
+        assert len(RDKIT2D_NAMES) == 200
+        assert RDKIT2D_NAMES == sorted(RDKIT2D_NAMES)
+        assert len(set(RDKIT2D_NAMES)) == 200
+
+    def test_membership(self):
+        # the descriptastorus family structure: counts per family
+        fams = {
+            "EState_VSA": 11, "PEOE_VSA": 14, "SMR_VSA": 10,
+            "SlogP_VSA": 12, "VSA_EState": 10,
+        }
+        for fam, n in fams.items():
+            got = [x for x in RDKIT2D_NAMES if x.startswith(fam)]
+            assert len(got) == n, (fam, got)
+        assert len(FRAGMENT_NAMES) == 85
+        assert RDKIT2D_NAMES[-1] == "qed"
+        assert RDKIT2D_NAMES[0] == "BalabanJ"
+
+    def test_vector_matches_names(self):
+        x = compute_rdkit2d(M("CCO"))
+        assert x.shape == (200,)
+
+
+class TestExactMasses:
+    def test_monoisotopic(self):
+        # ethanol C2H6O: 2*12 + 6*1.00782503 + 15.99491462 = 46.0418648
+        assert exact_mol_weight(M("CCO")) == pytest.approx(46.04186, abs=1e-4)
+        # benzene C6H6 = 78.0469502
+        assert exact_mol_weight(M("c1ccccc1")) == pytest.approx(78.04695, abs=1e-4)
+        # chlorobenzene uses 35Cl = 112.0079978
+        assert exact_mol_weight(M("Clc1ccccc1")) == pytest.approx(112.00800, abs=1e-4)
+
+    def test_heavy_atom_molwt(self):
+        # benzene heavy = 6 * 12.011
+        assert heavy_atom_mol_weight(M("c1ccccc1")) == pytest.approx(72.066, abs=1e-2)
+
+
+class TestEState:
+    def test_intrinsic_butane(self):
+        # n-butane: terminal CH3 I = (1*1+1... dv=1, d=1 -> (1+1)/1 = 2;
+        # CH2 dv=2, d=2 -> (2+1)/2 = 1.5 (Kier & Hall 1990 worked example)
+        I = intrinsic_states(M("CCCC"))
+        assert I[0] == pytest.approx(2.0)
+        assert I[1] == pytest.approx(1.5)
+
+    def test_estate_oxygen_high(self):
+        # in ethanol the O carries the highest E-State; terminal C the lowest
+        es = estate_indices(M("CCO"))
+        assert np.argmax(es) == 2
+        assert es[2] > 5.0
+
+    def test_estate_sum_is_intrinsic_sum(self):
+        # field perturbation is antisymmetric: sum(S) == sum(I)
+        for smi in ["CCO", "c1ccccc1O", "CC(=O)NC"]:
+            m = M(smi)
+            assert estate_indices(m).sum() == pytest.approx(
+                intrinsic_states(m).sum(), abs=1e-9
+            )
+
+
+class TestGasteiger:
+    def test_ethanol_signs(self):
+        # O strongly negative; the carbinol C more positive than the methyl C
+        ch = gasteiger_charges(M("CCO"))
+        assert ch[2] < -0.3
+        assert ch[1] > ch[0]
+
+    def test_charge_conservation(self):
+        # neutral molecule: total charge (incl. H pseudo-nodes) ~ 0; the
+        # heavy-atom sum equals minus the H sum, so just check magnitude sane
+        ch = gasteiger_charges(M("CC(=O)O"))
+        assert np.isfinite(ch).all()
+        assert abs(ch).max() < 1.0
+
+    def test_cation(self):
+        # methylammonium: the +1 pulls electron density inductively, so the
+        # carbon is more positive than in neutral methylamine (the H
+        # pseudo-nodes carry most of the formal charge, as in RDKit)
+        ch_cat = gasteiger_charges(M("C[NH3+]"))
+        ch_neu = gasteiger_charges(M("CN"))
+        assert ch_cat[0] > ch_neu[0]
+        assert np.isfinite(ch_cat).all()
+
+
+class TestSurface:
+    def test_per_atom_in_bin_range(self):
+        # the published VSA bins span ~4.7-11; benzene CH must land inside
+        c, _h = labute_asa_contribs(M("c1ccccc1"))
+        assert ((c > 4.7) & (c < 11.0)).all()
+
+    def test_labute_total_positive_and_monotone(self):
+        assert labute_asa(M("CCCCCC")) > labute_asa(M("CCC")) > 0
+
+
+class TestFragments:
+    @pytest.mark.parametrize(
+        "smi, name, n",
+        [
+            ("CC(=O)O", "fr_Al_COO", 1),
+            ("CC(=O)O", "fr_COO", 1),
+            ("CC(=O)O", "fr_C_O", 1),
+            ("c1ccccc1C(=O)O", "fr_Ar_COO", 1),
+            ("c1ccccc1O", "fr_phenol", 1),
+            ("c1ccccc1O", "fr_Ar_OH", 1),
+            ("CCO", "fr_Al_OH", 1),
+            ("CCO", "fr_phenol", 0),
+            ("CC(=O)NC", "fr_amide", 1),
+            ("CC(=O)N", "fr_priamide", 1),
+            ("c1ccncc1", "fr_pyridine", 1),
+            ("c1ccncc1", "fr_Ar_N", 1),
+            ("c1cc[nH]c1", "fr_Nhpyrrole", 1),
+            ("CC#N", "fr_nitrile", 1),
+            ("C1CO1", "fr_epoxide", 1),
+            ("CCOC(=O)C", "fr_ester", 1),
+            ("CCOCC", "fr_ether", 1),
+            ("O=[N+]([O-])c1ccccc1", "fr_nitro", 1),
+            ("O=[N+]([O-])c1ccccc1", "fr_nitro_arom", 1),
+            ("O=[N+]([O-])C", "fr_nitro_arom", 0),
+            ("CS", "fr_SH", 1),
+            ("CSC", "fr_sulfide", 1),
+            ("CS(=O)(=O)N", "fr_sulfonamd", 1),
+            ("CS(=O)(=O)N", "fr_prisulfonamd", 1),
+            ("CS(=O)(=O)C", "fr_sulfone", 1),
+            ("ClCCl", "fr_halogen", 2),
+            ("ClCCl", "fr_alkyl_halide", 2),
+            ("Clc1ccccc1", "fr_alkyl_halide", 0),
+            ("c1ccc2ccccc2c1", "fr_benzene", 2),
+            ("c1ccc2ccccc2c1", "fr_bicyclic", 2),
+            ("C1CCCCC1", "fr_bicyclic", 0),
+            ("c1ccoc1", "fr_furan", 1),
+            ("c1ccsc1", "fr_thiophene", 1),
+            ("c1cscn1", "fr_thiazole", 1),
+            ("C1COCCN1", "fr_morpholine", 1),
+            ("C1CCNCC1", "fr_piperdine", 1),
+            ("C1CNCCN1", "fr_piperzine", 1),
+            ("NC(=O)N", "fr_urea", 1),
+            ("CC(=O)C", "fr_ketone", 1),
+            ("CC=O", "fr_aldehyde", 1),
+            ("C#C", "fr_term_acetylene", 1),
+            ("CC#C", "fr_term_acetylene", 1),
+            ("CC(=O)NC(=O)C", "fr_imide", 1),
+            ("CN(C)C", "fr_NH0", 1),
+            ("CNC", "fr_NH1", 1),
+            ("CN", "fr_NH2", 1),
+            ("C[N+](C)(C)C", "fr_quatN", 1),
+            # symmetric match pair collapses under uniquify (same atom set)
+            ("COC", "fr_methoxy", 1),
+            ("CCCCCC", "fr_unbrch_alkane", 1),
+            ("CCCC", "fr_unbrch_alkane", 0),
+            ("NN", "fr_hdrzine", 1),
+            ("C=NN", "fr_hdrzone", 1),
+            ("N=C=O", "fr_isocyan", 1),
+            ("N=C=S", "fr_isothiocyan", 1),
+            ("c1nnn[nH]1", "fr_tetrazole", 1),
+            ("OO", "fr_Al_OH", 0),
+        ],
+    )
+    def test_known_counts(self, smi, name, n):
+        assert fragment_count(M(smi), name) == n, (smi, name)
+
+
+class TestGraphIndices:
+    def test_ipc_grows_with_size(self):
+        assert ipc(M("CCCCCC")) > ipc(M("CCC")) > 0
+
+    def test_bertz_hetero_adds_complexity(self):
+        assert bertz_ct(M("CCN")) > bertz_ct(M("CCC"))
+
+    def test_fp_density_decreasing_molecule_size(self):
+        # density is per-heavy-atom; a bigger radius gives more envs
+        m = M("CC(=O)Oc1ccccc1C(=O)O")
+        assert fp_density_morgan(m, 3) >= fp_density_morgan(m, 2) >= fp_density_morgan(m, 1)
+
+    def test_radicals(self):
+        assert num_radical_electrons(M("[CH3]")) == 1
+        assert num_radical_electrons(M("C")) == 0
+        assert num_radical_electrons(M("CCO")) == 0
+
+
+class TestQED:
+    def test_range_and_ordering(self):
+        # drug-like aspirin scores well; heptacontane (huge alkane) poorly
+        q_asp = qed(M("CC(=O)Oc1ccccc1C(=O)O"))
+        q_alkane = qed(M("C" * 40))
+        assert 0.0 < q_alkane < q_asp < 1.0
+        assert q_asp > 0.5
+
+
+class TestCorpusVector:
+    def test_finite_over_corpus(self, smis):
+        for smi in smis[:40]:
+            x = compute_rdkit2d(M(smi))
+            assert x.shape == (200,)
+            assert np.isfinite(x).all(), smi
