@@ -31,11 +31,45 @@ from chemprop_tpu.utils.registry import Factory
 logger = logging.getLogger(__name__)
 
 
+def _num(x) -> float:
+    """Element of a target-list cell -> float (None/'' -> NaN; strips any
+    ``<``/``>`` bound marker)."""
+    if x is None:
+        return float("nan")
+    s = str(x).strip().lstrip("<>=")
+    return float("nan") if s in ("", "nan", "None", "NaN") else float(s)
+
+
 def _parse_list_cell(v) -> list[float]:
     if v is None or (isinstance(v, float) and np.isnan(v)):
         return []
     out = ast.literal_eval(str(v))
-    return list(out) if isinstance(out, (list, tuple)) else [out]
+    out = list(out) if isinstance(out, (list, tuple)) else [out]
+    return [_num(x) for x in out]
+
+
+def _parse_bounded_list_cell(v) -> tuple[list[float], list[bool], list[bool]]:
+    """List cell whose elements may carry ``<``/``>`` bound markers
+    (reference bounded-target parsing, ``cli/utils/parsing.py:85-93``)."""
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return [], [], []
+    out = ast.literal_eval(str(v))
+    out = list(out) if isinstance(out, (list, tuple)) else [out]
+    vals, lt, gt = [], [], []
+    for x in out:
+        s = "" if x is None else str(x).strip()
+        lt.append(s.startswith("<"))
+        gt.append(s.startswith(">"))
+        vals.append(_num(x))
+    return vals, lt, gt
+
+
+def _parse_bounded_scalar(v) -> tuple[float, bool, bool]:
+    s = str(v).strip()
+    if s in ("", "nan", "None", "NaN"):
+        return float("nan"), False, False
+    lt, gt = s.startswith("<"), s.startswith(">")
+    return float(s.lstrip("<>=")), lt, gt
 
 
 def build_MAB_datapoints(args) -> tuple[list[MolAtomBondDatapoint], list[str], list[str], list[str]]:
@@ -73,19 +107,56 @@ def build_MAB_datapoints(args) -> tuple[list[MolAtomBondDatapoint], list[str], l
     V_ds = load_input_feats(getattr(args, "atom_descriptors_path", None), n)
     E_ds = load_input_feats(getattr(args, "bond_descriptors_path", None), n)
 
+    bounded = args.loss_function is not None and "bounded" in args.loss_function
+
     dps = []
     for i, row in df.iterrows():
         smi = row[smiles_col]
-        mol_y = (
-            np.array([float(row[c]) for c in mol_cols], dtype=np.float64) if mol_cols else None
-        )
+        mol_y = lt_mask = gt_mask = None
+        if mol_cols:
+            if bounded:
+                parsed = [_parse_bounded_scalar(row[c]) for c in mol_cols]
+                mol_y = np.array([p[0] for p in parsed], dtype=np.float64)
+                lt_mask = np.array([p[1] for p in parsed], dtype=bool)
+                gt_mask = np.array([p[2] for p in parsed], dtype=bool)
+            else:
+                mol_y = np.array([float(row[c]) for c in mol_cols], dtype=np.float64)
         atom_y = bond_y = None
+        atom_lt = atom_gt = bond_lt = bond_gt = None
         if atom_cols:
-            per_col = [_parse_list_cell(row[c]) for c in atom_cols]
-            atom_y = np.array(list(zip(*per_col)), dtype=np.float64).reshape(-1, len(atom_cols))
+            if bounded:
+                parsed = [_parse_bounded_list_cell(row[c]) for c in atom_cols]
+                atom_y = np.array(
+                    list(zip(*(p[0] for p in parsed))), dtype=np.float64
+                ).reshape(-1, len(atom_cols))
+                atom_lt = np.array(list(zip(*(p[1] for p in parsed))), dtype=bool).reshape(
+                    -1, len(atom_cols)
+                )
+                atom_gt = np.array(list(zip(*(p[2] for p in parsed))), dtype=bool).reshape(
+                    -1, len(atom_cols)
+                )
+            else:
+                per_col = [_parse_list_cell(row[c]) for c in atom_cols]
+                atom_y = np.array(list(zip(*per_col)), dtype=np.float64).reshape(
+                    -1, len(atom_cols)
+                )
         if bond_cols:
-            per_col = [_parse_list_cell(row[c]) for c in bond_cols]
-            bond_y = np.array(list(zip(*per_col)), dtype=np.float64).reshape(-1, len(bond_cols))
+            if bounded:
+                parsed = [_parse_bounded_list_cell(row[c]) for c in bond_cols]
+                bond_y = np.array(
+                    list(zip(*(p[0] for p in parsed))), dtype=np.float64
+                ).reshape(-1, len(bond_cols))
+                bond_lt = np.array(list(zip(*(p[1] for p in parsed))), dtype=bool).reshape(
+                    -1, len(bond_cols)
+                )
+                bond_gt = np.array(list(zip(*(p[2] for p in parsed))), dtype=bool).reshape(
+                    -1, len(bond_cols)
+                )
+            else:
+                per_col = [_parse_list_cell(row[c]) for c in bond_cols]
+                bond_y = np.array(list(zip(*per_col)), dtype=np.float64).reshape(
+                    -1, len(bond_cols)
+                )
 
         atom_c = bond_c = None
         if atom_con_df is not None and any(v is not None for v in atom_con_df.values()):
@@ -112,6 +183,12 @@ def build_MAB_datapoints(args) -> tuple[list[MolAtomBondDatapoint], list[str], l
                 y=mol_y,
                 atom_y=atom_y,
                 bond_y=bond_y,
+                lt_mask=lt_mask,
+                gt_mask=gt_mask,
+                atom_lt_mask=atom_lt,
+                atom_gt_mask=atom_gt,
+                bond_lt_mask=bond_lt,
+                bond_gt_mask=bond_gt,
                 atom_constraints=atom_c,
                 bond_constraints=bond_c,
                 weight=weight,
@@ -207,8 +284,25 @@ def build_MAB_model(args, train_dset, output_transforms, input_transforms=(None,
         n_layers = getattr(args, f"{kind}_ffn_num_layers", None)
         weights = getattr(args, f"{kind}_task_weights", None)
         n_classes = getattr(args, f"{kind}_multiclass_num_classes", None)
+        criterion = None
+        if getattr(args, "loss_function", None) is not None:
+            # --loss-function overrides each head's default criterion (e.g.
+            # bounded-mse with the per-head lt/gt masks; reference MAB
+            # bounded training, tests/cli/test_cli_MAB.py:576-607)
+            from chemprop_tpu.nn.metrics import LossFunctionRegistry
+
+            criterion = Factory.build(
+                LossFunctionRegistry[args.loss_function],
+                task_weights=(weights if weights is not None else args.task_weights) or 1.0,
+                v_kl=args.v_kl,
+                eps=getattr(args, "eps", 1e-8),
+                alpha=getattr(args, "alpha", 0.1),
+                threshold=args.threshold,
+                n_classes=n_classes if n_classes is not None else args.multiclass_num_classes,
+            )
         return Factory.build(
             PredictorRegistry[args.task_type],
+            criterion=criterion,
             input_dim=input_dim,
             n_tasks=n_tasks,
             hidden_dim=hidden if hidden is not None else args.ffn_hidden_dim,
