@@ -64,10 +64,14 @@ class ZScalingCalibrator(RegressionCalibrator):
 
 @CalibratorRegistry.register("zelikman-interval")
 class ZelikmanCalibrator(RegressionCalibrator):
-    """Scale variance so the p-interval empirically covers p of the
-    calibration set (cf. reference ``calibrator.py:114-154``)."""
+    """CRUDE interval scaling (Zelikman et al. 2020): the variance scaling is
+    the squared p-quantile of the absolute z-scores — distribution-free, no
+    Gaussian critical value involved (cf. reference ``calibrator.py:114-154``:
+    ``quantile(z, p, interpolation="lower")`` then ``uncs * scaling**2``)."""
 
     def __init__(self, p: float = 0.9):
+        if not 0 <= p <= 1:
+            raise ValueError(f"p must be in [0, 1], got {p}")
         self.p = p
 
     def fit(self, preds, uncs, targets, mask):
@@ -76,15 +80,12 @@ class ZelikmanCalibrator(RegressionCalibrator):
         for j in range(t):
             m = mask[:, j]
             z = np.abs(preds[m, j] - targets[m, j]) / np.sqrt(np.maximum(uncs[m, j], 1e-12))
-            from scipy.stats import norm
-
-            z_crit = norm.ppf(0.5 + self.p / 2)
-            q = np.quantile(z, self.p)
-            self.scalings[j] = (q / z_crit) ** 2
+            # torch.quantile(interpolation="lower") equivalent
+            self.scalings[j] = np.quantile(z, self.p, method="lower")
         return self
 
     def apply(self, uncs):
-        return uncs * self.scalings[None, :]
+        return uncs * (self.scalings**2)[None, :]
 
 
 @CalibratorRegistry.register("mve-weighting")
@@ -119,10 +120,17 @@ class MVEWeightingCalibrator(RegressionCalibrator):
 
 @CalibratorRegistry.register("conformal-regression")
 class ConformalRegressionCalibrator(RegressionCalibrator):
-    """Split-conformal half-interval per task (cf. reference
-    ``calibrator.py:228-340``)."""
+    """Split-conformal interval adjustment (Angelopoulos & Bates 2021):
+    ``uncs`` are half-interval widths (0 for plain point regression); the
+    nonconformity score is the signed distance of the target outside the
+    interval, ``max((pred - half) - y, y - (pred + half)) = |err| - half``,
+    and ``apply`` GROWS the half-interval additively by the conformal
+    quantile (cf. reference ``calibrator.py:228-340``: additive, not
+    multiplicative)."""
 
     def __init__(self, alpha: float = 0.1):
+        if not 0 <= alpha <= 1:
+            raise ValueError(f"alpha must be in [0, 1], got {alpha}")
         self.alpha = alpha
 
     def fit(self, preds, uncs, targets, mask):
@@ -130,15 +138,21 @@ class ConformalRegressionCalibrator(RegressionCalibrator):
         self.qhats = np.zeros(t)
         for j in range(t):
             m = mask[:, j]
-            interval = np.maximum(uncs[m, j], 1e-12)
-            scores = np.abs(preds[m, j] - targets[m, j]) / interval
-            n = m.sum()
-            q = min(1.0, np.ceil((n + 1) * (1 - self.alpha)) / n)
-            self.qhats[j] = np.quantile(scores, q)
+            half = np.asarray(uncs[m, j], dtype=np.float64)
+            err = np.asarray(targets[m, j], dtype=np.float64) - np.asarray(
+                preds[m, j], dtype=np.float64
+            )
+            scores = np.maximum(-err - half, err - half)
+            n = int(m.sum())
+            if self.alpha >= 1 / (n + 1):
+                q = np.ceil((n + 1) * (1 - self.alpha)) / n
+            else:
+                q = 1.0
+            self.qhats[j] = _higher_quantile(scores, q)
         return self
 
     def apply(self, uncs):
-        return uncs * self.qhats[None, :]
+        return uncs + self.qhats[None, :]
 
 
 @CalibratorRegistry.register("platt")
@@ -146,11 +160,29 @@ class PlattCalibrator(BinaryClassificationCalibrator):
     """Logistic recalibration of classification probabilities (cf. reference
     ``calibrator.py:341-410``)."""
 
-    def fit(self, preds, uncs, targets, mask):
+    def fit(self, preds, uncs, targets, mask, training_targets=None):
+        """``training_targets`` (optional ``[n_train, t]`` 0/1 array) enables
+        Platt's Bayesian correction: calibration targets are replaced by the
+        MAP estimates ``1/(N- + 2)`` and ``(N+ + 1)/(N+ + 2)`` computed from
+        the training-set class counts, avoiding calibration-set overfitting
+        (cf. reference ``calibrator.py:356-384``)."""
+        targets = np.asarray(targets, dtype=np.float64)
+        msk = np.asarray(mask, dtype=bool)
+        if np.any((targets[msk] != 0) & (targets[msk] != 1)):
+            raise ValueError(
+                "Platt scaling requires binary 0/1 calibration targets"
+            )
+        if training_targets is not None:
+            training_targets = np.asarray(training_targets)
+            n_neg = (training_targets == 0).sum(axis=0)
+            n_pos = (training_targets == 1).sum(axis=0)
+            neg_map = np.broadcast_to(1 / (n_neg + 2), targets.shape)
+            pos_map = np.broadcast_to((n_pos + 1) / (n_pos + 2), targets.shape)
+            targets = np.where(targets == 1, pos_map, neg_map)
         t = uncs.shape[1]
         self.ab = np.tile([1.0, 0.0], (t, 1))
         for j in range(t):
-            m = mask[:, j]
+            m = msk[:, j]
             x = logit(np.clip(uncs[m, j], 1e-7, 1 - 1e-7))
             y = targets[m, j]
 
