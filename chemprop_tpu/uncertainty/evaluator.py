@@ -40,37 +40,41 @@ class NLLClassEvaluator:
 
 @UncertaintyEvaluatorRegistry.register("miscalibration_area")
 class CalibrationAreaEvaluator:
-    """Mean |empirical - expected| coverage over 100 symmetric intervals."""
+    """Area between the observed-vs-expected coverage curve and the
+    diagonal: trapezoid endpoints (0, 0) and (1, 1) are included and the
+    |observed - expected| sum over the ``num_bins + 1`` curve points is
+    divided by ``num_bins`` (cf. reference ``evaluator.py:68-114``)."""
 
-    def evaluate(self, preds, uncs, targets, mask):
-        fractions = np.arange(1, 100) / 100
+    def evaluate(self, preds, uncs, targets, mask, num_bins: int = 100):
+        fractions = np.arange(1, num_bins) / num_bins
 
         def f(p, v, y):
             std = np.sqrt(np.maximum(v, 1e-12))
             z = np.abs(p - y) / std
-            areas = []
-            for frac in fractions:
-                z_crit = np.sqrt(2) * erfinv(frac)
-                areas.append(abs(np.mean(z <= z_crit) - frac))
-            return float(np.mean(areas))
+            z_crit = np.sqrt(2) * erfinv(fractions)
+            observed = np.mean(z[None, :] <= z_crit[:, None], axis=1)
+            # endpoints (obs 0 @ expected 0, obs 1 @ expected 1) add zero
+            # |diff|; the 1/num_bins normalization is over intervals, not
+            # curve points
+            return float(np.sum(np.abs(observed - fractions)) / num_bins)
 
         return _per_task(f, preds, uncs, targets, mask)
 
 
 @UncertaintyEvaluatorRegistry.register("ence")
 class ExpectedNormalizedErrorEvaluator:
-    """Bin by predicted variance; compare RMS error vs RMS predicted std."""
+    """Bin by predicted variance; compare per-bin RMS error vs RMS predicted
+    std. Binning matches ``torch.chunk(x, num_bins)``: chunk size
+    ``ceil(n / num_bins)``, so n <= num_bins means one sample per bin
+    (cf. reference ``evaluator.py:116-179``, ``num_bins=100``)."""
 
-    n_bins: int = 10
-
-    def evaluate(self, preds, uncs, targets, mask):
+    def evaluate(self, preds, uncs, targets, mask, num_bins: int = 100):
         def f(p, v, y):
-            order = np.argsort(v)
-            bins = np.array_split(order, 10)
+            order = np.argsort(v, kind="stable")
+            size = -(-len(order) // num_bins)  # torch.chunk semantics
+            bins = [order[i : i + size] for i in range(0, len(order), size)]
             vals = []
             for b in bins:
-                if len(b) == 0:
-                    continue
                 rmv = np.sqrt(np.mean(np.maximum(v[b], 1e-12)))
                 rmse = np.sqrt(np.mean((p[b] - y[b]) ** 2))
                 vals.append(abs(rmv - rmse) / max(rmv, 1e-12))
