@@ -466,3 +466,70 @@ class BinaryF1Score(_CollectedMetric):
         from sklearn.metrics import f1_score
 
         return float(f1_score(targets[mask] > 0.5, preds[mask] > self.threshold))
+
+
+# --------------------------------- distributed-safe binned curve metrics
+@dataclass
+class _BinnedCurveMetric(ChempropMetric):
+    """Streaming AUROC/AUPRC over fixed probability bins.
+
+    Unlike the exact ``roc``/``prc`` metrics (host-side, full-gather), the
+    state here is a pair of ``[n_bins]`` class-conditional histograms of the
+    predicted probabilities — a pure pytree accumulator that ``psum``s
+    across devices/hosts exactly like the loss states, so giant or sharded
+    eval sets never gather. Resolution error is O(1/n_bins); at the default
+    8192 bins the difference vs exact sklearn values is < 1e-3 on
+    realistic score distributions. Predictions must be probabilities in
+    [0, 1] (the classification heads' output space)."""
+
+    n_bins: int = 8192
+    higher_is_better: bool = field(default=True, init=False)
+
+    def init_state(self):
+        return {
+            "pos": jnp.zeros((self.n_bins,), jnp.float32),
+            "neg": jnp.zeros((self.n_bins,), jnp.float32),
+        }
+
+    def update_state(self, state, preds, targets, mask, weights, lt_mask, gt_mask):
+        w = weights.reshape(-1, 1) * _as_task_weights(self.task_weights) * mask
+        idx = jnp.clip((preds * self.n_bins).astype(jnp.int32), 0, self.n_bins - 1)
+        is_pos = targets > 0.5
+        pos_w = jnp.where(is_pos, w, 0.0).reshape(-1)
+        neg_w = jnp.where(is_pos, 0.0, w).reshape(-1)
+        flat = idx.reshape(-1)
+        return {
+            "pos": state["pos"].at[flat].add(pos_w),
+            "neg": state["neg"].at[flat].add(neg_w),
+        }
+
+    def _cumulative_from_top(self, state):
+        # TP/FP counts when thresholding at each bin's lower edge, highest
+        # score first; leading 0 = threshold above every score
+        tp = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(state["pos"][::-1])])
+        fp = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(state["neg"][::-1])])
+        return tp, fp
+
+
+@MetricRegistry.register("binned-roc")
+@dataclass
+class BinnedBinaryAUROC(_BinnedCurveMetric):
+    def compute(self, state):
+        tp, fp = self._cumulative_from_top(state)
+        P = jnp.maximum(tp[-1], 1e-12)
+        N = jnp.maximum(fp[-1], 1e-12)
+        tpr, fpr = tp / P, fp / N
+        # trapezoid over the ROC curve (ties within a bin form one segment)
+        return jnp.sum((fpr[1:] - fpr[:-1]) * (tpr[1:] + tpr[:-1]) / 2)
+
+
+@MetricRegistry.register("binned-prc")
+@dataclass
+class BinnedBinaryAUPRC(_BinnedCurveMetric):
+    def compute(self, state):
+        tp, fp = self._cumulative_from_top(state)
+        P = jnp.maximum(tp[-1], 1e-12)
+        precision = tp / jnp.maximum(tp + fp, 1e-12)
+        recall = tp / P
+        # average precision: sum of precision x recall increments
+        return jnp.sum((recall[1:] - recall[:-1]) * precision[1:])
