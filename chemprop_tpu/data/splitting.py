@@ -27,7 +27,8 @@ from typing import Iterable, Sequence
 import numpy as np
 
 from chemprop_tpu.chem.mol import Mol
-from chemprop_tpu.chem.morgan import canonical_key, morgan_binary_fingerprint
+from chemprop_tpu.chem.morgan import canonical_key
+from chemprop_tpu.chem.morgan_rdkit import rdkit_morgan_binary
 from chemprop_tpu.chem.scaffold import murcko_scaffold_key
 from chemprop_tpu.utils.utils import EnumMapping
 
@@ -150,7 +151,7 @@ def _scaffold_balanced_split(groups, n, sizes, rng):
 
 
 def _fingerprints(mols: Sequence[Mol]) -> np.ndarray:
-    return np.stack([morgan_binary_fingerprint(m, 2, 2048) for m in mols]).astype(bool)
+    return np.stack([rdkit_morgan_binary(m, 2, 2048) for m in mols]).astype(bool)
 
 
 def _kennard_stone_split(fps: np.ndarray, sizes):

@@ -1,9 +1,10 @@
 """Molecule-level descriptor featurizers producing extra datapoint descriptors
 ``x_d`` (cf. reference ``chemprop/featurizers/molecule.py:15-106``).
 
-Morgan fingerprints come from the in-repo implementation
-(:mod:`chemprop_tpu.chem.morgan`); the descriptastorus-based RDKit-2D
-descriptor sets are not available without RDKit and raise a clear error.
+Morgan fingerprints come from the in-repo RDKit-bit-compatible
+implementation (:mod:`chemprop_tpu.chem.morgan_rdkit`): bit positions match
+RDKit's ``GetMorganGenerator`` exactly, so reference checkpoints trained
+with Morgan extra descriptors transfer unchanged.
 """
 
 from __future__ import annotations
@@ -13,7 +14,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from chemprop_tpu.chem.mol import Mol
-from chemprop_tpu.chem.morgan import morgan_binary_fingerprint, morgan_count_fingerprint
+from chemprop_tpu.chem.morgan_rdkit import rdkit_morgan_binary, rdkit_morgan_count
 from chemprop_tpu.utils.registry import ClassRegistry
 
 MoleculeFeaturizerRegistry = ClassRegistry()
@@ -38,7 +39,7 @@ class BinaryFeaturizerMixin:
     ``featurizers/molecule.py:32``)."""
 
     def __call__(self, mol: Mol) -> np.ndarray:
-        return morgan_binary_fingerprint(mol, self.radius, self.length)
+        return rdkit_morgan_binary(mol, self.radius, self.length)
 
 
 class CountFeaturizerMixin:
@@ -46,7 +47,7 @@ class CountFeaturizerMixin:
     ``featurizers/molecule.py:37``)."""
 
     def __call__(self, mol: Mol) -> np.ndarray:
-        return morgan_count_fingerprint(mol, self.radius, self.length)
+        return rdkit_morgan_count(mol, self.radius, self.length)
 
 
 @MoleculeFeaturizerRegistry.register("morgan_binary")

@@ -55,54 +55,54 @@ def main():
     f0 = jax.random.normal(key, (d, 300), jnp.float32) * 0.05
     f1 = jax.random.normal(key, (300, 1), jnp.float32) * 0.05
 
-    def timed(grad_fn, args, label):
+    def timed(fn, x0, label):
+        """fn: x -> same-shape x (grad chained through the carry)."""
+
         @jax.jit
-        def run(args):
+        def run(x):
             def body(c, _):
-                g = grad_fn(*c[1:], c[0])
-                # chain the cotangent-ish output back in to serialize iterations
-                return (g,) + c[1:], ()
+                return fn(c), ()
 
-            out, _ = jax.lax.scan(body, args, None, length=N_ITERS)
-            return out[0]
+            out, _ = jax.lax.scan(body, x, None, length=N_ITERS)
+            return out
 
-        out = run(args)
+        out = run(x0)
         float(jnp.sum(out.astype(jnp.float32)))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out = run(args)
+            out = run(x0)
             float(jnp.sum(out.astype(jnp.float32)))
             best = min(best, time.perf_counter() - t0)
         print(f"{label:12s}: {best / N_ITERS * 1e3:.3f} ms", file=sys.stderr)
 
-    # --- featurize: H0 = [V[src]; E] @ W_i, loss = sum(H0 * seed)
-    def feat_grad(Wi, seed):
+    # --- featurize: H0 = [V[src]; E] @ W_i (fwd+bwd, chained on W_i)
+    def feat_grad(Wi):
         def loss(Wi):
             VE = jnp.concatenate([gather_src(V, rev, dst), E], axis=1)
             H0 = jax.lax.dot(VE, Wi.astype(dt), preferred_element_type=jnp.float32)
-            return jnp.sum(H0 * seed.astype(jnp.float32)) * 1e-6
+            return jnp.sum(H0) * 1e-6
 
-        return jax.grad(loss)(Wi).astype(jnp.float32) + Wi * 0
+        return jax.grad(loss)(Wi) * 0.999 + W_i * 1e-3
 
-    timed(lambda Wi, seed: feat_grad(Wi, seed), (W_i, H), "featurize")
+    timed(feat_grad, W_i, "featurize")
 
-    # --- finalize: M_v = segsum(H); H_v = relu([V; M_v] @ W_o)
-    def fin_grad(Hc, _seed):
+    # --- finalize: M_v = segsum(H); H_v = relu([V; M_v] @ W_o) (chained on H)
+    def fin_grad(Hc):
         def loss(Hc):
             M_v = segment_sum(Hc, dst, n_nodes, sorted=True)
             VM = jnp.concatenate([V, M_v], axis=1)
             H_v = jax.nn.relu(jax.lax.dot(VM, W_o.astype(dt), preferred_element_type=jnp.float32))
             return jnp.sum(H_v) * 1e-6
 
-        return jax.grad(loss)(Hc).astype(dt) + Hc * 0
+        return jax.grad(loss)(Hc).astype(dt) * 0.999 + H * 1e-3
 
-    timed(lambda Hc, seed: fin_grad(Hc, seed), (H, H), "finalize")
+    timed(fin_grad, H, "finalize")
 
     # --- readout: agg (mean over graphs) -> 2-layer FFN -> masked MSE
     Hv = jax.random.normal(key, (n_nodes, d), jnp.float32) * 0.1
 
-    def head_grad(Hv_, _seed):
+    def head_grad(Hv_):
         def loss(Hv_):
             ones = jnp.ones((n_nodes, 1), jnp.float32)
             counts = segment_sum(ones, batch_ids, bmg.n_graphs, sorted=False)
@@ -113,9 +113,9 @@ def main():
             m = jnp.isfinite(Y)
             return jnp.sum(jnp.where(m, (out - jnp.nan_to_num(Y)) ** 2, 0.0)) / m.sum()
 
-        return jax.grad(loss)(Hv_) + Hv_ * 0
+        return jax.grad(loss)(Hv_) * 0.999 + Hv * 1e-3
 
-    timed(lambda Hv_, seed: head_grad(Hv_, seed), (Hv, Hv), "readout")
+    timed(head_grad, Hv, "readout")
 
     # --- adam update on flagship-sized params
     params = {
