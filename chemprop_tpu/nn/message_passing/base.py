@@ -33,6 +33,7 @@ from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
 from chemprop_tpu.nn.utils import get_activation_function
 from chemprop_tpu.ops.fused_message import fused_message, fused_message_iter
 from chemprop_tpu.ops.gather import gather_dst, gather_rev, gather_src
+from chemprop_tpu.ops.grad_weight import matmul as gw_matmul
 from chemprop_tpu.ops.segment import segment_sum
 
 
@@ -97,7 +98,7 @@ class PaddedDense(nn.Module):
                 b = jnp.pad(b, (0, out_w - self.features))
         if weights_only:
             return k.astype(self.dtype), (b.astype(self.dtype) if b is not None else None)
-        y = x.astype(self.dtype) @ k.astype(self.dtype)
+        y = gw_matmul(x.astype(self.dtype), k.astype(self.dtype))
         if b is not None:
             y = y + b.astype(self.dtype)
         return y
@@ -273,14 +274,19 @@ class BondMessagePassing(_MessagePassingBase):
     def _initialize(self, bmg: BatchMolGraph) -> jax.Array:
         # cast BEFORE the node->edge gather: exact (casts commute with
         # gathers) and halves the gathered bytes in bf16 mode
-        VE = jnp.concatenate(
-            [
-                _gather_src(bmg.V.astype(self.compute_dtype), bmg),
-                bmg.E.astype(self.compute_dtype),
-            ],
-            axis=1,
-        )
-        return self.W_i(VE)
+        d_in = bmg.V.shape[1] + bmg.E.shape[1]
+        parts = [
+            _gather_src(bmg.V.astype(self.compute_dtype), bmg),
+            bmg.E.astype(self.compute_dtype),
+        ]
+        # lane-align the edge-feature table: zero input columns hit zero
+        # kernel rows (exact), the MXU tiles to 128 either way, and the
+        # 128-aligned width lets dW_i stream through the Pallas reduction
+        # GEMM instead of XLA's windowed emitter
+        d_al = -(-d_in // 128) * 128
+        if self._pad_hidden and d_al != d_in:
+            parts.append(jnp.zeros((bmg.E.shape[0], d_al - d_in), self.compute_dtype))
+        return self.W_i(jnp.concatenate(parts, axis=1), d_in=d_in)
 
     def _message(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
         if bmg.edges_sorted and bmg.fused_ok:

@@ -451,6 +451,116 @@ def _iter_bwd_impl(g, y, H, W, src, dst, rev, kw):
     return dh, gz, dw
 
 
+def _bwd_msg_kernel(
+    row2d_ref,  # dst ids (transposed-message rows)
+    col2d_ref,  # src ids (transposed-message cols)
+    revloc_ref,
+    g_ref,  # upstream cotangent, HBM (ring-streamed)
+    y_ref,  # saved forward output (ReLU mask), HBM (ring-streamed)
+    G_ref,  # out: G = Sᵀ(g ∘ [y>0]) blocks
+    gz_ref,  # out: gz = g ∘ [y>0] blocks (= dL/dH0)
+    g_bufs,
+    y_bufs,
+    g_sems,
+    y_sems,
+    *,
+    n_chunks,
+    kw,
+    dtype,
+):
+    """Masked transposed message: G = Sᵀ(g ∘ [y > 0]) and gz in ONE pass.
+
+    The composed backward materializes gz (read g + read y + write gz) and
+    then runs the transposed message kernel over it (read gz + write G) —
+    4 edge-table passes. Here gz is formed by masking the g ring slot in
+    place right after its DMA completes, so the pass reads g and y once and
+    writes G and gz once: 4 passes become the bytes-bound minimum for the
+    (G, gz) pair, and the two kernel launches become one. The GEMMs that
+    consume G (dH = G Wᵀ, dW = Hᵀ G) stay in XLA, which handles them well
+    on this target (measured r3; cf. ops/grad_weight.py)."""
+    s = pl.program_id(0)
+
+    def start(k):
+        _ring_dma(g_ref, g_bufs, g_sems, k).start()
+        _ring_dma(y_ref, y_bufs, y_sems, k).start()
+
+    def wait(k):
+        _ring_dma(g_ref, g_bufs, g_sems, k).wait()
+        _ring_dma(y_ref, y_bufs, y_sems, k).wait()
+        slot = jax.lax.rem(k, g_bufs.shape[0])
+        # mask in place (compare in f32 — Mosaic has no bf16 cmpf here)
+        g_bufs[slot] = jnp.where(
+            y_bufs[slot].astype(jnp.float32) > 0,
+            g_bufs[slot],
+            jnp.zeros_like(g_bufs[slot]),
+        )
+
+    _dma_schedule(s, n_chunks, kw, start, wait)
+
+    def gz_at(k):
+        return g_bufs[jax.lax.rem(k, g_bufs.shape[0])]
+
+    for u in range(UNROLL):
+        c = s * UNROLL + u
+        acc = _window_product(
+            c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, gz_at, g_bufs.shape[-1], dtype
+        )
+        G_ref[pl.ds(u * CHUNK, CHUNK), :] = acc.astype(G_ref.dtype)
+        gz_ref[pl.ds(u * CHUNK, CHUNK), :] = gz_at(c).astype(gz_ref.dtype)
+
+
+def _bwd_msg_impl(g, y, src, dst, rev, kw):
+    """(G, gz) with G[e] = Σ_{k in window: src[k] == dst[e]} gz[k] − gz[rev[e]]
+    and gz = g ∘ [y > 0] — the transposed message over the ReLU-masked
+    cotangent, single pass."""
+    n, d = g.shape
+    # transposed message: row ids = dst, col ids = src (R is symmetric)
+    row2d, col2d, rev_local, n_chunks, n_steps, c_pad = _prep_tables(dst, src, rev, kw)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=_id_specs()
+        + [
+            pl.BlockSpec(memory_space=pl.ANY),  # g (ring-streamed)
+            pl.BlockSpec(memory_space=pl.ANY),  # y (ring-streamed)
+        ],
+        out_specs=[_block_spec(d), _block_spec(d)],
+        scratch_shapes=[
+            pltpu.VMEM((_nslots(kw), CHUNK, d), g.dtype),
+            pltpu.VMEM((_nslots(kw), CHUNK, d), y.dtype),
+            pltpu.SemaphoreType.DMA((_nslots(kw),)),
+            pltpu.SemaphoreType.DMA((_nslots(kw),)),
+        ],
+    )
+    G, gz = pl.pallas_call(
+        functools.partial(_bwd_msg_kernel, n_chunks=n_chunks, kw=kw, dtype=g.dtype),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c_pad * CHUNK, d), g.dtype),
+            jax.ShapeDtypeStruct((c_pad * CHUNK, d), g.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(row2d, col2d, rev_local, g, y)
+    if c_pad != n_chunks:
+        G, gz = G[:n], gz[:n]
+    return G, gz
+
+
+def _bwd_msg_usable(g, y, kw: int) -> bool:
+    n, d = g.shape
+    nslots = _nslots(kw)
+    itemsize = jnp.dtype(g.dtype).itemsize
+    vmem = (
+        2 * nslots * CHUNK * d * itemsize  # g and y rings
+        + CHUNK * d * 4  # f32 message accumulator
+        + 2 * 2 * UNROLL * CHUNK * d * itemsize  # double-buffered G/gz blocks
+        + n * 12  # id tables
+    )
+    return _usable(g, kw) and y.dtype == g.dtype and vmem <= MAX_VMEM_BYTES
+
+
 def iter_usable(H, W, kw: int) -> bool:
     """Gate for the fused-iteration kernel: bf16 compute only (the TPU
     production precision policy), square lane-aligned W, and a VMEM budget
@@ -516,19 +626,27 @@ def _iter_bwd(n_nodes, window, res, g):
         dH, gz, dWf = _iter_bwd_impl(g, y, H, W, src, dst, rev, window)
         dW = dWf.astype(W.dtype)
     else:
-        gz = g * (y > 0).astype(g.dtype)
-        # G = Sᵀ gz: the transposed message kernel (row/col id roles swapped)
-        if _usable(gz, window):
-            G = _fused_message_impl(gz, dst, src, rev, window)
+        if _bwd_msg_usable(g, y, window):
+            # one pass: gz masking fused into the transposed message kernel
+            G, gz = _bwd_msg_impl(g, y, src, dst, rev, window)
         else:
-            from chemprop_tpu.ops.gather import gather_dst, gather_rev
-            from chemprop_tpu.ops.segment import segment_sum
+            gz = g * (y > 0).astype(g.dtype)
+            # G = Sᵀ gz: transposed message kernel (row/col id roles swapped)
+            if _usable(gz, window):
+                G = _fused_message_impl(gz, dst, src, rev, window)
+            else:
+                from chemprop_tpu.ops.gather import gather_dst, gather_rev
+                from chemprop_tpu.ops.segment import segment_sum
 
-            g_rev = gather_rev(gz, rev)
-            G = gather_dst(segment_sum(g_rev, dst, n_nodes, sorted=True), dst) - g_rev
-            G = G.astype(gz.dtype)
+                g_rev = gather_rev(gz, rev)
+                G = gather_dst(segment_sum(g_rev, dst, n_nodes, sorted=True), dst) - g_rev
+                G = G.astype(gz.dtype)
+        from chemprop_tpu.ops.grad_weight import grad_weight
+
         dH = jax.lax.dot(G, W.T, preferred_element_type=jnp.float32).astype(H.dtype)
-        dW = jax.lax.dot(H.T, G, preferred_element_type=jnp.float32).astype(W.dtype)
+        # dW = Hᵀ G: grad_weight dispatches to the Pallas reduction GEMM only
+        # when CHEMPROP_TPU_GRAD_W=1 (XLA wins in context on v5e — measured)
+        dW = grad_weight(H, G).astype(W.dtype)
     db = None if b is None else jnp.sum(gz.astype(jnp.float32), axis=0).astype(b.dtype)
     return dH, gz, dW, db, None, None, None
 

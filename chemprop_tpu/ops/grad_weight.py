@@ -55,6 +55,14 @@ def grad_weight_usable(X, G) -> bool:
     ng, dg = G.shape
     if os.environ.get("CHEMPROP_TPU_PALLAS", "1") != "1":
         return False
+    # default OFF: measured IN the jitted train step on v5e (r3), XLA's
+    # windowed emitter beats this kernel in context (7.47 vs 8.11 ms step;
+    # isolated: XLA 0.397 ms vs Pallas 0.422 ms on the 123k x 384 x 384
+    # contraction) — the r2 profile's 2.2 ms async-copy attribution did not
+    # reproduce as recoverable time. The wiring stays (flip the env to
+    # re-evaluate on other TPU generations where the emitter behaves worse).
+    if os.environ.get("CHEMPROP_TPU_GRAD_W", "0") != "1":
+        return False
     if jax.devices()[0].platform != "tpu" and not _interpret():
         return False
     return (
@@ -93,3 +101,31 @@ def grad_weight(X: jax.Array, G: jax.Array) -> jax.Array:
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(X, G)
+
+
+@jax.custom_vjp
+def matmul(x: jax.Array, k: jax.Array) -> jax.Array:
+    """``x @ k`` whose weight-gradient contraction streams through
+    :func:`grad_weight` instead of XLA's windowed emitter.
+
+    Drop-in for the activation@kernel product of a dense layer: the forward
+    and the data-gradient (``g @ kᵀ``) are the ordinary XLA dots; only the
+    tall-skinny ``xᵀ @ g`` kernel-gradient is rerouted (it dispatches to the
+    Pallas reduction GEMM when the shapes/dtypes qualify, XLA otherwise)."""
+    return x @ k
+
+
+def _mm_fwd(x, k):
+    return x @ k, (x, k)
+
+
+def _mm_bwd(res, g):
+    x, k = res
+    dx = g @ k.T
+    xf = x.reshape(-1, x.shape[-1])
+    gf = g.reshape(-1, g.shape[-1])
+    dk = grad_weight(xf, gf).astype(k.dtype)
+    return dx, dk
+
+
+matmul.defvjp(_mm_fwd, _mm_bwd)

@@ -16,6 +16,8 @@ from chemprop_tpu.ops.grad_weight import BLOCK_ROWS, grad_weight, grad_weight_us
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):
     monkeypatch.setenv("CHEMPROP_TPU_INTERPRET", "1")
+    # the kernel defaults OFF on v5e (XLA wins in-context; see grad_weight.py)
+    monkeypatch.setenv("CHEMPROP_TPU_GRAD_W", "1")
 
 
 def _ref(X, G):
