@@ -542,20 +542,93 @@ def _mab_uncertainty(args, stacks):
     return tuple(None if st is None else estimator(st) for st in stacks)
 
 
+def _mab_output_columns(model, extra) -> tuple[list | None, list | None, list | None]:
+    """Per-head output column names. Reference checkpoints store the triple
+    ``(mol_cols, atom_cols, bond_cols)`` (``chemprop/models/utils.py:14-16``);
+    in-repo training saves a flat list sliced by head task counts."""
+    cols = extra.get("output_columns") or []
+    if (
+        isinstance(cols, (list, tuple))
+        and len(cols) == 3
+        and all(c is None or isinstance(c, (list, tuple)) for c in cols)
+        and any(isinstance(c, (list, tuple)) for c in cols)
+    ):
+        return tuple(list(c) if c else None for c in cols)
+    n_mol = model.mol_predictor.n_tasks if model.mol_predictor is not None else 0
+    n_atom = model.atom_predictor.n_tasks if model.atom_predictor is not None else 0
+    return (
+        list(cols[:n_mol]) or None,
+        list(cols[n_mol : n_mol + n_atom]) or None,
+        list(cols[n_mol + n_atom :]) or None,
+    )
+
+
 def predict_MAB(args, model, variables, extra) -> int:
-    """MAB predict path: smiles-only CSV -> triple-head predictions CSV,
-    optionally with ensemble / MC-dropout / head-based uncertainties."""
+    """MAB predict path: smiles CSV (+ optional extra-feature .npz files and
+    per-molecule constraints CSV) -> triple-head predictions CSV, optionally
+    with ensemble / MC-dropout / head-based uncertainties
+    (cf. reference ``chemprop/cli/predict.py:592+`` MAB branch)."""
+    from chemprop_tpu.cli.parsing import load_input_feats
     from chemprop_tpu.models.serialize import load_model
 
     df = pd.read_csv(args.data_path)
     smiles_col = (args.smiles_columns or [df.columns[0]])[0]
-    dps = [
-        MolAtomBondDatapoint.from_smi(
-            s, keep_h=args.keep_h, add_h=args.add_h, ignore_stereo=args.ignore_stereo
+    n = len(df)
+    mol_cols, atom_cols, bond_cols = _mab_output_columns(model, extra)
+
+    X_d = load_input_feats(getattr(args, "descriptors_path", None), n)
+    V_fs = load_input_feats(getattr(args, "atom_features_path", None), n)
+    E_fs = load_input_feats(getattr(args, "bond_features_path", None), n)
+    V_ds = load_input_feats(getattr(args, "atom_descriptors_path", None), n)
+    E_ds = load_input_feats(getattr(args, "bond_descriptors_path", None), n)
+
+    # constraints: the k-th constraints-CSV column constrains the k-th named
+    # target of --constraints-to-targets (reference common.py:173-177)
+    atom_con = bond_con = None
+    if getattr(args, "constraints_path", None) is not None:
+        con_df = pd.read_csv(args.constraints_path)
+        c2t = getattr(args, "constraints_to_targets", None) or [
+            c[: -len("_constraint")] for c in con_df.columns if c.endswith("_constraint")
+        ]
+        col_for = {t: con_df.iloc[:, k] for k, t in enumerate(c2t)}
+        if atom_cols and any(c in col_for for c in atom_cols):
+            atom_con = [col_for.get(c) for c in atom_cols]
+        if bond_cols and any(c in col_for for c in bond_cols):
+            bond_con = [col_for.get(c) for c in bond_cols]
+
+    dps = []
+    for i, smi in enumerate(df[smiles_col]):
+        reorder = getattr(args, "reorder_atoms", False)
+        atom_c = bond_c = None
+        if atom_con is not None:
+            atom_c = np.array([np.nan if c is None else float(c[i]) for c in atom_con])
+        if bond_con is not None:
+            bond_c = np.array([np.nan if c is None else float(c[i]) for c in bond_con])
+        dps.append(
+            MolAtomBondDatapoint.from_smi(
+                smi,
+                keep_h=args.keep_h,
+                add_h=args.add_h,
+                ignore_stereo=args.ignore_stereo,
+                reorder_atoms=reorder,
+                atom_constraints=atom_c,
+                bond_constraints=bond_c,
+                x_d=X_d[i] if X_d is not None else None,
+                V_f=V_fs[i] if V_fs is not None else None,
+                E_f=E_fs[i] if E_fs is not None else None,
+                V_d=V_ds[i] if V_ds is not None else None,
+                E_d=E_ds[i] if E_ds is not None else None,
+            )
         )
-        for s in df[smiles_col]
-    ]
-    dset = MolAtomBondDataset(dps)
+    featurizer = None
+    if V_fs is not None or E_fs is not None:
+        from chemprop_tpu.featurizers.molgraph.molecule import SimpleMoleculeMolGraphFeaturizer
+
+        featurizer = SimpleMoleculeMolGraphFeaturizer(
+            extra_atom_fdim=V_fs[0].shape[-1] if V_fs is not None else 0,
+            extra_bond_fdim=E_fs[0].shape[-1] if E_fs is not None else 0,
+        )
+    dset = MolAtomBondDataset(dps, featurizer) if featurizer is not None else MolAtomBondDataset(dps)
     loader = DataLoader(dset, batch_size=args.batch_size)
 
     from chemprop_tpu.cli.common import find_models
@@ -598,12 +671,6 @@ def predict_MAB(args, model, variables, extra) -> int:
     else:
         uncs = _mab_uncertainty(args, stacks)
 
-    cols = extra.get("output_columns") or []
-    n_mol = model.mol_predictor.n_tasks if model.mol_predictor is not None else 0
-    n_atom = model.atom_predictor.n_tasks if model.atom_predictor is not None else 0
-    mol_cols = cols[:n_mol] or None
-    atom_cols = cols[n_mol : n_mol + n_atom] or None
-    bond_cols = cols[n_mol + n_atom :] or None
     out = args.output or args.data_path.with_name(args.data_path.stem + "_preds.csv")
     out.parent.mkdir(parents=True, exist_ok=True)
     write_MAB_preds(out, dset, preds, mol_cols, atom_cols, bond_cols, uncs=uncs)

@@ -28,6 +28,10 @@ def add_predict_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     g.add_argument("-o", "--output", "--preds-path", type=Path, default=None)
     g.add_argument("--model-paths", "--model-path", nargs="+", type=Path, required=True)
     g.add_argument("--drop-extra-columns", action="store_true")
+    # MAB constrained prediction (reference predict supports constraints at
+    # inference, ``chemprop/cli/common.py:165-177``)
+    g.add_argument("--constraints-path", type=Path, default=None)
+    g.add_argument("--constraints-to-targets", nargs="+", default=None)
     g.add_argument(
         "--uncertainty-method",
         choices=["none", "ensemble", "mve", "evidential-total", "evidential-epistemic",

@@ -91,16 +91,38 @@ def convert_state_dict(sd: dict, prefix_map: dict[str, str] | None = None) -> tu
             node = node.setdefault(key, {})
         node[path[-1]] = value
 
+    head_prefixes = (
+        "predictor",
+        "mol_predictor",
+        "atom_predictor",
+        "bond_predictor",
+        "atom_constrainer",
+        "bond_constrainer",
+    )
     for key, tensor in sd.items():
         parts = key.split(".")
-        if parts[0] in ("metrics",) or "criterion" in parts:
+        if parts[0] in ("metrics", "metricss") or "criterion" in parts:
             continue
-        if parts[0] == "predictor" and parts[1] == "output_transform":
+        if parts[0] in head_prefixes and parts[1] == "output_transform":
             continue  # baked into the manifest, not the params
-        if parts[0] in ("X_d_transform",) or "V_d_transform" in parts or "graph_transform" in parts:
-            continue
+        if (
+            parts[0] in ("X_d_transform",)
+            or "V_d_transform" in parts
+            or "E_d_transform" in parts
+            or "graph_transform" in parts
+        ):
+            continue  # transforms are module config, not params
         v = _np(tensor)
-        if parts[0] == "message_passing" and parts[1] in ("W_i", "W_h", "W_o", "W_d"):
+        if parts[0] == "message_passing" and parts[1] in (
+            "W_i",
+            "W_h",
+            "W_o",
+            "W_d",
+            "W_vo",
+            "W_vd",
+            "W_eo",
+            "W_ed",
+        ):
             name = "kernel" if parts[-1] == "weight" else "bias"
             put(params, ("message_passing", parts[1], name), v.T if name == "kernel" else v)
         elif parts[0] == "message_passing" and parts[1] == "blocks":
@@ -123,14 +145,14 @@ def convert_state_dict(sd: dict, prefix_map: dict[str, str] | None = None) -> tu
         elif parts[0] == "agg" and parts[1] == "W":
             name = "kernel" if parts[-1] == "weight" else "bias"
             put(params, ("agg", "W", name), v.T if name == "kernel" else v)
-        elif parts[0] == "predictor" and parts[1] == "ffn":
+        elif parts[0] in head_prefixes and parts[1] == "ffn":
             # reference MLP: block 0 = Sequential(Linear) => ffn.0.0.*
             # block i>0 = Sequential(act, dropout, Linear) => ffn.i.2.*
             block = int(parts[2])
             name = "kernel" if parts[-1] == "weight" else "bias"
             put(
                 params,
-                ("predictor", "ffn", f"block{block}", name),
+                (parts[0], "ffn", f"block{block}", name),
                 v.T if name == "kernel" else v,
             )
         else:
@@ -151,51 +173,82 @@ _PREDICTOR_NAMES = {
 }
 
 
-def convert_model(path: str | Path):
-    """Reference .pt/.ckpt -> (chemprop_tpu MPNN, variables, output_columns).
-    v1-era checkpoints ({args, state_dict, data_scaler, ...}) are detected and
-    routed to :func:`convert_v1_model`."""
-    from chemprop_tpu.models.model import MPNN
-    from chemprop_tpu.nn import agg as agg_mod
-    from chemprop_tpu.nn import predictors as pred_mod
-    from chemprop_tpu.nn.message_passing import base as mp_mod
-    from chemprop_tpu.nn.transforms import ScaleTransform, UnscaleTransform
+_SINGLE_MP_CLASSES = ("BondMessagePassing", "AtomMessagePassing")
+_MAB_MP_CLASSES = ("MABBondMessagePassing", "MABAtomMessagePassing")
 
-    d = load_torch_checkpoint(path)
-    if "hyper_parameters" not in d and "args" in d:
-        return convert_v1_model(path, _loaded=d)
-    hp = d["hyper_parameters"]
-    sd = d["state_dict"]
-    output_columns = d.get("output_columns")
 
-    mp_hp = hp["message_passing"]
-    mp_cls_name = _cls_name(mp_hp["cls"])
-    mp_cls = (
-        mp_mod.AtomMessagePassing if "Atom" in mp_cls_name else mp_mod.BondMessagePassing
+def _sd_scale_transform(sd: dict, prefix: str):
+    """ScaleTransform from buffer keys ``{prefix}.mean/.scale`` (if present).
+    Reference transforms store full-width buffers (pad block already baked,
+    cf. ``chemprop/nn/transforms.py:12-16``), so ``pad=0`` here is exact."""
+    from chemprop_tpu.nn.transforms import ScaleTransform
+
+    if f"{prefix}.mean" not in sd:
+        return None
+    return ScaleTransform(
+        _np(sd[f"{prefix}.mean"]).reshape(-1), _np(sd[f"{prefix}.scale"]).reshape(-1)
     )
-    mp = mp_cls(
+
+
+def _sd_graph_transform(sd: dict, prefix: str = "message_passing.graph_transform"):
+    from chemprop_tpu.nn.transforms import GraphTransform
+
+    V = _sd_scale_transform(sd, prefix + ".V_transform")
+    E = _sd_scale_transform(sd, prefix + ".E_transform")
+    return GraphTransform(V, E) if (V is not None or E is not None) else None
+
+
+def _convert_single_mp(mp_hp: dict, sd: dict, sd_prefix: str = "message_passing"):
+    """One Bond/AtomMessagePassing module from its hparams blob. Unknown MP
+    classes raise (reference routes by exact class,
+    ``chemprop/models/utils.py:30-35`` + hparams ``cls`` reconstruction)."""
+    from chemprop_tpu.nn.message_passing import base as mp_mod
+
+    name = _cls_name(mp_hp["cls"])
+    if name not in _SINGLE_MP_CLASSES:
+        raise ValueError(
+            f"unsupported message-passing class in checkpoint: {name!r} "
+            f"(expected one of {_SINGLE_MP_CLASSES})"
+        )
+    mp_cls = getattr(mp_mod, name)
+    return mp_cls(
         d_h=int(mp_hp.get("d_h", 300)),
         bias=bool(mp_hp.get("bias", False)),
         depth=int(mp_hp.get("depth", 3)),
         dropout=float(_scalar(mp_hp.get("dropout", 0.0))),
         activation=_activation_name(mp_hp.get("activation", "relu")),
         undirected=bool(mp_hp.get("undirected", False)),
-        d_vd=mp_hp.get("d_vd"),
+        d_vd=(int(mp_hp.get("d_vd") or 0) or None),
+        V_d_transform=_sd_scale_transform(sd, sd_prefix + ".V_d_transform"),
+        graph_transform=_sd_graph_transform(sd, sd_prefix + ".graph_transform"),
     )
 
-    agg_hp = hp["agg"]
+
+def _convert_agg(agg_hp: dict):
+    from chemprop_tpu.nn import agg as agg_mod
+
     agg_name = _cls_name(agg_hp["cls"])
-    agg_cls = getattr(agg_mod, agg_name)
+    if not hasattr(agg_mod, agg_name):
+        raise ValueError(f"unsupported aggregation class in checkpoint: {agg_name!r}")
     agg_kwargs = {}
     if agg_name == "NormAggregation":
         agg_kwargs["norm"] = float(agg_hp.get("norm", 100.0))
     if agg_name == "AttentiveAggregation":
         agg_kwargs["output_size"] = int(agg_hp.get("output_size", 300))
-    agg = agg_cls(**agg_kwargs)
+    return getattr(agg_mod, agg_name)(**agg_kwargs)
 
-    p_hp = hp["predictor"]
-    p_name = _PREDICTOR_NAMES[_cls_name(p_hp["cls"])]
-    p_cls = getattr(pred_mod, p_name)
+
+def _convert_predictor(p_hp: dict):
+    from chemprop_tpu.nn import predictors as pred_mod
+    from chemprop_tpu.nn.transforms import UnscaleTransform
+
+    cls_name = _cls_name(p_hp["cls"])
+    if cls_name not in _PREDICTOR_NAMES:
+        raise ValueError(
+            f"unsupported predictor class in checkpoint: {cls_name!r} "
+            f"(expected one of {sorted(_PREDICTOR_NAMES)})"
+        )
+    p_cls = getattr(pred_mod, _PREDICTOR_NAMES[cls_name])
     out_tf = None
     ot = p_hp.get("output_transform")
     if ot is not None and "mean" in _stub_state(ot):
@@ -210,21 +263,164 @@ def convert_model(path: str | Path):
         activation=_activation_name(p_hp.get("activation", "relu")),
         output_transform=out_tf,
     )
-    if "Multiclass" in p_name:
+    if "Multiclass" in _PREDICTOR_NAMES[cls_name]:
         kwargs["n_classes"] = int(p_hp.get("n_classes", 3))
-    predictor = p_cls(**kwargs)
+    return p_cls(**kwargs)
 
+
+def _convert_constrainer(c_hp: dict | None):
+    from chemprop_tpu.nn.ffn import ConstrainerFFN
+
+    if c_hp is None:
+        return None
+    return ConstrainerFFN(
+        n_constraints=int(c_hp.get("n_constraints", 1)),
+        fp_dim=int(c_hp.get("fp_dim", 300)),
+        hidden_dim=_hidden(c_hp.get("hidden_dim", 300)),
+        n_layers=int(c_hp.get("n_layers", 1)),
+        dropout=float(_scalar(c_hp.get("dropout", 0.0))),
+        activation=_activation_name(c_hp.get("activation", "relu")),
+    )
+
+
+def _convert_x_d_transform(hp: dict, sd: dict):
+    x_hp = hp.get("X_d_transform")
+    if x_hp is None:
+        return None
+    return _sd_scale_transform(sd, "X_d_transform")
+
+
+def convert_model(path: str | Path):
+    """Reference .pt/.ckpt -> (chemprop_tpu model, variables, output_columns).
+
+    Routing matches the reference's (multicomponent, mol_atom_bond) class
+    choice (``chemprop/models/utils.py:30-35``): MAB checkpoints carry
+    ``mol/atom/bond_predictor`` hparams, multicomponent ones carry a
+    ``MulticomponentMessagePassing`` blob with ``blocks``; anything with an
+    unrecognized class raises instead of silently mis-converting. v1-era
+    checkpoints ({args, state_dict, data_scaler, ...}) are detected and
+    routed to :func:`convert_v1_model`."""
+    d = load_torch_checkpoint(path)
+    if "hyper_parameters" not in d and "args" in d:
+        return convert_v1_model(path, _loaded=d)
+    hp = d["hyper_parameters"]
+    if any(k in hp for k in ("mol_predictor", "atom_predictor", "bond_predictor")):
+        return _convert_mab_model(d)
+    if _cls_name(hp["message_passing"]["cls"]) == "MulticomponentMessagePassing":
+        return _convert_multicomponent_model(d)
+    return _convert_single_model(d)
+
+
+def _convert_single_model(d: dict):
+    from chemprop_tpu.models.model import MPNN
+
+    hp = d["hyper_parameters"]
+    sd = d["state_dict"]
     model = MPNN(
-        message_passing=mp,
-        agg=agg,
-        predictor=predictor,
+        message_passing=_convert_single_mp(hp["message_passing"], sd),
+        agg=_convert_agg(hp["agg"]),
+        predictor=_convert_predictor(hp["predictor"]),
         batch_norm="bn.running_mean" in sd,
+        X_d_transform=_convert_x_d_transform(hp, sd),
     )
     params, batch_stats = convert_state_dict(sd)
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    return model, variables, output_columns
+    return model, variables, d.get("output_columns")
+
+
+def _convert_multicomponent_model(d: dict):
+    """v2 multicomponent checkpoint (``example_model_v2_regression_mol+mol.pt``
+    and friends): one MP block per component (or one shared), per-component
+    state under ``message_passing.blocks.<i>``."""
+    from chemprop_tpu.models.multi import MulticomponentMPNN
+    from chemprop_tpu.nn.message_passing.multi import MulticomponentMessagePassing
+
+    hp = d["hyper_parameters"]
+    sd = d["state_dict"]
+    mp_hp = hp["message_passing"]
+    blocks = [
+        _convert_single_mp(bhp, sd, sd_prefix=f"message_passing.blocks.{i}")
+        for i, bhp in enumerate(mp_hp["blocks"])
+    ]
+    message_passing = MulticomponentMessagePassing(
+        blocks=blocks,
+        n_components=int(mp_hp.get("n_components", len(blocks))),
+        shared=bool(mp_hp.get("shared", False)),
+    )
+    model = MulticomponentMPNN(
+        message_passing=message_passing,
+        agg=_convert_agg(hp["agg"]),
+        predictor=_convert_predictor(hp["predictor"]),
+        batch_norm="bn.running_mean" in sd,
+        X_d_transform=_convert_x_d_transform(hp, sd),
+    )
+    params, batch_stats = convert_state_dict(sd)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    return model, variables, d.get("output_columns")
+
+
+def _convert_mab_model(d: dict):
+    """MolAtomBond checkpoint (reference ``tests/data/mol_atom_bond/
+    example_models/*.pt``): MAB message passing + up to three heads +
+    optional constrainers (reference ``chemprop/models/mol_atom_bond.py``)."""
+    from chemprop_tpu.models.mol_atom_bond import MolAtomBondMPNN
+    from chemprop_tpu.nn.message_passing import mol_atom_bond as mab_mod
+
+    hp = d["hyper_parameters"]
+    sd = d["state_dict"]
+    mp_hp = hp["message_passing"]
+    name = _cls_name(mp_hp["cls"])
+    if name not in _MAB_MP_CLASSES:
+        raise ValueError(
+            f"unsupported MAB message-passing class in checkpoint: {name!r} "
+            f"(expected one of {_MAB_MP_CLASSES})"
+        )
+    mp_cls = getattr(mab_mod, name)
+    mp = mp_cls(
+        d_h=int(mp_hp.get("d_h", 300)),
+        bias=bool(mp_hp.get("bias", False)),
+        depth=int(mp_hp.get("depth", 3)),
+        dropout=float(_scalar(mp_hp.get("dropout", 0.0))),
+        activation=_activation_name(mp_hp.get("activation", "relu")),
+        undirected=bool(mp_hp.get("undirected", False)),
+        d_vd=(int(mp_hp.get("d_vd") or 0) or None),
+        d_ed=(int(mp_hp.get("d_ed") or 0) or None),
+        return_vertex_embeddings=bool(mp_hp.get("return_vertex_embeddings", True)),
+        return_edge_embeddings=bool(mp_hp.get("return_edge_embeddings", True)),
+        V_d_transform=_sd_scale_transform(sd, "message_passing.V_d_transform"),
+        E_d_transform=_sd_scale_transform(sd, "message_passing.E_d_transform"),
+        graph_transform=_sd_graph_transform(sd),
+    )
+    if bool(hp.get("batch_norm")) or any(k.startswith("bns.") for k in sd):
+        raise ValueError(
+            "MAB checkpoints with batch_norm=True are not supported by the "
+            "converter yet (no reference example ships one); file an issue "
+            "with the checkpoint"
+        )
+    heads = {
+        k: (None if hp.get(k) is None else _convert_predictor(hp[k]))
+        for k in ("mol_predictor", "atom_predictor", "bond_predictor")
+    }
+    model = MolAtomBondMPNN(
+        message_passing=mp,
+        agg=_convert_agg(hp["agg"]) if heads["mol_predictor"] is not None else None,
+        mol_predictor=heads["mol_predictor"],
+        atom_predictor=heads["atom_predictor"],
+        bond_predictor=heads["bond_predictor"],
+        atom_constrainer=_convert_constrainer(hp.get("atom_constrainer")),
+        bond_constrainer=_convert_constrainer(hp.get("bond_constrainer")),
+        batch_norm=False,
+        X_d_transform=_convert_x_d_transform(hp, sd),
+    )
+    params, batch_stats = convert_state_dict(sd)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    return model, variables, d.get("output_columns")
 
 
 def convert_v1_model(path: str | Path, _loaded: dict | None = None):

@@ -107,6 +107,9 @@ class _MABMessagePassingBase(nn.Module):
         if self.graph_transform is not None:
             bmg = self.graph_transform(bmg, is_training)
         H_0 = self._initialize(bmg).astype(self.compute_dtype)
+        # per-layer activation taps for the reference parity gate (no-ops
+        # unless the caller makes the 'intermediates' collection mutable)
+        self.sow("intermediates", "H_0", H_0)
         H = self.tau(H_0)
         # bond MP with ReLU on sorted fused-safe batches: one Pallas pass per
         # depth iteration (message + W_h GEMM + residual + ReLU); see
@@ -126,12 +129,14 @@ class _MABMessagePassingBase(nn.Module):
             else:
                 M = self._message(H, bmg)
                 H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not drop_on)
+            self.sow("intermediates", "H", H)
 
         H_v = H_e = None
         if self.return_vertex_embeddings:
             M_v = segment_sum(H, bmg.dst, bmg.V.shape[0], sorted=bmg.edges_sorted)[
                 :, : self.d_h
             ]
+            self.sow("intermediates", "M_v", M_v)
             H_v = self.tau(
                 self.W_vo(jnp.concatenate([bmg.V.astype(self.compute_dtype), M_v], axis=1))
             )
@@ -169,15 +174,18 @@ class MABBondMessagePassing(_MABMessagePassingBase):
         )
 
     def _initialize(self, bmg):
-        # cast BEFORE the node->edge gather (exact; halves gathered bytes in bf16)
-        VE = jnp.concatenate(
-            [
-                _gather_src(bmg.V.astype(self.compute_dtype), bmg),
-                bmg.E.astype(self.compute_dtype),
-            ],
-            axis=1,
-        )
-        return self.W_i(VE)
+        # cast BEFORE the node->edge gather (exact; halves gathered bytes in
+        # bf16); lane-align the table so dW_i streams through the Pallas
+        # reduction GEMM (zero input columns hit zero kernel rows — exact)
+        d_in = bmg.V.shape[1] + bmg.E.shape[1]
+        parts = [
+            _gather_src(bmg.V.astype(self.compute_dtype), bmg),
+            bmg.E.astype(self.compute_dtype),
+        ]
+        d_al = -(-d_in // 128) * 128
+        if d_al != d_in:
+            parts.append(jnp.zeros((bmg.E.shape[0], d_al - d_in), self.compute_dtype))
+        return self.W_i(jnp.concatenate(parts, axis=1), d_in=d_in)
 
     def _message(self, H, bmg):
         if bmg.edges_sorted and bmg.fused_ok:
