@@ -347,19 +347,30 @@ def _pi_contribution(mol: Mol, atom: Atom, ring_set: set[int]) -> int | None:
     z = atom.atomic_num
     q = atom.formal_charge
     in_ring_multiple = False
-    exo_multiple = False
+    exo = None  # (bond, partner idx) of a multiple bond leaving the ring
     for b in mol.atom_bonds(atom.idx):
         if b.bond_type in (BondType.DOUBLE, BondType.TRIPLE) or b.bond_type == BondType.AROMATIC:
-            if b.other_atom_idx(atom.idx) in ring_set:
+            j = b.other_atom_idx(atom.idx)
+            if j in ring_set:
                 in_ring_multiple = True
             else:
-                exo_multiple = True
+                exo = (b, j)
     if in_ring_multiple:
         return 1
-    if exo_multiple:
-        # sp2 atom whose pi bond points out of the ring (e.g. pyridinone C=O):
-        # participates geometrically but contributes no electrons
-        return 0
+    if exo is not None:
+        # RDKit semantics (Aromaticity.cpp getAtomContrib): an exocyclic
+        # multiple bond leaves the atom an aromaticity candidate — with zero
+        # electron contribution — ONLY when the bond itself is acyclic and
+        # goes from carbon to a more electronegative heteroatom (2-pyridone's
+        # C=O). A multiple bond into another ring of the fused system (the
+        # bond is cyclic: e.g. the C=N bridge of a dihydro-imidazopyridinone)
+        # or to a carbon partner (fulvene) disqualifies the whole ring.
+        b, j = exo
+        if b.is_in_ring:
+            return None
+        if z == 6 and mol.atoms[j].atomic_num in (7, 8, 15, 16, 34):
+            return 0
+        return None
     # saturated atom: must supply a lone pair (or be a carbanion/carbocation)
     if z == 6:
         if q == -1:
@@ -462,10 +473,53 @@ def perceive_hybridization(mol: Mol) -> None:
 
 
 # -------------------------------------------------------------------- stereo
+def _cip_branch_gt(mol: Mol, root: int, x: int, y: int, max_depth: int = 8) -> bool | None:
+    """CIP rule-1a comparison of root's substituent branches ``x`` vs ``y``:
+    True if x outranks y, False if y outranks x, None on a tie within
+    ``max_depth`` spheres. Hierarchical-digraph exploration with phantom
+    duplicate atoms for multiple/aromatic bonds (the level lists compared are
+    descending atomic-number tuples, first difference wins) — the comparison
+    RDKit's legacy assignStereochemistry makes when labelling STEREOZ/E."""
+
+    def phantoms(u: int, parent: int) -> list[int]:
+        out = []
+        for b in mol.atom_bonds(u):
+            extra = 0
+            if b.bond_type == BondType.DOUBLE or b.bond_type == BondType.AROMATIC:
+                extra = 1
+            elif b.bond_type == BondType.TRIPLE:
+                extra = 2
+            out.extend([mol.atoms[b.other_atom_idx(u)].atomic_num] * extra)
+        return out
+
+    def level_key(frontier: list[tuple[int, int]]) -> tuple:
+        vals = [mol.atoms[u].atomic_num for u, _ in frontier]
+        vals += [z for u, p in frontier for z in phantoms(u, p)]
+        return tuple(sorted(vals, reverse=True))
+
+    fx: list[tuple[int, int]] = [(x, root)]
+    fy: list[tuple[int, int]] = [(y, root)]
+    for _ in range(max_depth):
+        kx, ky = level_key(fx), level_key(fy)
+        if kx != ky:
+            return kx > ky
+        nx, ny = [], []
+        for u, p in fx:
+            nx.extend((v, u) for v in (b.other_atom_idx(u) for b in mol.atom_bonds(u)) if v != p)
+        for u, p in fy:
+            ny.extend((v, u) for v in (b.other_atom_idx(u) for b in mol.atom_bonds(u)) if v != p)
+        fx, fy = nx, ny
+        if not fx and not ny:
+            return None
+    return None
+
+
 def assign_bond_stereo(mol: Mol) -> None:
     """Assign STEREOZ/STEREOE to double bonds flanked by directional single
-    bonds (``/`` ``\\``). The reference atoms (``stereo_atoms``) are the
-    directional neighbors; Z = same side ("cis"), E = opposite sides."""
+    bonds (``/`` ``\\``). RDKit semantics: the Z/E label refers to the
+    HIGHER-CIP-PRIORITY substituent on each end (legacy assignStereochemistry
+    CIP-ranked labels), not to the directional atoms themselves — Z = the two
+    high-priority substituents on the same side."""
     for b in mol.bonds:
         if b.bond_type != BondType.DOUBLE:
             continue
@@ -488,7 +542,21 @@ def assign_bond_stereo(mol: Mol) -> None:
         if ref[0] is None or ref[1] is None:
             continue
         (a, sa), (c, sc) = ref
-        b.stereo_atoms = (a, c)
+        # re-reference each end to its higher-CIP-priority substituent: the
+        # other substituent (if any) sits on the opposite side, so the sign
+        # flips when it outranks the directional atom
+        ends = (b.begin_atom_idx, b.end_atom_idx)
+        refs, signs = [a, c], [sa, sc]
+        for k, end in enumerate(ends):
+            others = [
+                nb.other_atom_idx(end)
+                for nb in mol.atom_bonds(end)
+                if nb.idx != b.idx and nb.other_atom_idx(end) != refs[k]
+            ]
+            if others and _cip_branch_gt(mol, end, others[0], refs[k]) is True:
+                refs[k] = others[0]
+                signs[k] = -signs[k]
+        b.stereo_atoms = (refs[0], refs[1])
         # equal signs => both reference neighbors on the same side => cis (Z);
         # e.g. F/C=C/F gives signs (-1, +1) => E (trans)
-        b.stereo = BondStereo.STEREOZ if sa == sc else BondStereo.STEREOE
+        b.stereo = BondStereo.STEREOZ if signs[0] == signs[1] else BondStereo.STEREOE

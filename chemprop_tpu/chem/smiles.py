@@ -58,6 +58,9 @@ def parse_smiles(smiles: str) -> Mol:
     pending_dir: BondDir = BondDir.NONE
     # ring number -> (atom idx, bond type, bond dir)
     ring_closures: dict[int, tuple[int, BondType, BondDir]] = {}
+    # closing atom -> ring digits closed there, in appearance order (for the
+    # chirality parity adjustment below)
+    closed_digits: dict[int, list[int]] = {}
     # bond idx -> written as implicit (no symbol)
     implicit_bonds: set[int] = set()
 
@@ -117,6 +120,7 @@ def parse_smiles(smiles: str) -> Mol:
                 _make_bond(
                     mol, other, prev_atom, bond_type, direction, implicit_bonds, s, i, ring=True
                 )
+                closed_digits.setdefault(prev_atom, []).append(num)
             else:
                 ring_closures[num] = (prev_atom, pending_bond, pending_dir)
             pending_bond = _IMPLICIT
@@ -154,8 +158,45 @@ def parse_smiles(smiles: str) -> Mol:
     if ring_closures:
         raise SmilesParseError(s, n, f"unclosed ring closures: {sorted(ring_closures)}")
 
+    # RDKit parity quirk (observed against RDKit-generated goldens, cf.
+    # tests/data/mol_atom_bond/atomic_regression_atom_mapped_preds.csv):
+    # when one atom CLOSES several rings, RDKit's effective neighbor order
+    # for tetrahedral parity has those ring bonds sorted by ring DIGIT, not
+    # by appearance — ``[C@]21[H]`` flips relative to ``[C@]12[H]``. Our
+    # bond list keeps appearance order, so a chiral closing atom's tag must
+    # absorb the digit-sort permutation parity.
+    for atom_idx, nums in closed_digits.items():
+        atom = mol.atoms[atom_idx]
+        if len(nums) >= 2 and atom.chiral_tag in (
+            ChiralType.CHI_TETRAHEDRAL_CW,
+            ChiralType.CHI_TETRAHEDRAL_CCW,
+        ):
+            if _perm_parity_to_sorted(nums):
+                atom.chiral_tag = (
+                    ChiralType.CHI_TETRAHEDRAL_CCW
+                    if atom.chiral_tag == ChiralType.CHI_TETRAHEDRAL_CW
+                    else ChiralType.CHI_TETRAHEDRAL_CW
+                )
     mol._implicit_bond_idxs = implicit_bonds  # consumed by perception
     return mol
+
+
+def _perm_parity_to_sorted(nums: list[int]) -> bool:
+    """True if sorting ``nums`` ascending (stable) is an ODD permutation."""
+    order = sorted(range(len(nums)), key=lambda k: nums[k])
+    swaps = 0
+    seen = [False] * len(order)
+    for start in range(len(order)):
+        if seen[start]:
+            continue
+        cycle = 0
+        k = start
+        while not seen[k]:
+            seen[k] = True
+            k = order[k]
+            cycle += 1
+        swaps += cycle - 1
+    return swaps % 2 == 1
 
 
 def _flip(d: BondDir) -> BondDir:

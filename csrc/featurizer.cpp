@@ -256,6 +256,9 @@ Mol parse_smiles(const std::string& s) {
   int pending_dir = D_NONE;
   struct RC { int atom; int order; int dir; };
   std::map<int, RC> ring;
+  // closing atom -> ring digits closed there, in appearance order (for the
+  // RDKit chirality parity quirk below)
+  std::map<int, std::vector<int>> closed_digits;
 
   auto flip = [](int d) { return d == D_UP ? D_DOWN : d == D_DOWN ? D_UP : d; };
   auto make_bond = [&](int u, int v, int order, int dir) {
@@ -310,6 +313,7 @@ Mol parse_smiles(const std::string& s) {
           throw ParseError{"conflicting ring bond orders"};
         int dir = pending_dir != D_NONE ? pending_dir : flip(rc.dir);
         make_bond(rc.atom, prev, order, dir);
+        closed_digits[prev].push_back(num);
       } else {
         ring[num] = {prev, pending_order, pending_dir};
       }
@@ -352,6 +356,20 @@ Mol parse_smiles(const std::string& s) {
   }
   if (!stack.empty()) throw ParseError{"unclosed branch"};
   if (!ring.empty()) throw ParseError{"unclosed ring closure"};
+  // RDKit parity quirk (mirrors chem/smiles.py): when one atom CLOSES
+  // several rings, RDKit's effective neighbor order for tetrahedral parity
+  // has those ring bonds sorted by ring DIGIT, not appearance —
+  // [C@]21[H] flips relative to [C@]12[H].
+  for (auto& [atom_idx, nums] : closed_digits) {
+    Atom& at = mol.atoms[atom_idx];
+    if (nums.size() < 2 || (at.chiral != 1 && at.chiral != 2)) continue;
+    int swaps = 0;
+    std::vector<int> v = nums;
+    for (size_t a = 0; a + 1 < v.size(); a++)  // bubble count = parity
+      for (size_t b2 = 0; b2 + 1 < v.size() - a; b2++)
+        if (v[b2] > v[b2 + 1]) { std::swap(v[b2], v[b2 + 1]); swaps++; }
+    if (swaps % 2 == 1) at.chiral = at.chiral == 1 ? 2 : 1;
+  }
   return mol;
 }
 
@@ -534,16 +552,27 @@ void assign_implicit_h(Mol& mol) {
 
 int pi_contribution(const Mol& mol, int a, const std::set<int>& ring_set) {
   const Atom& at = mol.atoms[a];
-  bool in_ring_multiple = false, exo_multiple = false;
+  bool in_ring_multiple = false;
+  int exo_bond = -1;
   for (int bi : mol.adj[a]) {
     int o = mol.bonds[bi].order;
     if (o == DOUBLE || o == TRIPLE || o == AROMATIC) {
       if (ring_set.count(mol.other(bi, a))) in_ring_multiple = true;
-      else exo_multiple = true;
+      else exo_bond = bi;
     }
   }
   if (in_ring_multiple) return 1;
-  if (exo_multiple) return 0;
+  if (exo_bond >= 0) {
+    // RDKit getAtomContrib semantics (mirrors chem/perception.py): the atom
+    // stays a candidate (0 electrons, 2-pyridone style) only when the
+    // exocyclic multiple bond is acyclic and goes from carbon to an
+    // electronegative heteroatom; a cyclic multiple bond into another ring
+    // of the fused system, or a bond to carbon, disqualifies the ring.
+    if (mol.bonds[exo_bond].in_ring) return -1000;
+    int zo = mol.atoms[mol.other(exo_bond, a)].z;
+    if (at.z == 6 && (zo == 7 || zo == 8 || zo == 15 || zo == 16 || zo == 34)) return 0;
+    return -1000;
+  }
   int z = at.z, q = at.charge;
   if (z == 6) return q == -1 ? 2 : q == 1 ? 0 : -1000;
   if (z == 7 || z == 15) return (q == 0 || q == -1) ? 2 : -1000;
@@ -677,11 +706,47 @@ void perceive_hybridization(Mol& mol) {
   }
 }
 
+// CIP rule-1a comparison of root's substituent branches x vs y: 1 if x
+// outranks y, -1 if y outranks x, 0 on a tie within max_depth spheres.
+// Mirrors chem/perception.py:_cip_branch_gt (hierarchical digraph with
+// phantom duplicate atoms for multiple/aromatic bonds).
+int cip_branch_cmp(const Mol& mol, int root, int x, int y, int max_depth = 8) {
+  std::vector<std::pair<int, int>> fx = {{x, root}}, fy = {{y, root}};
+  auto level_key = [&](const std::vector<std::pair<int, int>>& frontier) {
+    std::vector<int> vals;
+    for (auto [u, p] : frontier) {
+      vals.push_back(mol.atoms[u].z);
+      for (int bi : mol.adj[u]) {
+        int o = mol.bonds[bi].order;
+        int extra = (o == DOUBLE || o == AROMATIC) ? 1 : o == TRIPLE ? 2 : 0;
+        for (int k = 0; k < extra; k++) vals.push_back(mol.atoms[mol.other(bi, u)].z);
+      }
+    }
+    std::sort(vals.rbegin(), vals.rend());
+    return vals;
+  };
+  for (int d = 0; d < max_depth; d++) {
+    auto kx = level_key(fx), ky = level_key(fy);
+    if (kx != ky) return kx > ky ? 1 : -1;
+    std::vector<std::pair<int, int>> nx, ny;
+    for (auto [u, p] : fx)
+      for (int bi : mol.adj[u])
+        if (mol.other(bi, u) != p) nx.push_back({mol.other(bi, u), u});
+    for (auto [u, p] : fy)
+      for (int bi : mol.adj[u])
+        if (mol.other(bi, u) != p) ny.push_back({mol.other(bi, u), u});
+    fx = nx; fy = ny;
+    if (fx.empty() && fy.empty()) return 0;
+  }
+  return 0;
+}
+
 void assign_stereo(Mol& mol) {
-  for (auto& b : mol.bonds) {
+  for (size_t bidx = 0; bidx < mol.bonds.size(); bidx++) {
+    Bond& b = mol.bonds[bidx];
     if (b.order != DOUBLE) continue;
-    int sa = 0, sc = 0;
-    bool ha = false, hc = false;
+    int refs[2] = {-1, -1}, signs[2] = {0, 0};
+    bool have[2] = {false, false};
     for (int which = 0; which < 2; which++) {
       int end = which == 0 ? b.u : b.v;
       for (int nbi : mol.adj[end]) {
@@ -689,12 +754,29 @@ void assign_stereo(Mol& mol) {
         if (&nb == &b || nb.dir == D_NONE) continue;
         int sign = nb.dir == D_UP ? 1 : -1;
         if (nb.u != end) sign = -sign;  // written far->end: invert
-        if (which == 0) { sa = sign; ha = true; }
-        else { sc = sign; hc = true; }
+        refs[which] = mol.other(nbi, end);
+        signs[which] = sign;
+        have[which] = true;
         break;
       }
     }
-    if (ha && hc) b.stereo = (sa == sc) ? S_Z : S_E;
+    if (!have[0] || !have[1]) continue;
+    // RDKit semantics: the Z/E label refers to the higher-CIP-priority
+    // substituent on each end (mirrors chem/perception.py assign_bond_stereo)
+    for (int which = 0; which < 2; which++) {
+      int end = which == 0 ? b.u : b.v;
+      for (int nbi : mol.adj[end]) {
+        if (nbi == (int)bidx) continue;
+        int o = mol.other(nbi, end);
+        if (o == refs[which]) continue;
+        if (cip_branch_cmp(mol, end, o, refs[which]) == 1) {
+          refs[which] = o;
+          signs[which] = -signs[which];
+        }
+        break;
+      }
+    }
+    b.stereo = (signs[0] == signs[1]) ? S_Z : S_E;
   }
 }
 
