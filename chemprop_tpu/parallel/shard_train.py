@@ -8,8 +8,12 @@ every array carries a leading shard axis, chip ``k`` owns shard ``k``
 (:func:`chemprop_tpu.data.collate.collate_sharded`). Each shard is a
 self-contained padded graph batch (whole graphs only — the graph-granularity
 guarantee means no edge block ever straddles a chip, so no boundary halo
-exchange is needed for the D-MPNN message op; giant single graphs that would
-straddle are handled by :mod:`chemprop_tpu.ops.edge_partition`). Inside
+exchange is needed for the D-MPNN message op; a giant graph inflates every
+shard's PadSpec rather than straddling. For graphs too large for one chip,
+:mod:`chemprop_tpu.ops.edge_partition` provides the halo-exchange message op
+— contiguous edge slices per chip, ``ppermute`` boundary-accumulator and
+reverse-edge exchange, validated against the single-device loop in
+``tests/unit/parallel/test_edge_partition.py``). Inside
 ``shard_map`` each chip runs the *single-device* model code — including
 ``fused_message``/``fused_message_iter`` — on its local shard, and the only
 cross-chip traffic is:
