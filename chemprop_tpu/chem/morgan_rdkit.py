@@ -19,10 +19,10 @@ implements that algorithm on the in-repo :class:`Mol`:
 
 Verified bit-for-bit against the reference's pinned RDKit fixtures
 (radius 2 x 2048 binary + counts, radius 3 x 1024) in
-``tests/unit/chem/test_morgan_rdkit.py``. Stereo-bond chirality codes
-(``useChirality`` on molecules with assigned double-bond stereo) follow the
-same scheme but are untested against RDKit goldens — the chemistry
-substrate does not currently assign bond stereo.
+``tests/unit/chem/test_morgan_rdkit.py``. Scope: bit-exactness holds for
+ACHIRAL molecules; RDKit's ``includeChirality`` CIP augmentation is not
+implemented, and a warning is logged once for molecules with chiral tags
+(see :func:`morgan_environment_invariants`).
 """
 
 from __future__ import annotations
@@ -89,9 +89,17 @@ def _exact_mass(z: int, isotope: int) -> float:
     return float(isotope)
 
 
-def morgan_environment_invariants(mol: Mol, radius: int, use_chirality: bool = True):
+def morgan_environment_invariants(mol: Mol, radius: int):
     """Yield every emitted environment invariant (with multiplicity), i.e.
-    the values whose ``% fpSize`` are the fingerprint bit positions."""
+    the values whose ``% fpSize`` are the fingerprint bit positions.
+
+    Scope: ACHIRAL bit-exactness. RDKit's ``includeChirality=True`` (the
+    reference MorganFeaturizer default) folds CIP information into the
+    invariants of stereocenters once their environments differentiate;
+    this implementation has no CIP machinery, so fingerprints of molecules
+    WITH chiral tags may differ from RDKit on stereocenter-rooted bits
+    (:func:`rdkit_morgan_binary` warns once per process). Achiral
+    molecules match RDKit bit-for-bit (pinned fixtures)."""
     n_atoms, n_bonds = mol.num_atoms, mol.num_bonds
     current = connectivity_invariants(mol)
     emitted = list(current)  # round 0: every atom emits its invariant
@@ -100,7 +108,10 @@ def morgan_environment_invariants(mol: Mol, radius: int, use_chirality: bool = T
 
     atom_envs = [0] * n_atoms  # bond-set bitmask per atom
     seen_envs: list[int] = []
-    dead = [False] * n_atoms
+    # RDKit kills zero-degree atoms before the first layer
+    # (MorganFingerprints.cpp: ``if (!tAtom->getDegree()) deadAtoms.set``),
+    # so an isolated atom emits ONLY its radius-0 invariant
+    dead = [mol.degree(i) == 0 for i in range(n_atoms)]
 
     for layer in range(radius):
         round_inv = list(current)
@@ -140,7 +151,26 @@ def morgan_environment_invariants(mol: Mol, radius: int, use_chirality: bool = T
     return emitted
 
 
+_warned_chirality = False
+
+
+def _warn_if_chiral(mol: Mol) -> None:
+    global _warned_chirality
+    if _warned_chirality:
+        return
+    if any(a.chiral_tag for a in mol.atoms):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "Morgan fingerprints are RDKit-bit-exact for ACHIRAL molecules "
+            "only; this molecule carries chiral tags, and RDKit's "
+            "includeChirality bits may differ (see chem/morgan_rdkit.py)"
+        )
+        _warned_chirality = True
+
+
 def rdkit_morgan_binary(mol: Mol, radius: int = 2, length: int = 2048) -> np.ndarray:
+    _warn_if_chiral(mol)
     fp = np.zeros(length, dtype=np.uint8)
     for inv in morgan_environment_invariants(mol, radius):
         fp[inv % length] = 1
@@ -148,6 +178,7 @@ def rdkit_morgan_binary(mol: Mol, radius: int = 2, length: int = 2048) -> np.nda
 
 
 def rdkit_morgan_count(mol: Mol, radius: int = 2, length: int = 2048) -> np.ndarray:
+    _warn_if_chiral(mol)
     fp = np.zeros(length, dtype=np.int32)
     for inv in morgan_environment_invariants(mol, radius):
         fp[inv % length] += 1

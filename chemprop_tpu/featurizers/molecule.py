@@ -2,9 +2,12 @@
 ``x_d`` (cf. reference ``chemprop/featurizers/molecule.py:15-106``).
 
 Morgan fingerprints come from the in-repo RDKit-bit-compatible
-implementation (:mod:`chemprop_tpu.chem.morgan_rdkit`): bit positions match
-RDKit's ``GetMorganGenerator`` exactly, so reference checkpoints trained
-with Morgan extra descriptors transfer unchanged.
+implementation (:mod:`chemprop_tpu.chem.morgan_rdkit`): for ACHIRAL
+molecules bit positions match RDKit's ``GetMorganGenerator`` exactly, so
+reference checkpoints trained with Morgan extra descriptors transfer
+unchanged; molecules with chiral tags may differ on stereocenter-rooted
+bits (RDKit's ``includeChirality`` CIP augmentation is not implemented —
+a warning is logged once).
 """
 
 from __future__ import annotations

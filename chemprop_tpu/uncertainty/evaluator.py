@@ -66,7 +66,15 @@ class ExpectedNormalizedErrorEvaluator:
     """Bin by predicted variance; compare per-bin RMS error vs RMS predicted
     std. Binning matches ``torch.chunk(x, num_bins)``: chunk size
     ``ceil(n / num_bins)``, so n <= num_bins means one sample per bin
-    (cf. reference ``evaluator.py:116-179``, ``num_bins=100``)."""
+    (cf. reference ``evaluator.py:116-179``, ``num_bins=100``).
+
+    DELIBERATE deviation under PARTIAL masks (documented in PARITY.md):
+    the reference zero-FILLS masked entries (``preds * mask``), so they
+    sort into the low-variance bins and give RMV = 0 -> 0/0 = NaN for any
+    task with missing targets; here masked entries are DROPPED before
+    binning, which yields the finite per-task ENCE the metric intends.
+    Full-mask inputs (the reference's own unit fixtures) are exact-parity.
+    Pinned by ``tests/unit/uncertainty/test_evaluator_parity.py``."""
 
     def evaluate(self, preds, uncs, targets, mask, num_bins: int = 100):
         def f(p, v, y):

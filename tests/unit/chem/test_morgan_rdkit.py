@@ -89,3 +89,22 @@ def test_charged_atoms_distinct_isotope_defect_truncates():
     # (2.014 - 1.008 -> 1) IS when explicit
     heavy = rdkit_morgan_binary(make_mol("[13CH3]O", keep_h=False, add_h=False))
     assert np.array_equal(plain, heavy)
+
+
+class TestZeroDegreeAtoms:
+    """RDKit kills zero-degree atoms before the first layer
+    (MorganFingerprints.cpp), so isolated atoms emit exactly ONE invariant:
+    the radius-0 connectivity invariant (ADVICE r2: 'C'/'O' emitted 2)."""
+
+    @pytest.mark.parametrize("smi, n_bits", [("C", 1), ("O", 1), ("[Na+].[Cl-]", 2)])
+    def test_single_invariant(self, smi, n_bits):
+        from chemprop_tpu.chem import make_mol
+        from chemprop_tpu.chem.morgan_rdkit import (
+            morgan_environment_invariants,
+            rdkit_morgan_binary,
+        )
+
+        mol = make_mol(smi)
+        invs = morgan_environment_invariants(mol, radius=2)
+        assert len(invs) == n_bits
+        assert rdkit_morgan_binary(mol).sum() == n_bits

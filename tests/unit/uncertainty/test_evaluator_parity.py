@@ -160,3 +160,36 @@ def test_miscalibration_area_golden(preds, targets, area):
 def test_ence_golden(preds, uncs, targets, ence):
     out = ExpectedNormalizedErrorEvaluator().evaluate(preds, uncs, targets, M100)
     npt.assert_allclose(out, [ence], atol=5e-4)
+
+
+class TestEncePartialMask:
+    """Pinned behavior for partial masks (documented deviation, PARITY.md):
+    masked entries are DROPPED — the per-task ENCE equals the full-mask ENCE
+    of the kept rows. The reference's zero-fill would instead produce NaN
+    (zero-variance bins give RMV = 0 -> 0/0)."""
+
+    def test_drop_semantics(self):
+        import numpy as np
+
+        from chemprop_tpu.uncertainty.evaluator import UncertaintyEvaluatorRegistry
+
+        rng = np.random.default_rng(0)
+        n = 40
+        preds = rng.normal(size=(n, 2))
+        targets = preds + rng.normal(scale=0.3, size=(n, 2))
+        uncs = np.abs(rng.normal(scale=0.5, size=(n, 2))) + 0.05
+        mask = np.ones((n, 2), dtype=bool)
+        mask[::3, 1] = False  # partial mask on task 1 only
+
+        ev = UncertaintyEvaluatorRegistry["ence"]()
+        got = np.asarray(ev.evaluate(preds, uncs, targets, mask))
+        assert np.isfinite(got).all()
+        # task 1 == full-mask evaluation of only the kept rows
+        keep = mask[:, 1]
+        want = np.asarray(
+            ev.evaluate(
+                preds[keep][:, 1:], uncs[keep][:, 1:], targets[keep][:, 1:],
+                np.ones((keep.sum(), 1), dtype=bool),
+            )
+        )
+        np.testing.assert_allclose(got[1], want[0], rtol=1e-12)
