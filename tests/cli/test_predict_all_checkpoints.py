@@ -238,3 +238,45 @@ class TestMABFamily:
             g = np.array(ast.literal_eval(got[got_col]), dtype=float)
             w = np.array(ast.literal_eval(want["charges"]), dtype=float)
             np.testing.assert_allclose(g, w, rtol=1e-3, atol=3e-4, err_msg=f"molecule {i}")
+
+
+class TestConvertedPredictionGoldens:
+    """Numeric regression for v2 converted-checkpoint predictions
+    (VERDICT r2 #6): the convert+predict CLI must reproduce the
+    eager-torch-generated goldens in tests/data/converted_preds_golden.csv
+    to 1e-4 — upgrading the old 'finite and positive' assertions to pinned
+    values (reference analog: data_for_test_preds_stay_same.pkl)."""
+
+    def test_cli_matches_goldens(self, monkeypatch, data_dir, tmp_path):
+        import collections
+
+        golden = collections.defaultdict(dict)
+        for r in csv.DictReader(open(data_dir / "converted_preds_golden.csv")):
+            vals = [float(r[k]) for k in ("v0", "v1") if r[k]]
+            golden[r["checkpoint"]][r["smiles"]] = vals
+
+        for ckpt, per_smi in golden.items():
+            smi_csv = tmp_path / f"{ckpt}.smis.csv"
+            with open(smi_csv, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["smiles"])
+                for s in per_smi:
+                    w.writerow([s])
+            converted = _convert(monkeypatch, tmp_path, data_dir / ckpt)
+            preds = tmp_path / f"{ckpt}.preds.csv"
+            argv = ["predict", "-i", str(smi_csv), "--model-paths", str(converted),
+                    "-o", str(preds)]
+            if "mve" in ckpt:
+                argv += ["--uncertainty-method", "mve"]
+            run_cli(monkeypatch, argv)
+            rows = list(csv.DictReader(open(preds)))
+            assert len(rows) == len(per_smi)
+            smi_col = list(rows[0])[0]  # first column echoes the input smiles
+            cols = [c for c in rows[0] if c != smi_col and _num(rows[0][c])]
+            for row in rows:
+                want = per_smi[row[smi_col]]
+                got = [float(row[c]) for c in cols]
+                np.testing.assert_allclose(
+                    got[: len(want)], want, rtol=1e-4, atol=1e-4,
+                    err_msg=f"{ckpt}: {row[smi_col]}",
+                )
