@@ -69,7 +69,12 @@ def murcko_scaffold_key(mol: Mol, include_chirality: bool = False) -> str:
             nb = sub.add_bond(remap[b.begin_atom_idx], remap[b.end_atom_idx], b.bond_type)
             nb.is_aromatic = b.is_aromatic
     sanitize(sub)
-    key = canonical_key(sub)
+    # canonical Murcko scaffold SMILES (r3): same grouping semantics as the
+    # reference's RDKit MurckoScaffold SMILES keys (two molecules share a
+    # key iff their scaffold graphs are isomorphic), and human-inspectable
+    from chemprop_tpu.chem.smiles_writer import write_smiles
+
+    key = write_smiles(sub)
     if include_chirality:
         tags = sorted(
             (remap[a.idx], int(a.chiral_tag)) for a in mol.atoms if keep[a.idx] and a.chiral_tag

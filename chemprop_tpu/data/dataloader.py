@@ -87,15 +87,41 @@ class DataLoader:
             return collate_mol_atom_bond_batch(data, pad)
         return collate_batch(data, pad)
 
+    def _oversized(self, i: int) -> bool:
+        """Whether datum ``i``'s molecule exceeds the fused message kernel's
+        widest safety window (ops/fused_message.py SPAN_LIMIT). One such
+        molecule demotes its WHOLE batch to the composed ops (3-4x HBM), so
+        oversized molecules are routed into their own batches and only those
+        batches pay the fallback. Cheap host check (num_bonds, no
+        featurization); molecule-backed datapoints only."""
+        data = getattr(self.dataset, "data", None)
+        if not data:
+            return False
+        mol = getattr(data[i], "mol", None)
+        if mol is None:
+            return False
+        from chemprop_tpu.ops.fused_message import SPAN_LIMIT
+
+        return 2 * mol.num_bonds > SPAN_LIMIT[max(SPAN_LIMIT)]
+
     def _index_batches(self) -> Iterator[list[int]]:
         batch: list[int] = []
+        big: list[int] = []  # oversized molecules get their own batches
         for i in self.sampler:
+            if self._oversized(i):
+                big.append(i)
+                if len(big) == self.batch_size:
+                    yield big
+                    big = []
+                continue
             batch.append(i)
             if len(batch) == self.batch_size:
                 yield batch
                 batch = []
         if batch and not self.drop_last:
             yield batch
+        if big and not self.drop_last:
+            yield big
 
     def __iter__(self) -> Iterator[TrainingBatch]:
         if self.prefetch <= 0:
