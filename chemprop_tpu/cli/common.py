@@ -8,6 +8,10 @@ from pathlib import Path
 
 def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     group = parser.add_argument_group("Shared input args")
+    # also accepted after the subcommand (reference ConfigArgParse behavior:
+    # `chemprop train --config-path cfg.toml`); the defaults themselves are
+    # injected pre-parse by cli.main._apply_config_defaults
+    group.add_argument("--config-path", type=Path, help="JSON/TOML file of argument defaults")
     group.add_argument("-i", "--data-path", type=Path, help="input CSV path")
     group.add_argument(
         "-s", "--smiles-columns", nargs="+", help="SMILES column name(s); >1 = multicomponent"
