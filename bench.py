@@ -162,6 +162,26 @@ def bench_jax(batches, n_real_edges) -> float:
     return n_steps * n_real_edges / dt, dt / n_steps * 1e3
 
 
+def a100_reference_model_eps(d: int = 300, depth: int = 3) -> float:
+    """Bandwidth-model UPPER BOUND on the reference's A100 training
+    throughput (edges/s): its eager-torch op stream (f32, unfused — every
+    op reads operands and writes results through HBM, cf.
+    ``chemprop/nn/message_passing/mixins.py:8-18`` + ``base.py:196-212``)
+    executed at A100-80GB-SXM speed-of-light (2.0 TB/s), zero launch
+    overhead. Per edge, per depth iteration: scatter_add (read H + node
+    accum r/w) + src gather (r+w) + rev gather (r+w) + subtract (2r+w) +
+    W_h GEMM (r+w) + residual add + ReLU (2r+w + r+w) ~ 14*d elements;
+    featurize/W_i/finalize/readout ~ 2.6k elements; backward ~ 2x forward.
+    No A100 exists in this environment — this model turns the >= 5x-A100
+    north-star target into a checkable number (BASELINE.md)."""
+    bw = 2.0e12  # A100 80GB SXM HBM2e
+    v_per_e = 0.49  # nodes per directed edge (measured on the bench corpus)
+    per_iter = 14 * d + 3 * v_per_e * d
+    fwd = (depth - 1) * per_iter + 2600
+    total_bytes = (fwd * 3) * 4  # + backward ~ 2x forward, f32
+    return bw / total_bytes
+
+
 def roofline_step_ms(e_pad: int, d: int = 384, depth: int = 3) -> float:
     """Bytes-bound minimum train-step time: the D-MPNN step is HBM-bound on
     the padded edge table (bf16). Minimum edge-table passes with the fused
@@ -245,6 +265,7 @@ def main():
     except Exception as e:
         print(f"torch baseline failed: {e}", file=sys.stderr)
         ref_eps = float("nan")
+    a100_eps = a100_reference_model_eps()
     result = {
         "metric": "dmpnn_train_edges_per_s_per_chip",
         "value": round(jax_eps, 1),
@@ -255,6 +276,11 @@ def main():
         "step_ms": round(step_ms, 3),
         "roofline_ms": round(roof_ms, 3),
         "sol_frac": round(roof_ms / step_ms, 3) if step_ms > 0 else None,
+        # bandwidth-model A100 upper bound for the reference's eager f32 op
+        # stream (see a100_reference_model_eps): maps the measurement onto
+        # the >= 5x-A100 north star without A100 hardware
+        "a100_ref_model_eps": round(a100_eps, 1),
+        "vs_a100_model": round(jax_eps / a100_eps, 3),
     }
     print(json.dumps(result))
 

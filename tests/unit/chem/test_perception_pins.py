@@ -1,0 +1,81 @@
+"""Hand-pinned RDKit outcomes for the tricky perception classes named in
+docs/chemistry_divergences.md (VERDICT r2 next-step #5c): aromaticity and
+hybridization regressions for the cases where a simplified model is most
+likely to drift. Expected values are RDKit's default-sanitization behavior
+(pinned from the RDKit aromaticity model documentation and cross-checked
+against the non-circular prediction goldens of
+``tests/cli/test_predict_all_checkpoints.py``)."""
+
+from __future__ import annotations
+
+import pytest
+
+from chemprop_tpu.chem import make_mol
+from chemprop_tpu.chem.mol import HybridizationType
+
+
+def _arom_count(smi: str) -> int:
+    return sum(a.is_aromatic for a in make_mol(smi).atoms)
+
+
+class TestAromaticityPins:
+    def test_benzene_kekule(self):
+        assert _arom_count("C1=CC=CC=C1") == 6
+
+    def test_azulene(self):
+        # 10 pi electrons over the fused 5-7 envelope: fully aromatic
+        assert _arom_count("c1ccc2cccc2cc1") == 10
+
+    def test_2_pyridone_kekule(self):
+        # RDKit aromatizes 2-pyridone (exocyclic C=O contributes 0): the
+        # six ring atoms are aromatic, the carbonyl O is not
+        assert _arom_count("O=C1C=CC=CN1") == 6
+
+    def test_fulvene_not_aromatic(self):
+        # exocyclic C=C disqualifies the ring (RDKit getAtomContrib)
+        assert _arom_count("C=C1C=CC=C1") == 0
+
+    def test_exocyclic_into_fused_ring_not_aromatic(self):
+        # r3 rule: a multiple bond INTO another ring of the fused system
+        # (cyclic bond) disqualifies the candidate ring — the divergent
+        # class found via the prediction goldens (mol 302 analog)
+        smi = "CC1=CC2=NC(C)(C)N(C)C(=O)N2C=C1"
+        m = make_mol(smi)
+        assert sum(a.is_aromatic for a in m.atoms) == 0
+
+    def test_pyrrole_furan_thiophene(self):
+        for smi in ("c1cc[nH]1", "c1ccoc1", "c1ccsc1"):
+            m = make_mol(smi)
+            ring_atoms = [a for a in m.atoms if a.is_in_ring]
+            assert all(a.is_aromatic for a in ring_atoms), smi
+
+    def test_cyclobutadiene_not_aromatic(self):
+        assert _arom_count("C1=CC=C1") == 0
+
+    def test_pyridine_kekule(self):
+        assert _arom_count("C1=CC=NC=C1") == 6
+
+    def test_imidazole_kekule(self):
+        assert _arom_count("C1=CN=CN1") == 5
+
+
+class TestHybridizationPins:
+    @pytest.mark.parametrize(
+        "smi, idx, hyb",
+        [
+            ("CC(=O)N", 3, HybridizationType.SP2),  # amide N: conjugated -> SP2
+            ("CCN", 2, HybridizationType.SP3),  # plain amine N
+            ("CS(=O)(=O)C", 1, HybridizationType.SP3),  # sulfone S (RDKit: SP3)
+            ("FP(F)(F)(F)F", 1, HybridizationType.SP3D),  # PF5
+            ("FS(F)(F)(F)(F)F", 1, HybridizationType.SP3D2),  # SF6
+            ("C#N", 0, HybridizationType.SP),
+            ("C=C", 0, HybridizationType.SP2),
+            ("c1ccccc1", 0, HybridizationType.SP2),  # aromatic C
+        ],
+    )
+    def test_cases(self, smi, idx, hyb):
+        m = make_mol(smi)
+        assert m.atoms[idx].hybridization == hyb, (
+            smi,
+            m.atoms[idx].hybridization,
+        )

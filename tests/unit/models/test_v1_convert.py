@@ -144,7 +144,7 @@ def test_predict_auto_detects_v1_featurizer(data_dir, tmp_path, monkeypatch):
 
     golden = pd.read_csv(data_dir / "example_model_v1_regression_mol_prediction.csv")
     inp = tmp_path / "in.csv"
-    golden[["smiles"]].head(8).to_csv(inp, index=False)
+    golden[["smiles"]].to_csv(inp, index=False)  # ALL 50 golden rows
     out = tmp_path / "preds.csv"
     monkeypatch.setattr(
         sys,
@@ -153,4 +153,4 @@ def test_predict_auto_detects_v1_featurizer(data_dir, tmp_path, monkeypatch):
     )
     assert cli_main() in (0, None)
     got = pd.read_csv(out)["logSolubility"].to_numpy()
-    np.testing.assert_allclose(got, golden["logSolubility"].head(8).to_numpy(), atol=1e-5)
+    np.testing.assert_allclose(got, golden["logSolubility"].to_numpy(), atol=1e-5)
