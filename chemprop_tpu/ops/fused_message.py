@@ -58,7 +58,11 @@ CHUNK = 128
 # env-overridable for on-device tuning sweeps (values are compile-time
 # constants; the persistent compile cache keys on the resulting kernels)
 UNROLL = int(os.environ.get("CHEMPROP_TPU_UNROLL", 4))  # output chunks per grid step
-PREFETCH = int(os.environ.get("CHEMPROP_TPU_PREFETCH", 2))  # issued-ahead chunks beyond the window
+# issued-ahead chunks beyond the window: r3 on-device sweep over
+# (UNROLL, PREFETCH) on the 123k-edge train step — (4,2) 7.72 ms,
+# (4,4) 7.10, (4,6) 7.00, (4,8) 6.95 <- best, (4,10) 6.99, (2,6) 7.10,
+# (8,*) >8.4 (VMEM pressure) — deep prefetch hides the DMA issue latency
+PREFETCH = int(os.environ.get("CHEMPROP_TPU_PREFETCH", 8))
 # total VMEM the kernel may claim (ring buffer + out/acc tiles + id tables);
 # conservative vs the ~16 MB/core on v5e so wide hidden dims fall back to the
 # composed XLA path instead of dying in a Mosaic VMEM-exhaustion error
