@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from chemprop_tpu.conf import DEFAULT_HIDDEN_DIM
 from chemprop_tpu.data.collate import BatchMolGraph
 from chemprop_tpu.nn.message_passing.base import PaddedDense, _gather_rev, _gather_src
-from chemprop_tpu.ops.fused_message import fused_message, fused_message_iter
+from chemprop_tpu.ops.fused_message import fused_first_iter, fused_message, fused_message_iter
 from chemprop_tpu.ops.gather import gather_dst
 from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
 from chemprop_tpu.nn.utils import get_activation_function
@@ -118,13 +118,21 @@ class _MABMessagePassingBase(nn.Module):
         fuse_iter = self.depth > 1 and self._fused_iter_ok(bmg)
         if fuse_iter:
             W_h, b_h = self.W_h(weights_only=True, in_width=self._dp)
+        first = True
         for _ in range(1, self.depth):
             if self.undirected:
                 H = (H + _gather_rev(H, bmg)) / 2
             if fuse_iter:
-                H = fused_message_iter(
-                    H, H_0, W_h, b_h, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0], bmg.fused_window
-                )
+                if first:
+                    # relu(H_0) streams through the kernel un-materialized
+                    H = fused_first_iter(
+                        H_0, W_h, b_h, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0], bmg.fused_window
+                    )
+                else:
+                    H = fused_message_iter(
+                        H, H_0, W_h, b_h, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0], bmg.fused_window
+                    )
+                first = False
                 H = self.drop(H, deterministic=not drop_on)
             else:
                 M = self._message(H, bmg)

@@ -265,6 +265,7 @@ def _iter_kernel(
     n_chunks,
     kw,
     has_bias,
+    relu_stream=False,
 ):
     """One full D-MPNN depth iteration per edge chunk:
 
@@ -273,14 +274,28 @@ def _iter_kernel(
     — the message windows stream through the DMA ring exactly as in
     ``_kernel``, then the ``W_h`` GEMM, residual add, bias, and ReLU happen
     on the VMEM tile before the single HBM write. Removes the intermediate
-    message table M entirely (two HBM passes per iteration at d=384)."""
+    message table M entirely (two HBM passes per iteration at d=384).
+
+    ``relu_stream``: apply ReLU to each streamed chunk right after its DMA
+    completes — the FIRST depth iteration can then consume the raw ``H_0``
+    table directly and ``relu(H_0)`` is never materialized in HBM."""
     s = pl.program_id(0)
+
+    def wait(k):
+        _ring_dma(data_ref, bufs, sems, k).wait()
+        if relu_stream:
+            slot = jax.lax.rem(k, bufs.shape[0])
+            # compare in f32 (Mosaic has no bf16 cmpf on this target)
+            bufs[slot] = jnp.where(
+                bufs[slot].astype(jnp.float32) > 0, bufs[slot], jnp.zeros_like(bufs[slot])
+            )
+
     _dma_schedule(
         s,
         n_chunks,
         kw,
         lambda k: _ring_dma(data_ref, bufs, sems, k).start(),
-        lambda k: _ring_dma(data_ref, bufs, sems, k).wait(),
+        wait,
     )
     x_at = lambda k: bufs[jax.lax.rem(k, bufs.shape[0])]
     W = w_ref[...]
@@ -296,7 +311,7 @@ def _iter_kernel(
         out_ref[pl.ds(u * CHUNK, CHUNK), :] = jnp.maximum(h0 + z, 0.0).astype(out_ref.dtype)
 
 
-def _iter_impl(H, H0, W, b, row_ids, col_ids, rev, kw):
+def _iter_impl(H, H0, W, b, row_ids, col_ids, rev, kw, relu_stream=False):
     n, d = H.shape
     row2d, col2d, rev_local, n_chunks, n_steps, c_pad = _prep_tables(row_ids, col_ids, rev, kw)
     H0p = H0 if c_pad == n_chunks else jnp.pad(H0, ((0, c_pad * CHUNK - n), (0, 0)))
@@ -320,7 +335,9 @@ def _iter_impl(H, H0, W, b, row_ids, col_ids, rev, kw):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_iter_kernel, n_chunks=n_chunks, kw=kw, has_bias=has_bias),
+        functools.partial(
+            _iter_kernel, n_chunks=n_chunks, kw=kw, has_bias=has_bias, relu_stream=relu_stream
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c_pad * CHUNK, d), H.dtype),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
@@ -656,6 +673,57 @@ def _iter_bwd(n_nodes, window, res, g):
 
 
 fused_message_iter.defvjp(_iter_fwd, _iter_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_first_iter(H0, W, b, src, dst, rev, n_nodes: int, window: int = 2):
+    """The FIRST depth iteration ``relu(H0 + message(relu(H0)) @ W [+ b])``
+    with the input activation applied on the fly to the streamed chunks
+    (``relu_stream``) — ``relu(H0)`` is never materialized in HBM, saving a
+    full edge-table write + read per step vs the generic
+    :func:`fused_message_iter` (reference semantics: ``base.py:196-206``
+    first loop pass over ``H = tau(H_0)``)."""
+    return _first_fwd(H0, W, b, src, dst, rev, n_nodes, window)[0]
+
+
+def _relu(x):
+    return jnp.maximum(x, 0).astype(x.dtype)
+
+
+def _first_fwd(H0, W, b, src, dst, rev, n_nodes, window):
+    if iter_usable(H0, W, window):
+        y = _iter_impl(H0, H0, W, b, src, dst, rev, window, relu_stream=True)
+    else:
+        y = _iter_composed(_relu(H0), H0, W, b, src, dst, rev, n_nodes, window)
+    return y, (y, H0, W, b, src, dst, rev)
+
+
+def _first_bwd(n_nodes, window, res, g):
+    y, H0, W, b, src, dst, rev = res
+    if _bwd_msg_usable(g, y, window):
+        G, gz = _bwd_msg_impl(g, y, src, dst, rev, window)
+    else:
+        gz = g * (y > 0).astype(g.dtype)
+        if _usable(gz, window):
+            G = _fused_message_impl(gz, dst, src, rev, window)
+        else:
+            from chemprop_tpu.ops.gather import gather_dst, gather_rev
+            from chemprop_tpu.ops.segment import segment_sum
+
+            g_rev = gather_rev(gz, rev)
+            G = gather_dst(segment_sum(g_rev, dst, n_nodes, sorted=True), dst) - g_rev
+            G = G.astype(gz.dtype)
+    from chemprop_tpu.ops.grad_weight import grad_weight
+
+    dH = jax.lax.dot(G, W.T, preferred_element_type=jnp.float32).astype(H0.dtype)
+    # message input was relu(H0): chain through the streamed activation
+    dH0 = gz + dH * (H0 > 0).astype(dH.dtype)
+    dW = grad_weight(_relu(H0), G).astype(W.dtype)
+    db = None if b is None else jnp.sum(gz.astype(jnp.float32), axis=0).astype(b.dtype)
+    return dH0, dW, db, None, None, None
+
+
+fused_first_iter.defvjp(_first_fwd, _first_bwd)
 
 
 def _usable(H, kw: int = 2) -> bool:

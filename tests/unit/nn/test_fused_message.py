@@ -262,3 +262,70 @@ class TestWideWindow:
                 a, c = a[real], c[real]
             scale = np.abs(c).max() + 1e-3
             np.testing.assert_allclose(a / scale, c / scale, atol=0.03, err_msg=name)
+
+
+class TestFusedFirstIter:
+    """The first-iteration op relu(H0 + message(relu(H0)) @ W [+ b]) with
+    the input ReLU applied to the streamed chunks: kernel (interpret) vs the
+    composed formulation, values and custom-VJP grads (dH0 chains through
+    both the residual and the streamed activation)."""
+
+    def _inputs(self, bmg, d=128, seed=7):
+        rng = np.random.default_rng(seed)
+        n = bmg.E.shape[0]
+        H0 = jnp.asarray(rng.standard_normal((n, d)), jnp.bfloat16)
+        W = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((d,)), jnp.bfloat16)
+        return H0, W, b
+
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_forward_matches_composed(self, bmg, with_bias):
+        from chemprop_tpu.ops.fused_message import (
+            _iter_composed,
+            fused_first_iter,
+            iter_usable,
+        )
+
+        H0, W, b = self._inputs(bmg)
+        bias = b if with_bias else None
+        assert iter_usable(H0, W, bmg.fused_window)
+        n_nodes = bmg.V.shape[0]
+        relu_H0 = jnp.maximum(H0, 0).astype(H0.dtype)
+        y_k = np.asarray(
+            fused_first_iter(H0, W, bias, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window),
+            np.float32,
+        )
+        y_c = np.asarray(
+            _iter_composed(
+                relu_H0, H0, W, bias, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window
+            ),
+            np.float32,
+        )
+        mask = np.asarray(bmg.edge_mask)
+        np.testing.assert_allclose(y_k[mask], y_c[mask], atol=0.15, rtol=0.05)
+
+    def test_grads_match_composed(self, bmg):
+        from chemprop_tpu.ops.fused_message import _iter_composed, fused_first_iter
+
+        H0, W, b = self._inputs(bmg)
+        n_nodes = bmg.V.shape[0]
+        mask = jnp.asarray(bmg.edge_mask)[:, None]
+
+        def loss_fused(H0, W, b):
+            y = fused_first_iter(H0, W, b, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window)
+            return jnp.sum((y * mask).astype(jnp.float32) ** 2) * 1e-3
+
+        def loss_composed(H0, W, b):
+            relu_H0 = jnp.maximum(H0, 0).astype(H0.dtype)
+            y = _iter_composed(
+                relu_H0, H0, W, b, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window
+            )
+            return jnp.sum((y * mask).astype(jnp.float32) ** 2) * 1e-3
+
+        gk = jax.grad(loss_fused, argnums=(0, 1, 2))(H0, W, b)
+        gc = jax.grad(loss_composed, argnums=(0, 1, 2))(H0, W, b)
+        for name, a, c in zip(("dH0", "dW", "db"), gk, gc):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(c, np.float32),
+                atol=0.5, rtol=0.1, err_msg=name,
+            )
