@@ -48,8 +48,14 @@ DEPTH = int(os.environ.get("CHEMPROP_TPU_SEG_DEPTH", 8))  # DMA pipeline depth (
 MAX_VMEM_BYTES = 12 << 20
 
 
-def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int):
-    def _kernel(e_lo_ref, e_hi_ref, ids2d_ref, data_ref, out_ref, acc_ref, data_buf, sems):
+def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int, n_total: int):
+    def _kernel(e_lo_ref, e_hi_ref, ids2d_ref, data_ref, out_ref, acc_ref, data_buf, marks, sems):
+        """GLOBAL chunk pipeline: ``marks`` (SMEM) holds monotonic
+        issued/waited chunk watermarks that persist across grid steps, so
+        the DMA stream flows tile-to-tile — each chunk is issued and waited
+        exactly once for the whole call, and only grid step 0 pays exposed
+        DMA latency (the per-TILE prologue of the previous version exposed
+        ~1-2 µs at every one of the ~200 tile starts)."""
         t = pl.program_id(0)
         seg_start = t * TILE_S
         e_lo = e_lo_ref[t]
@@ -60,34 +66,57 @@ def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int):
         base_idx = e_lo // CHUNK
         n_chunks = pl.cdiv(e_hi - base_idx * CHUNK, CHUNK)
 
+        @pl.when(t == 0)
+        def _():
+            marks[0] = 0  # issued watermark (next chunk to start)
+            marks[1] = 0  # waited watermark (next chunk to wait)
+
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        def dma(k, slot):
+        # NSLOTS = DEPTH + 1: issuing chunk c+DEPTH clobbers the slot of
+        # chunk c-1 — strictly consumed, even when the last chunk of this
+        # tile is shared with the next tile's first chunk (with DEPTH slots
+        # it would clobber chunk c, which the next tile may still read)
+        NSLOTS = DEPTH + 1
+
+        def dma(c):
             # starts expressed as index*granule so Mosaic can prove alignment
-            chunk_idx = base_idx + k
+            slot = jax.lax.rem(c, NSLOTS)
             return pltpu.make_async_copy(
-                data_ref.at[pl.ds(chunk_idx * CHUNK, CHUNK), :],
+                data_ref.at[pl.ds(c * CHUNK, CHUNK), :],
                 data_buf.at[slot],
                 sems.at[slot],
             )
 
-        for p in range(DEPTH):
+        def issue_to(c):
+            """Advance the issue watermark to ``c`` (exclusive)."""
+            hi = jnp.minimum(c, n_total)
 
-            @pl.when(p < n_chunks)
-            def _(p=p):
-                dma(p, p).start()
+            def ib(k, _):
+                dma(k).start()
+                return 0
+
+            jax.lax.fori_loop(marks[0], jnp.maximum(marks[0], hi), ib, 0)
+            marks[0] = jnp.maximum(marks[0], hi)
+
+        # steady state: the previous tile already issued ahead of us
+        issue_to(base_idx + DEPTH)
 
         def body(k, _):
-            slot = jax.lax.rem(k, DEPTH)
-            dma(k, slot).wait()
-            chunk_idx = base_idx + k
-            ids = ids2d_ref[chunk_idx, :]  # VMEM-resident id table
+            c = base_idx + k
+
+            @pl.when(c >= marks[1])
+            def _():
+                dma(c).wait()
+                marks[1] = c + 1
+
+            ids = ids2d_ref[c, :]  # VMEM-resident id table
             rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_S, CHUNK), 0) + seg_start
             # two-pass bf16 split: P is exactly representable in bf16, so
             # hi+lo recovers ~16 mantissa bits of the f32 data at 2 MXU
             # passes (vs 6 for Precision.HIGHEST) with f32 accumulation
             P = (ids[None, :] == rows).astype(jnp.bfloat16)
-            x = data_buf[slot]
+            x = data_buf[jax.lax.rem(c, NSLOTS)]
             if x.dtype == jnp.bfloat16:
                 # bf16 inputs: one MXU pass with f32 accumulation is exact
                 acc_ref[...] += jax.lax.dot(P, x, preferred_element_type=jnp.float32)
@@ -99,9 +128,12 @@ def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int):
                     + jax.lax.dot(P, lo, preferred_element_type=jnp.float32)
                 ).astype(acc_ref.dtype)
 
-            @pl.when(k + DEPTH < n_chunks)
+            # keep DEPTH chunks in flight; the slot being reused (c) was
+            # consumed just above, and the watermark makes re-issue impossible
+            @pl.when((c + DEPTH < n_total) & (c + DEPTH >= marks[0]))
             def _():
-                dma(k + DEPTH, slot).start()
+                dma(c + DEPTH).start()
+                marks[0] = c + DEPTH + 1
 
             return 0
 
@@ -151,12 +183,13 @@ def _sorted_segment_sum_fwd_impl(
         ),
         scratch_shapes=[
             pltpu.VMEM((TILE_S, d), jnp.float32),
-            pltpu.VMEM((DEPTH, CHUNK, d), data.dtype),
-            pltpu.SemaphoreType.DMA((DEPTH,)),
+            pltpu.VMEM((DEPTH + 1, CHUNK, d), data.dtype),
+            pltpu.SMEM((2,), jnp.int32),  # issued/waited chunk watermarks
+            pltpu.SemaphoreType.DMA((DEPTH + 1,)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(TILE_S, CHUNK, DEPTH),
+        _make_kernel(TILE_S, CHUNK, DEPTH, n_total=n // CHUNK),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s_pad, d), out_dtype),
     )(e_lo, e_hi, ids2d, data)
