@@ -664,7 +664,10 @@ def _iter_bwd(n_nodes, window, res, g):
                 G = G.astype(gz.dtype)
         from chemprop_tpu.ops.grad_weight import grad_weight
 
-        dH = jax.lax.dot(G, W.T, preferred_element_type=jnp.float32).astype(H.dtype)
+        # no preferred_element_type: the MXU accumulates in f32 either way,
+        # and a bf16 output dtype avoids materializing an f32 edge table
+        # (2x the write bytes) plus a separate convert pass
+        dH = jax.lax.dot(G, W.T).astype(H.dtype)
         # dW = Hᵀ G: grad_weight dispatches to the Pallas reduction GEMM only
         # when CHEMPROP_TPU_GRAD_W=1 (XLA wins in context on v5e — measured)
         dW = grad_weight(H, G).astype(W.dtype)
@@ -715,7 +718,9 @@ def _first_bwd(n_nodes, window, res, g):
             G = G.astype(gz.dtype)
     from chemprop_tpu.ops.grad_weight import grad_weight
 
-    dH = jax.lax.dot(G, W.T, preferred_element_type=jnp.float32).astype(H0.dtype)
+    # no preferred_element_type: bf16 store with f32 MXU accumulation (see
+    # _iter_bwd) — halves this GEMM's output bytes
+    dH = jax.lax.dot(G, W.T).astype(H0.dtype)
     # message input was relu(H0): chain through the streamed activation
     dH0 = gz + dH * (H0 > 0).astype(dH.dtype)
     dW = grad_weight(_relu(H0), G).astype(W.dtype)
