@@ -135,6 +135,15 @@ def _build_loader(args, path, with_targets: bool = False):
         ignore_cols=descriptors_cols if with_targets else None,
         no_header_row=args.no_header_row,
     )
+    approx = {"rdkit_2d", "v1_rdkit_2d", "v1_rdkit_2d_normalized"}
+    if approx & set(args.molecule_featurizers or []):
+        logger.warning(
+            "rdkit_2d descriptor families VSA/BertzCT/fr_*/QED are documented "
+            "approximations of descriptastorus values "
+            "(docs/chemistry_divergences.md): predictions through a REFERENCE-"
+            "trained checkpoint that consumed these descriptors may shift "
+            "slightly; models trained with this framework are unaffected"
+        )
     mol_featurizers = [
         MoleculeFeaturizerRegistry[name]() for name in (args.molecule_featurizers or [])
     ]
