@@ -31,7 +31,12 @@ from chemprop_tpu.conf import DEFAULT_HIDDEN_DIM
 from chemprop_tpu.data.collate import BatchMolGraph
 from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
 from chemprop_tpu.nn.utils import get_activation_function
-from chemprop_tpu.ops.fused_message import fused_first_iter, fused_message, fused_message_iter
+from chemprop_tpu.ops.fused_message import (
+    fused_depth_loop,
+    fused_first_iter,
+    fused_message,
+    fused_message_iter,
+)
 from chemprop_tpu.ops.gather import gather_dst, gather_rev, gather_src
 from chemprop_tpu.ops.grad_weight import matmul as gw_matmul
 from chemprop_tpu.ops.segment import segment_sum
@@ -205,26 +210,44 @@ class _MessagePassingBase(nn.Module):
         fuse_iter = self.depth > 1 and self._fused_iter_ok(bmg)
         if fuse_iter:
             W_h, b_h = self.W_h(weights_only=True, in_width=self._dp)
-        first = True
-        for _ in range(1, self.depth):
-            if self.undirected:
-                H = (H + _gather_rev(H, bmg)) / 2
-            if fuse_iter:
-                if first:
-                    # relu(H_0) streams through the kernel un-materialized
-                    H = fused_first_iter(
-                        H_0, W_h, b_h, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window
-                    )
-                else:
-                    H = fused_message_iter(
-                        H, H_0, W_h, b_h, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window
-                    )
-                first = False
-                H = self.drop(H, deterministic=not drop_on)
-            else:
-                M = self._message(H, bmg)
-                H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not drop_on)
+        import os as _os
+
+        # default OFF: measured on v5e r3, the whole-loop custom VJP with
+        # in-kernel dH0 accumulation is ~0.1 ms/step SLOWER than the
+        # per-iteration VJPs (6.63 vs 6.53 ms on the 123k-edge bench) — the
+        # extra streamed accumulator input costs more inside the critical
+        # kernel than XLA's well-overlapped add fusions cost outside it
+        depth_loop_on = _os.environ.get("CHEMPROP_TPU_DEPTH_LOOP", "0") == "1"
+        if fuse_iter and depth_loop_on and not (drop_on and self.dropout > 0):
+            # the WHOLE depth loop as one custom-VJP op — hand-written
+            # reverse walk with in-kernel dH0 accumulation (per-iteration
+            # activation taps are not sown on this path)
+            H = fused_depth_loop(
+                H_0, W_h, b_h, bmg.src, bmg.dst, bmg.rev, n_nodes,
+                bmg.fused_window, self.depth,
+            )
             self.sow("intermediates", "H", H)
+        else:
+            first = True
+            for _ in range(1, self.depth):
+                if self.undirected:
+                    H = (H + _gather_rev(H, bmg)) / 2
+                if fuse_iter:
+                    if first:
+                        # relu(H_0) streams through the kernel un-materialized
+                        H = fused_first_iter(
+                            H_0, W_h, b_h, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window
+                        )
+                    else:
+                        H = fused_message_iter(
+                            H, H_0, W_h, b_h, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window
+                        )
+                    H = self.drop(H, deterministic=not drop_on)
+                else:
+                    M = self._message(H, bmg)
+                    H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not drop_on)
+                first = False
+                self.sow("intermediates", "H", H)
 
         M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)
         self.sow("intermediates", "M_v", M_v)

@@ -478,16 +478,11 @@ def _bwd_msg_kernel(
     revloc_ref,
     g_ref,  # upstream cotangent, HBM (ring-streamed)
     y_ref,  # saved forward output (ReLU mask), HBM (ring-streamed)
-    G_ref,  # out: G = Sᵀ(g ∘ [y>0]) blocks
-    gz_ref,  # out: gz = g ∘ [y>0] blocks (= dL/dH0)
-    g_bufs,
-    y_bufs,
-    g_sems,
-    y_sems,
-    *,
+    *rest,  # [acc_ref (auto-pipelined blocks, if has_acc)], outputs, scratch
     n_chunks,
     kw,
     dtype,
+    has_acc=False,
 ):
     """Masked transposed message: G = Sᵀ(g ∘ [y > 0]) and gz in ONE pass.
 
@@ -498,7 +493,18 @@ def _bwd_msg_kernel(
     writes G and gz once: 4 passes become the bytes-bound minimum for the
     (G, gz) pair, and the two kernel launches become one. The GEMMs that
     consume G (dH = G Wᵀ, dW = Hᵀ G) stay in XLA, which handles them well
-    on this target (measured r3; cf. ops/grad_weight.py)."""
+    on this target (measured r3; cf. ops/grad_weight.py).
+
+    ``has_acc``: an extra auto-pipelined input block carries the RUNNING
+    dH0 accumulator from later depth iterations, folded into the gz output
+    in-kernel (``gz_out = gz + acc``) — the depth loop's cotangent
+    accumulation then costs one overlapped streamed read instead of a
+    separate 3-table XLA add pass (see ``fused_depth_loop``)."""
+    if has_acc:
+        acc_in_ref, G_ref, gz_ref, g_bufs, y_bufs, g_sems, y_sems = rest
+    else:
+        acc_in_ref = None
+        G_ref, gz_ref, g_bufs, y_bufs, g_sems, y_sems = rest
     s = pl.program_id(0)
 
     def start(k):
@@ -527,16 +533,29 @@ def _bwd_msg_kernel(
             c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, gz_at, g_bufs.shape[-1], dtype
         )
         G_ref[pl.ds(u * CHUNK, CHUNK), :] = acc.astype(G_ref.dtype)
-        gz_ref[pl.ds(u * CHUNK, CHUNK), :] = gz_at(c).astype(gz_ref.dtype)
+        gz = gz_at(c)
+        if acc_in_ref is not None:
+            gz = gz.astype(jnp.float32) + acc_in_ref[pl.ds(u * CHUNK, CHUNK), :].astype(
+                jnp.float32
+            )
+        gz_ref[pl.ds(u * CHUNK, CHUNK), :] = gz.astype(gz_ref.dtype)
 
 
-def _bwd_msg_impl(g, y, src, dst, rev, kw):
+def _bwd_msg_impl(g, y, src, dst, rev, kw, gz_acc=None):
     """(G, gz) with G[e] = Σ_{k in window: src[k] == dst[e]} gz[k] − gz[rev[e]]
     and gz = g ∘ [y > 0] — the transposed message over the ReLU-masked
-    cotangent, single pass."""
+    cotangent, single pass. ``gz_acc`` (optional) is folded into the gz
+    output in-kernel: ``gz_out = gz + gz_acc``."""
     n, d = g.shape
     # transposed message: row ids = dst, col ids = src (R is symmetric)
     row2d, col2d, rev_local, n_chunks, n_steps, c_pad = _prep_tables(dst, src, rev, kw)
+    has_acc = gz_acc is not None
+    extra_in_specs = []
+    extra_args = []
+    if has_acc:
+        accp = gz_acc if c_pad == n_chunks else jnp.pad(gz_acc, ((0, c_pad * CHUNK - n), (0, 0)))
+        extra_in_specs = [_block_spec(d)]
+        extra_args = [accp]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -545,7 +564,8 @@ def _bwd_msg_impl(g, y, src, dst, rev, kw):
         + [
             pl.BlockSpec(memory_space=pl.ANY),  # g (ring-streamed)
             pl.BlockSpec(memory_space=pl.ANY),  # y (ring-streamed)
-        ],
+        ]
+        + extra_in_specs,
         out_specs=[_block_spec(d), _block_spec(d)],
         scratch_shapes=[
             pltpu.VMEM((_nslots(kw), CHUNK, d), g.dtype),
@@ -555,7 +575,9 @@ def _bwd_msg_impl(g, y, src, dst, rev, kw):
         ],
     )
     G, gz = pl.pallas_call(
-        functools.partial(_bwd_msg_kernel, n_chunks=n_chunks, kw=kw, dtype=g.dtype),
+        functools.partial(
+            _bwd_msg_kernel, n_chunks=n_chunks, kw=kw, dtype=g.dtype, has_acc=has_acc
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((c_pad * CHUNK, d), g.dtype),
@@ -563,7 +585,7 @@ def _bwd_msg_impl(g, y, src, dst, rev, kw):
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(row2d, col2d, rev_local, g, y)
+    )(row2d, col2d, rev_local, g, y, *extra_args)
     if c_pad != n_chunks:
         G, gz = G[:n], gz[:n]
     return G, gz
@@ -729,6 +751,82 @@ def _first_bwd(n_nodes, window, res, g):
 
 
 fused_first_iter.defvjp(_first_fwd, _first_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_depth_loop(H0, W, b, src, dst, rev, n_nodes: int, window: int, depth: int):
+    """The WHOLE D-MPNN depth loop (iterations 1..depth-1, shared W_h, no
+    dropout) as one custom-VJP op:
+
+        H = relu(H0);  repeat depth-1 times:  H = relu(H0 + message(H) @ W [+ b])
+
+    Forward runs :func:`fused_first_iter`'s streamed-ReLU kernel then
+    depth-2 fused iterations. The hand-written backward walks the chain in
+    reverse with the masked transposed-message kernel, ACCUMULATING the
+    running dH0 cotangent in-kernel (``has_acc``) — the per-iteration
+    custom-VJP formulation leaves that accumulation to XLA ``add`` passes
+    over the edge table (~0.2 ms/step at 123k edges). Reference semantics:
+    ``chemprop/nn/message_passing/base.py:196-206``."""
+    return _loop_fwd(H0, W, b, src, dst, rev, n_nodes, window, depth)[0]
+
+
+def _loop_fwd(H0, W, b, src, dst, rev, n_nodes, window, depth):
+    usable = iter_usable(H0, W, window)
+    if usable:
+        y = _iter_impl(H0, H0, W, b, src, dst, rev, window, relu_stream=True)
+    else:
+        y = _iter_composed(_relu(H0), H0, W, b, src, dst, rev, n_nodes, window)
+    ys = [y]
+    for _ in range(2, depth):
+        if usable:
+            y = _iter_impl(y, H0, W, b, src, dst, rev, window)
+        else:
+            y = _iter_composed(y, H0, W, b, src, dst, rev, n_nodes, window)
+        ys.append(y)
+    return ys[-1], (tuple(ys), H0, W, b, src, dst, rev)
+
+
+def _loop_bwd(n_nodes, window, depth, res, g):
+    ys, H0, W, b, src, dst, rev = res
+
+    def transposed(g, y, acc):
+        if _bwd_msg_usable(g, y, window):
+            return _bwd_msg_impl(g, y, src, dst, rev, window, gz_acc=acc)
+        gz = g * (y > 0).astype(g.dtype)
+        if _usable(gz, window):
+            G = _fused_message_impl(gz, dst, src, rev, window)
+        else:
+            from chemprop_tpu.ops.gather import gather_dst, gather_rev
+            from chemprop_tpu.ops.segment import segment_sum
+
+            g_rev = gather_rev(gz, rev)
+            G = gather_dst(segment_sum(g_rev, dst, n_nodes, sorted=True), dst) - g_rev
+            G = G.astype(gz.dtype)
+        return G, (gz if acc is None else gz + acc)
+
+    from chemprop_tpu.ops.grad_weight import grad_weight
+
+    dW = None
+    dH0_acc = None
+    for t in range(depth - 1, 0, -1):
+        y_t = ys[t - 1]
+        G, dH0_acc = transposed(g, y_t, dH0_acc)
+        x_t = ys[t - 2] if t >= 2 else _relu(H0)  # iteration input
+        dWt = grad_weight(x_t, G)
+        dW = dWt if dW is None else dW + dWt
+        g = jax.lax.dot(G, W.T).astype(H0.dtype)  # cotangent into H_{t-1}
+    # bias gradient: sum of every iteration's gz = the accumulator pre-final
+    db = (
+        None
+        if b is None
+        else jnp.sum(dH0_acc.astype(jnp.float32), axis=0).astype(b.dtype)
+    )
+    # first iteration's input was relu(H0): chain through the activation
+    dH0 = dH0_acc + g * (H0 > 0).astype(g.dtype)
+    return dH0, dW.astype(W.dtype), db, None, None, None
+
+
+fused_depth_loop.defvjp(_loop_fwd, _loop_bwd)
 
 
 def _usable(H, kw: int = 2) -> bool:

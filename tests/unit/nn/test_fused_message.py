@@ -329,3 +329,63 @@ class TestFusedFirstIter:
                 np.asarray(a, np.float32), np.asarray(c, np.float32),
                 atol=0.5, rtol=0.1, err_msg=name,
             )
+
+
+class TestFusedDepthLoop:
+    """The whole-depth-loop op with hand-written reverse walk and in-kernel
+    dH0 accumulation vs the composed per-iteration chain."""
+
+    def _inputs(self, bmg, d=128, seed=11):
+        rng = np.random.default_rng(seed)
+        n = bmg.E.shape[0]
+        H0 = jnp.asarray(rng.standard_normal((n, d)), jnp.bfloat16)
+        W = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.bfloat16)
+        return H0, W, b
+
+    def _composed(self, H0, W, b, bmg, depth):
+        from chemprop_tpu.ops.fused_message import _iter_composed
+
+        n_nodes = bmg.V.shape[0]
+        H = jnp.maximum(H0, 0).astype(H0.dtype)
+        for _ in range(1, depth):
+            H = _iter_composed(H, H0, W, b, bmg.src, bmg.dst, bmg.rev, n_nodes, bmg.fused_window)
+        return H
+
+    @pytest.mark.parametrize("depth", [2, 3, 4])
+    def test_forward_matches_composed(self, bmg, depth):
+        from chemprop_tpu.ops.fused_message import fused_depth_loop
+
+        H0, W, b = self._inputs(bmg)
+        y_k = np.asarray(
+            fused_depth_loop(H0, W, b, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0],
+                             bmg.fused_window, depth),
+            np.float32,
+        )
+        y_c = np.asarray(self._composed(H0, W, b, bmg, depth), np.float32)
+        mask = np.asarray(bmg.edge_mask)
+        np.testing.assert_allclose(y_k[mask], y_c[mask], atol=0.2, rtol=0.05)
+
+    @pytest.mark.parametrize("depth", [2, 3])
+    def test_grads_match_composed(self, bmg, depth):
+        from chemprop_tpu.ops.fused_message import fused_depth_loop
+
+        H0, W, b = self._inputs(bmg)
+        mask = jnp.asarray(bmg.edge_mask)[:, None]
+
+        def loss_fused(H0, W, b):
+            y = fused_depth_loop(H0, W, b, bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0],
+                                 bmg.fused_window, depth)
+            return jnp.sum((y * mask).astype(jnp.float32) ** 2) * 1e-3
+
+        def loss_composed(H0, W, b):
+            y = self._composed(H0, W, b, bmg, depth)
+            return jnp.sum((y * mask).astype(jnp.float32) ** 2) * 1e-3
+
+        gk = jax.grad(loss_fused, argnums=(0, 1, 2))(H0, W, b)
+        gc = jax.grad(loss_composed, argnums=(0, 1, 2))(H0, W, b)
+        for name, a, c in zip(("dH0", "dW", "db"), gk, gc):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(c, np.float32),
+                atol=0.6, rtol=0.1, err_msg=f"depth={depth} {name}",
+            )
