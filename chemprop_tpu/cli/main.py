@@ -22,6 +22,7 @@ def construct_parser() -> argparse.ArgumentParser:
     from chemprop_tpu.cli.convert import ConvertSubcommand
     from chemprop_tpu.cli.fingerprint import FingerprintSubcommand
     from chemprop_tpu.cli.hpopt import HpoptSubcommand
+    from chemprop_tpu.cli.serve import ServeSubcommand
     from chemprop_tpu.cli.predict import PredictSubcommand
     from chemprop_tpu.cli.train import TrainSubcommand
 
@@ -39,6 +40,7 @@ def construct_parser() -> argparse.ArgumentParser:
         FingerprintSubcommand,
         ConvertSubcommand,
         HpoptSubcommand,
+        ServeSubcommand,
     ):
         cmd.add(subparsers)
     return parser

@@ -1,0 +1,93 @@
+"""``chemprop-tpu serve``: warm compiled HTTP inference (beyond-reference
+serving surface). In-process server thread + stdlib urllib client."""
+
+from __future__ import annotations
+
+import json
+import sys
+import threading
+import urllib.request
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from chemprop_tpu.cli.main import main as cli_main
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory, data_dir):
+    # convert a reference checkpoint to serve
+    tmp = tmp_path_factory.mktemp("serve")
+    ckpt = tmp / "m.ckpt"
+    argv_bak = sys.argv
+    sys.argv = ["x", "convert", "-i", str(data_dir / "example_model_v2_regression_mol.pt"),
+                "-o", str(ckpt)]
+    try:
+        cli_main()
+    finally:
+        sys.argv = argv_bak
+
+    from chemprop_tpu.cli.serve import make_server
+
+    args = SimpleNamespace(
+        model_paths=[ckpt], host="127.0.0.1", port=0, max_batch=64,
+        warmup_buckets=[4], keep_h=False, add_h=False,
+        multi_hot_atom_featurizer_mode="v2",
+    )
+    server, service = make_server(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", service
+    server.shutdown()
+    server.server_close()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestServe:
+    def test_health(self, served):
+        url, _ = served
+        with urllib.request.urlopen(url + "/health", timeout=30) as r:
+            body = json.loads(r.read())
+        assert body["status"] == "ok" and body["models"] == 1
+
+    def test_predict(self, served):
+        url, _ = served
+        code, body = _post(url + "/predict", {"smiles": ["CCO", "c1ccccc1O"]})
+        assert code == 200
+        preds = body["preds"]
+        assert len(preds) == 2
+        assert all(np.isfinite(p).all() for p in preds)
+        assert preds[0] != preds[1]
+
+    def test_invalid_smiles_isolated(self, served):
+        url, _ = served
+        code, body = _post(url + "/predict", {"smiles": ["CCO", "not_a_smiles(("]})
+        assert code == 200
+        assert body["preds"][0] is not None
+        assert body["preds"][1] is None
+        assert "1" in body["errors"]
+
+    def test_bad_request(self, served):
+        url, _ = served
+        code, _ = _post(url + "/predict", {"smiles": []})
+        assert code == 400
+        code, _ = _post(url + "/predict", {"smiles": ["C"] * 65})
+        assert code == 413
+
+    def test_bucketing_reuses_compiles(self, served):
+        url, service = served
+        # sizes 3 and 5 both collapse onto the 8-bucket warmed at startup
+        _post(url + "/predict", {"smiles": ["CCO"] * 3})
+        _post(url + "/predict", {"smiles": ["CCO"] * 5})
+        assert service.requests >= 3
