@@ -125,7 +125,59 @@ def add_predict_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     return parser
 
 
-def _build_loader(args, path, with_targets: bool = False):
+def _reorder_components(components, variables, args):
+    """Reference ``cli/predict.py:224-298`` component-order auto-fix: when a
+    multicomponent checkpoint's per-block ``W_i`` input dims don't match the
+    user's column order but a PERMUTATION of the components does (e.g. the
+    rxn+mol example model was trained with (molecule, reaction) blocks),
+    permute the data components to the checkpoint's order with a warning."""
+    mp_params = variables.get("params", {}).get("message_passing") or {}
+    block_keys = sorted(
+        (k for k in mp_params if k.startswith("blocks_")), key=lambda k: int(k.split("_")[1])
+    )
+    if len(block_keys) < 2 or len(block_keys) != len(components):
+        return components
+    from chemprop_tpu.data import ReactionDatapoint
+    from chemprop_tpu.featurizers.atom import get_multi_hot_atom_featurizer
+    from chemprop_tpu.featurizers.bond import MultiHotBondFeaturizer, RIGRBondFeaturizer
+    from chemprop_tpu.featurizers.molgraph.reaction import CondensedGraphOfReactionFeaturizer
+
+    atom_f = get_multi_hot_atom_featurizer(args.multi_hot_atom_featurizer_mode)
+    bond_f = (
+        RIGRBondFeaturizer()
+        if args.multi_hot_atom_featurizer_mode.lower() == "rigr"
+        else MultiHotBondFeaturizer()
+    )
+
+    def comp_dim(comp) -> int:
+        if comp and isinstance(comp[0], ReactionDatapoint):
+            cgr = CondensedGraphOfReactionFeaturizer(
+                atom_featurizer=atom_f, bond_featurizer=bond_f, mode_=args.rxn_mode
+            )
+            return cgr.atom_fdim + cgr.bond_fdim
+        return len(atom_f) + len(bond_f)
+
+    want = [int(np.asarray(mp_params[k]["W_i"]["kernel"]).shape[0]) for k in block_keys]
+    have = [comp_dim(c) for c in components]
+    if have == want:
+        return components
+    perm: list[int] = []
+    used = set()
+    for w in want:
+        match = next((i for i, h in enumerate(have) if h == w and i not in used), None)
+        if match is None:
+            return components  # no permutation fixes it; let the error surface
+        used.add(match)
+        perm.append(match)
+    logger.warning(
+        f"input component order (dims {have}) does not match the checkpoint's "
+        f"block order (dims {want}); reordering components {perm} "
+        "(cf. reference predict component-order auto-fix)"
+    )
+    return [components[i] for i in perm]
+
+
+def _build_loader(args, path, with_targets: bool = False, variables: dict | None = None):
     descriptors_cols = list(getattr(args, "descriptors_columns", None) or [])
     smis, rxns, Y, weights, lt, gt, _, input_cols, target_cols = parse_csv(
         path,
@@ -169,6 +221,8 @@ def _build_loader(args, path, with_targets: bool = False):
         keep_h=args.keep_h, add_h=args.add_h, ignore_stereo=args.ignore_stereo,
         molecule_featurizers=mol_featurizers, X_d=X_d, V_fs=V_fs, E_fs=E_fs, V_ds=V_ds,
     )
+    if variables is not None:
+        components = _reorder_components(components, variables, args)
     dset = build_datasets(
         components,
         multi_hot_atom_featurizer_mode=args.multi_hot_atom_featurizer_mode,
@@ -229,7 +283,7 @@ def main(args) -> int:
 
     if not (args.atom_features_path or args.bond_features_path):
         _check_featurizer_matches_model(args, first_vars)
-    loader, dset, _ = _build_loader(args, args.data_path)
+    loader, dset, _ = _build_loader(args, args.data_path, variables=first_vars)
 
     individual = []
     dropout_uncs = []
@@ -269,7 +323,9 @@ def main(args) -> int:
         cal_args.bond_descriptors_path = args.cal_bond_descriptors_path
         cal_args.constraints_path = args.cal_constraints_path
         cal_args.descriptors_columns = []
-        cal_loader, cal_dset, cal_Y = _build_loader(cal_args, args.cal_path, with_targets=True)
+        cal_loader, cal_dset, cal_Y = _build_loader(
+            cal_args, args.cal_path, with_targets=True, variables=first_vars
+        )
         if args.uncertainty_method == "dropout":
             cal_stack, cal_unc_list = [], []
             for p in model_paths:

@@ -280,3 +280,32 @@ class TestConvertedPredictionGoldens:
                     got[: len(want)], want, rtol=1e-4, atol=1e-4,
                     err_msg=f"{ckpt}: {row[smi_col]}",
                 )
+
+
+class TestComponentOrderAutoFix:
+    def test_rxn_mol_wrong_order_reordered(self, monkeypatch, data_dir, tmp_path):
+        """Passing columns in (reaction, molecule) order against the
+        (molecule, reaction) rxn+mol checkpoint must auto-permute the
+        components (reference predict.py:224-298 behavior) and produce the
+        same predictions as the correct order."""
+        converted = _convert(
+            monkeypatch, tmp_path, data_dir / "example_model_v2_regression_rxn+mol.pt"
+        )
+        csv_path = str(data_dir / "regression" / "rxn+mol" / "rxn+mol.csv")
+
+        def run(order_args, out):
+            run_cli(
+                monkeypatch,
+                ["predict", "-i", csv_path, *order_args,
+                 "--model-paths", str(converted), "-o", str(out)],
+            )
+            rows = list(csv.DictReader(open(out)))
+            col = [c for c in rows[0] if _num(rows[0][c])][0]
+            return np.array([float(r[col]) for r in rows])
+
+        good = run(["-s", "solvent_smiles", "--reaction-columns", "rxn_smiles"],
+                   tmp_path / "good.csv")
+        # the rxn component now comes FIRST — dims (134, 86) vs blocks (86, 134)
+        fixed = run(["--reaction-columns", "rxn_smiles", "-s", "solvent_smiles"],
+                    tmp_path / "fixed.csv")
+        np.testing.assert_allclose(fixed, good, rtol=1e-5, atol=1e-5)
