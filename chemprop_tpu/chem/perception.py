@@ -476,40 +476,50 @@ def perceive_hybridization(mol: Mol) -> None:
 def _cip_branch_gt(mol: Mol, root: int, x: int, y: int, max_depth: int = 8) -> bool | None:
     """CIP rule-1a comparison of root's substituent branches ``x`` vs ``y``:
     True if x outranks y, False if y outranks x, None on a tie within
-    ``max_depth`` spheres. Hierarchical-digraph exploration with phantom
-    duplicate atoms for multiple/aromatic bonds (the level lists compared are
-    descending atomic-number tuples, first difference wins) — the comparison
-    RDKit's legacy assignStereochemistry makes when labelling STEREOZ/E."""
+    ``max_depth`` spheres. Hierarchical-digraph exploration: a multiple bond
+    u~v adds a phantom CHILD of u duplicating v (and vice versa) — phantoms
+    count at the sphere where the DUPLICATE sits, i.e. one past its origin
+    (r3 code review: mixing them into the origin's sphere let a C(=O) branch
+    outrank an N branch, inverting rule 1a's sphere-by-sphere order). Each
+    sphere compares descending atomic-number tuples; first difference wins —
+    the comparison RDKit's assignStereochemistry makes for STEREOZ/E."""
 
-    def phantoms(u: int, parent: int) -> list[int]:
+    def expand(frontier):
+        """Next sphere: real children (excluding the tree parent) plus
+        phantom children for every multiple bond (INCLUDING back toward the
+        parent — CIP duplicates both directions). Phantoms ('p', z) have no
+        children of their own."""
         out = []
-        for b in mol.atom_bonds(u):
-            extra = 0
-            if b.bond_type == BondType.DOUBLE or b.bond_type == BondType.AROMATIC:
-                extra = 1
-            elif b.bond_type == BondType.TRIPLE:
-                extra = 2
-            out.extend([mol.atoms[b.other_atom_idx(u)].atomic_num] * extra)
+        for entry in frontier:
+            if entry[0] == "p":
+                continue
+            _, u, parent = entry
+            for b in mol.atom_bonds(u):
+                v = b.other_atom_idx(u)
+                if v != parent:
+                    out.append(("a", v, u))
+                extra = 0
+                if b.bond_type in (BondType.DOUBLE, BondType.AROMATIC):
+                    extra = 1
+                elif b.bond_type == BondType.TRIPLE:
+                    extra = 2
+                out.extend(("p", mol.atoms[v].atomic_num) for _ in range(extra))
         return out
 
-    def level_key(frontier: list[tuple[int, int]]) -> tuple:
-        vals = [mol.atoms[u].atomic_num for u, _ in frontier]
-        vals += [z for u, p in frontier for z in phantoms(u, p)]
+    def level_key(frontier) -> tuple:
+        vals = [
+            mol.atoms[e[1]].atomic_num if e[0] == "a" else e[1] for e in frontier
+        ]
         return tuple(sorted(vals, reverse=True))
 
-    fx: list[tuple[int, int]] = [(x, root)]
-    fy: list[tuple[int, int]] = [(y, root)]
+    fx = [("a", x, root)]
+    fy = [("a", y, root)]
     for _ in range(max_depth):
         kx, ky = level_key(fx), level_key(fy)
         if kx != ky:
             return kx > ky
-        nx, ny = [], []
-        for u, p in fx:
-            nx.extend((v, u) for v in (b.other_atom_idx(u) for b in mol.atom_bonds(u)) if v != p)
-        for u, p in fy:
-            ny.extend((v, u) for v in (b.other_atom_idx(u) for b in mol.atom_bonds(u)) if v != p)
-        fx, fy = nx, ny
-        if not fx and not ny:
+        fx, fy = expand(fx), expand(fy)
+        if not fx and not fy:
             return None
     return None
 

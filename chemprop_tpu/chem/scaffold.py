@@ -3,14 +3,13 @@
 The reference uses RDKit's ``MurckoScaffold`` (via ``astartes``/RDKit inside
 ``chemprop/data/splitting.py``) and groups molecules by scaffold SMILES.
 This implementation extracts the scaffold subgraph natively (ring systems +
-linkers + double-bonded ring substituents) and keys it with the canonical
-graph hash from :mod:`chemprop_tpu.chem.morgan`.
+linkers + double-bonded ring substituents) and keys it with its canonical
+SMILES (:mod:`chemprop_tpu.chem.smiles_writer`).
 """
 
 from __future__ import annotations
 
 from chemprop_tpu.chem.mol import BondType, Mol
-from chemprop_tpu.chem.morgan import canonical_key
 
 
 def murcko_scaffold_atoms(mol: Mol) -> list[bool]:

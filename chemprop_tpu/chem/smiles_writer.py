@@ -101,40 +101,54 @@ def _initial_ranks(mol: Mol) -> list[int]:
     return ranks
 
 
-def canonical_ranks(mol: Mol, _budget: int = 512) -> list[int]:
+def canonical_ranks(mol: Mol, _budget: int = 4096) -> list[int]:
     """Canonical atom ranks: refinement + branch-and-minimize
     individualization over the first non-singleton cell. Permutation
-    invariant (the branch takes the minimum over all members)."""
+    invariant (the branch takes the minimum over all members). The leaf
+    budget guards pathological symmetric graphs: molecules never approach
+    it (refinement separates cells fast), but a graph that exhausts it may
+    lose the same-string-iff-isomorphic guarantee — a DoS/correctness
+    tradeoff, not expected for chemical inputs."""
     ranks = _refine(mol, _initial_ranks(mol))
 
     def discrete(rs):
         return len(set(rs)) == len(rs)
 
     best: list[int] | None = None
+    best_key = None
     budget = [_budget]
 
     def search(rs):
-        nonlocal best
+        nonlocal best, best_key
         if budget[0] <= 0:
             return
         if discrete(rs):
             budget[0] -= 1
             key = _emit_key(mol, rs)
-            if best is None or key < _emit_key(mol, best):
-                best = rs
+            if best_key is None or key < best_key:
+                best, best_key = rs, key
             return
         # first (lowest-rank) non-singleton cell
         from collections import Counter
 
         counts = Counter(rs)
         target = min(r for r, c in counts.items() if c > 1)
+        # orbit pruning: automorphic cell members yield the same refined
+        # partition signature — explore each signature once (collapses the
+        # factorial branching of symmetric molecules)
+        seen_sigs = set()
         for i in range(mol.num_atoms):
             if rs[i] == target:
                 # individualize strictly between cells: scale by 3 keeps all
                 # other ranks multiples of 3, 3*target - 1 is unique
                 child = [3 * r for r in rs]
                 child[i] = 3 * target - 1
-                search(_refine(mol, child))
+                refined = _refine(mol, child)
+                sig = _emit_key(mol, refined)
+                if sig in seen_sigs:
+                    continue
+                seen_sigs.add(sig)
+                search(refined)
 
     search(ranks)
     return best if best is not None else ranks
@@ -302,12 +316,18 @@ def write_smiles(mol: Mol, canonical: bool = True) -> str:
                 stack.pop()
 
     def write_from(root) -> str:
-        # recursive emission following tree_children (children may have been
-        # claimed by an earlier branch; skip those)
+        # iterative emission following tree_children (an explicit work stack
+        # — a recursive walk overflows on 1000+-atom chains, exactly the
+        # giant polymers the edge-partition work targets)
         out = []
-        emitted_child: dict[int, list] = {}
-
-        def emit(i, via_bond):
+        emitted[root] = True
+        stack: list = [("atom", root, None)]
+        while stack:
+            op, a1, a2 = stack.pop()
+            if op == "lit":
+                out.append(a1)
+                continue
+            i, via_bond = a1, a2
             if via_bond is not None:
                 out.append(_bond_token(mol, via_bond))
             out.append(_atom_token(mol, i))
@@ -322,17 +342,16 @@ def write_smiles(mol: Mol, canonical: bool = True) -> str:
             kids = [b for b in tree_children.get(i, ()) if not emitted[b.other_atom_idx(i)]]
             for b in kids:
                 emitted[b.other_atom_idx(i)] = True
-            for k, b in enumerate(kids):
+            # push in reverse so the first kid is emitted first
+            for k in range(len(kids) - 1, -1, -1):
+                b = kids[k]
                 j = b.other_atom_idx(i)
                 if k < len(kids) - 1:
-                    out.append("(")
-                    emit(j, b)
-                    out.append(")")
+                    stack.append(("lit", ")", None))
+                    stack.append(("atom", j, b))
+                    stack.append(("lit", "(", None))
                 else:
-                    emit(j, b)
-
-        emitted[root] = True
-        emit(root, None)
+                    stack.append(("atom", j, b))
         return "".join(out)
 
     # ring closures open at the atom visited FIRST (lower DFS order): swap

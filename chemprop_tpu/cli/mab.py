@@ -587,10 +587,20 @@ def predict_MAB(args, model, variables, extra) -> int:
     atom_con = bond_con = None
     if getattr(args, "constraints_path", None) is not None:
         con_df = pd.read_csv(args.constraints_path)
-        c2t = getattr(args, "constraints_to_targets", None) or [
-            c[: -len("_constraint")] for c in con_df.columns if c.endswith("_constraint")
-        ]
-        col_for = {t: con_df.iloc[:, k] for k, t in enumerate(c2t)}
+        c2t = getattr(args, "constraints_to_targets", None)
+        if c2t:
+            # k-th constraints-CSV column constrains the k-th named target
+            # (reference --constraints-to-targets, common.py:173-177)
+            col_for = {t: con_df.iloc[:, k] for k, t in enumerate(c2t)}
+        else:
+            # inferred '<target>_constraint' columns map BY NAME (matches
+            # the train path, cli/mab.py:93-98 — positional iloc over the
+            # filtered list broke when non-constraint columns precede them)
+            col_for = {
+                c[: -len("_constraint")]: con_df[c]
+                for c in con_df.columns
+                if c.endswith("_constraint")
+            }
         if atom_cols and any(c in col_for for c in atom_cols):
             atom_con = [col_for.get(c) for c in atom_cols]
         if bond_cols and any(c in col_for for c in bond_cols):

@@ -192,8 +192,17 @@ def make_server(args) -> tuple[ThreadingHTTPServer, ModelService]:
         keep_h=args.keep_h,
         add_h=args.add_h,
     )
-    # warm the common buckets so first requests don't pay the compile
-    warm = ["CCO", "c1ccccc1", "CC(=O)O", "CCN"]
+    # warm the common buckets so first requests don't pay the compile.
+    # PadSpec buckets on node/edge totals, not just request size, so warm
+    # with a drug-sized molecule mix (the tiny-molecule-only warmup left
+    # every realistic node/edge bucket cold — r3 code review) — requests
+    # whose totals exceed the warmed buckets still pay one compile each.
+    warm = [
+        "CC(=O)Oc1ccccc1C(=O)O",                     # aspirin (21 atoms)
+        "CN1CCC[C@H]1c1cccnc1",                      # nicotine
+        "CC(C)Cc1ccc(cc1)C(C)C(=O)O",                # ibuprofen
+        "COc1cc2c(cc1OC)CC[NH+](C)CC2",              # drug-like charged
+    ]
     for n in args.warmup_buckets:
         service.predict((warm * ((n // len(warm)) + 1))[:n])
     server = ThreadingHTTPServer((args.host, args.port), _make_handler(service, args.max_batch))

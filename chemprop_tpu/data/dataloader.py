@@ -47,6 +47,12 @@ class DataLoader:
         self.prefetch = prefetch
         self.n_shards = n_shards
 
+        # oversized-molecule isolation REORDERS the emitted rows, which is
+        # only safe when row order is already meaningless (training-time
+        # shuffling/balancing). Unshuffled loaders (predict/fingerprint/
+        # calibration concatenate batches back in dataset row order) keep
+        # in-order batches and pay the composed-path fallback instead.
+        self._isolate_oversized = bool(shuffle or class_balance)
         if class_balance:
             self.sampler = ClassBalanceSampler(dataset.Y, seed, shuffle)
         elif shuffle:
@@ -108,7 +114,7 @@ class DataLoader:
         batch: list[int] = []
         big: list[int] = []  # oversized molecules get their own batches
         for i in self.sampler:
-            if self._oversized(i):
+            if self._isolate_oversized and self._oversized(i):
                 big.append(i)
                 if len(big) == self.batch_size:
                     yield big

@@ -711,31 +711,37 @@ void perceive_hybridization(Mol& mol) {
 // Mirrors chem/perception.py:_cip_branch_gt (hierarchical digraph with
 // phantom duplicate atoms for multiple/aromatic bonds).
 int cip_branch_cmp(const Mol& mol, int root, int x, int y, int max_depth = 8) {
-  std::vector<std::pair<int, int>> fx = {{x, root}}, fy = {{y, root}};
-  auto level_key = [&](const std::vector<std::pair<int, int>>& frontier) {
+  // frontier entry: atom >= 0 with parent, or phantom {-1 - z, 0}. Phantoms
+  // (duplicate atoms of multiple bonds, INCLUDING back toward the parent)
+  // count at the sphere where the duplicate sits — one past its origin —
+  // and have no children (mirrors chem/perception.py:_cip_branch_gt).
+  using Entry = std::pair<int, int>;
+  std::vector<Entry> fx = {{x, root}}, fy = {{y, root}};
+  auto level_key = [&](const std::vector<Entry>& frontier) {
     std::vector<int> vals;
-    for (auto [u, p] : frontier) {
-      vals.push_back(mol.atoms[u].z);
-      for (int bi : mol.adj[u]) {
-        int o = mol.bonds[bi].order;
-        int extra = (o == DOUBLE || o == AROMATIC) ? 1 : o == TRIPLE ? 2 : 0;
-        for (int k = 0; k < extra; k++) vals.push_back(mol.atoms[mol.other(bi, u)].z);
-      }
-    }
+    for (auto [u, p] : frontier)
+      vals.push_back(u >= 0 ? mol.atoms[u].z : -1 - u);
     std::sort(vals.rbegin(), vals.rend());
     return vals;
+  };
+  auto expand = [&](const std::vector<Entry>& frontier) {
+    std::vector<Entry> out;
+    for (auto [u, p] : frontier) {
+      if (u < 0) continue;  // phantom: no children
+      for (int bi : mol.adj[u]) {
+        int v = mol.other(bi, u);
+        if (v != p) out.push_back({v, u});
+        int o = mol.bonds[bi].order;
+        int extra = (o == DOUBLE || o == AROMATIC) ? 1 : o == TRIPLE ? 2 : 0;
+        for (int k = 0; k < extra; k++) out.push_back({-1 - mol.atoms[v].z, 0});
+      }
+    }
+    return out;
   };
   for (int d = 0; d < max_depth; d++) {
     auto kx = level_key(fx), ky = level_key(fy);
     if (kx != ky) return kx > ky ? 1 : -1;
-    std::vector<std::pair<int, int>> nx, ny;
-    for (auto [u, p] : fx)
-      for (int bi : mol.adj[u])
-        if (mol.other(bi, u) != p) nx.push_back({mol.other(bi, u), u});
-    for (auto [u, p] : fy)
-      for (int bi : mol.adj[u])
-        if (mol.other(bi, u) != p) ny.push_back({mol.other(bi, u), u});
-    fx = nx; fy = ny;
+    fx = expand(fx); fy = expand(fy);
     if (fx.empty() && fy.empty()) return 0;
   }
   return 0;

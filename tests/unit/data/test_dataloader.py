@@ -95,24 +95,51 @@ class TestOversizedIsolation:
     fused fast path (VERDICT r2 weak #6): oversized molecules are routed
     into their own batches at the loader level."""
 
-    def test_mixed_dataset_keeps_fused_batches(self):
+    def _mixed(self):
         import numpy as np
 
-        from chemprop_tpu.data import DataLoader, MoleculeDatapoint, MoleculeDataset
+        from chemprop_tpu.data import MoleculeDatapoint, MoleculeDataset
 
         small = ["CCO", "c1ccccc1", "CCN", "CC(=O)O"] * 4
         giant = "C" * 250  # 249 bonds -> 498 directed edges > 385
-        dps = [MoleculeDatapoint.from_smi(s, y=np.zeros(1)) for s in small]
-        dps.insert(3, MoleculeDatapoint.from_smi(giant, y=np.zeros(1)))
-        ds = MoleculeDataset(dps)
-        loader = DataLoader(ds, batch_size=8, shuffle=False)
+        dps = [
+            MoleculeDatapoint.from_smi(s, y=np.array([float(i)]))
+            for i, s in enumerate(small)
+        ]
+        dps.insert(3, MoleculeDatapoint.from_smi(giant, y=np.array([99.0])))
+        return MoleculeDataset(dps), len(dps)
+
+    def test_mixed_dataset_keeps_fused_batches_when_shuffled(self):
+        import numpy as np
+
+        from chemprop_tpu.data import DataLoader
+
+        ds, n = self._mixed()
+        loader = DataLoader(ds, batch_size=8, shuffle=True, seed=0)
         batches = list(loader)
         # the giant's batch is composed-path; every other batch keeps fused_ok
         flags = [b.bmg.fused_ok for b in batches]
-        sizes = [int(b.bmg.edge_mask.sum()) for b in batches]
         assert sum(1 for f in flags if not f) == 1
         demoted = batches[flags.index(False)]
         assert int(np.asarray(demoted.w).reshape(-1).astype(bool).sum()) == 1  # giant alone
         assert all(f for k, f in enumerate(flags) if k != flags.index(False))
         # all molecules still pass through exactly once
-        assert sum(int(np.asarray(b.w).reshape(-1).astype(bool).sum()) for b in batches) == len(dps)
+        assert sum(int(np.asarray(b.w).reshape(-1).astype(bool).sum()) for b in batches) == n
+
+    def test_unshuffled_loader_preserves_row_order(self):
+        """Isolation must NOT reorder inference-time loaders: predict/
+        fingerprint/calibration concatenate batches back in dataset row
+        order (code-review r3 finding — a reordered giant silently shifted
+        every following prediction row)."""
+        import numpy as np
+
+        from chemprop_tpu.data import DataLoader
+
+        ds, n = self._mixed()
+        loader = DataLoader(ds, batch_size=8, shuffle=False)
+        ys = []
+        for b in loader:
+            keep = np.asarray(b.w).reshape(-1) > 0
+            ys.extend(np.asarray(b.Y).reshape(-1)[keep].tolist())
+        want = [float(i) for i in range(3)] + [99.0] + [float(i) for i in range(3, n - 1)]
+        assert ys == want
