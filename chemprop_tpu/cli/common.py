@@ -59,15 +59,24 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         nargs="+",
         help="input-CSV column names holding extra datapoint descriptors (e.g. temperature)",
     )
-    group.add_argument("--atom-features-path", type=Path, help=".npz extra atom features V_f")
-    group.add_argument("--bond-features-path", type=Path, help=".npz extra bond features E_f")
+    # a single PATH (component 0) or (IDX PATH) pairs for multicomponent
+    # inputs — reference per-component syntax (common.py:194-231)
     group.add_argument(
-        "--atom-descriptors-path", type=Path, help=".npz extra atom descriptors V_d"
+        "--atom-features-path", nargs="+",
+        help=".npz extra atom features V_f: PATH, or IDX PATH pairs",
     )
     group.add_argument(
-        "--bond-descriptors-path",
-        type=Path,
-        help=".npz extra bond descriptors E_d (mol/atom/bond models only)",
+        "--bond-features-path", nargs="+",
+        help=".npz extra bond features E_f: PATH, or IDX PATH pairs",
+    )
+    group.add_argument(
+        "--atom-descriptors-path", nargs="+",
+        help=".npz extra atom descriptors V_d: PATH, or IDX PATH pairs",
+    )
+    group.add_argument(
+        "--bond-descriptors-path", nargs="+",
+        help=".npz extra bond descriptors E_d (mol/atom/bond models only): "
+        "PATH, or IDX PATH pairs",
     )
     group.add_argument("--no-descriptor-scaling", action="store_true")
     group.add_argument("--no-atom-feature-scaling", action="store_true")

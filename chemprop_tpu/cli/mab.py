@@ -31,6 +31,15 @@ from chemprop_tpu.utils.registry import Factory
 logger = logging.getLogger(__name__)
 
 
+def _comp0_feats(arg, n: int):
+    """MAB inputs are single-component: component-0 slice of the (possibly
+    indexed-pair) extra-feature argument (cf. cli/parsing.py helpers)."""
+    from chemprop_tpu.cli.parsing import load_component_feats
+
+    d = load_component_feats(arg, n)
+    return d.get(0) if d else None
+
+
 def _num(x) -> float:
     """Element of a target-list cell -> float (None/'' -> NaN; strips any
     ``<``/``>`` bound marker)."""
@@ -102,10 +111,10 @@ def build_MAB_datapoints(args) -> tuple[list[MolAtomBondDatapoint], list[str], l
 
     n = len(df)
     X_d = load_input_feats(getattr(args, "descriptors_path", None), n)
-    V_fs = load_input_feats(getattr(args, "atom_features_path", None), n)
-    E_fs = load_input_feats(getattr(args, "bond_features_path", None), n)
-    V_ds = load_input_feats(getattr(args, "atom_descriptors_path", None), n)
-    E_ds = load_input_feats(getattr(args, "bond_descriptors_path", None), n)
+    V_fs = _comp0_feats(getattr(args, "atom_features_path", None), n)
+    E_fs = _comp0_feats(getattr(args, "bond_features_path", None), n)
+    V_ds = _comp0_feats(getattr(args, "atom_descriptors_path", None), n)
+    E_ds = _comp0_feats(getattr(args, "bond_descriptors_path", None), n)
 
     bounded = args.loss_function is not None and "bounded" in args.loss_function
 
@@ -577,10 +586,10 @@ def predict_MAB(args, model, variables, extra) -> int:
     mol_cols, atom_cols, bond_cols = _mab_output_columns(model, extra)
 
     X_d = load_input_feats(getattr(args, "descriptors_path", None), n)
-    V_fs = load_input_feats(getattr(args, "atom_features_path", None), n)
-    E_fs = load_input_feats(getattr(args, "bond_features_path", None), n)
-    V_ds = load_input_feats(getattr(args, "atom_descriptors_path", None), n)
-    E_ds = load_input_feats(getattr(args, "bond_descriptors_path", None), n)
+    V_fs = _comp0_feats(getattr(args, "atom_features_path", None), n)
+    E_fs = _comp0_feats(getattr(args, "bond_features_path", None), n)
+    V_ds = _comp0_feats(getattr(args, "atom_descriptors_path", None), n)
+    E_ds = _comp0_feats(getattr(args, "bond_descriptors_path", None), n)
 
     # constraints: the k-th constraints-CSV column constrains the k-th named
     # target of --constraints-to-targets (reference common.py:173-177)

@@ -79,6 +79,40 @@ def parse_csv(
     return smis, rxns, Y, weights, (lt if bounded else None), (gt if bounded else None), splits, input_cols, list(target_cols)
 
 
+def parse_indexed_paths(value) -> dict[int, Path] | None:
+    """``--atom-features-path [IDX PATH ...]`` or a bare ``PATH`` (component
+    0) -> ``{component_index: path}`` — the reference's per-component
+    extra-feature syntax (``chemprop/cli/common.py:194-231``)."""
+    if value is None:
+        return None
+    if isinstance(value, (str, Path)):
+        return {0: Path(value)}
+    items = [str(v) for v in value]
+    if len(items) == 1:
+        return {0: Path(items[0])}
+    if len(items) % 2 != 0:
+        raise ValueError(
+            f"expected a single path or (index, path) pairs, got {items}"
+        )
+    try:
+        inds = [int(x) for x in items[::2]]
+    except ValueError:
+        raise ValueError(
+            f"expected a single path or (index, path) pairs, got {items}"
+        ) from None
+    if len(set(inds)) != len(inds):
+        raise ValueError(f"duplicate component index in {items}")
+    return {i: Path(pth) for i, pth in zip(inds, items[1::2])}
+
+
+def load_component_feats(value, n: int) -> dict[int, list] | None:
+    """Per-component extra features: ``{component_index: per-row arrays}``."""
+    paths = parse_indexed_paths(value)
+    if paths is None:
+        return None
+    return {k: load_input_feats(pth, n) for k, pth in paths.items()}
+
+
 def load_input_feats(path: str | Path | None, n: int):
     """Load per-datapoint extra features from .npz/.npy (cf. reference
     ``parsing.py:513-549``)."""
@@ -115,10 +149,22 @@ def make_datapoints(
     E_fs: list | None = None,
     V_ds: list | None = None,
 ) -> list[list]:
-    """One datapoint list per input column (multicomponent layout)."""
+    """One datapoint list per input column (multicomponent layout).
+
+    ``V_fs``/``E_fs``/``V_ds`` may be plain per-row lists (applied to
+    component 0 — backward compatible) or ``{component_index: per-row
+    lists}`` dicts (the reference's indexed extra-feature semantics)."""
+
+    def by_comp(v):
+        if v is None or isinstance(v, dict):
+            return v or {}
+        return {0: v}
+
+    V_fs, E_fs, V_ds = by_comp(V_fs), by_comp(E_fs), by_comp(V_ds)
     n = len(Y)
     components: list[list] = []
     first = True
+    comp_idx = 0
     for col, col_smis in smis.items():
         dps = []
         for i, smi in enumerate(col_smis):
@@ -143,14 +189,20 @@ def make_datapoints(
                     lt_mask=lt_mask[i] if lt_mask is not None else None,
                     gt_mask=gt_mask[i] if gt_mask is not None else None,
                     x_d=x_d,
-                    V_f=V_fs[i] if V_fs is not None else None,
-                    E_f=E_fs[i] if E_fs is not None else None,
-                    V_d=V_ds[i] if V_ds is not None else None,
+                    V_f=V_fs[comp_idx][i] if comp_idx in V_fs else None,
+                    E_f=E_fs[comp_idx][i] if comp_idx in E_fs else None,
+                    V_d=V_ds[comp_idx][i] if comp_idx in V_ds else None,
                 )
             )
         components.append(dps)
         first = False
+        comp_idx += 1
     for col, col_rxns in rxns.items():
+        if comp_idx in V_fs or comp_idx in E_fs or comp_idx in V_ds:
+            raise NotImplementedError(
+                f"extra atom/bond features for REACTION component {comp_idx} "
+                "are not supported (molecule components only)"
+            )
         dps = []
         for i, rxn in enumerate(col_rxns):
             dps.append(
@@ -166,6 +218,7 @@ def make_datapoints(
                 )
             )
         components.append(dps)
+        comp_idx += 1
         first = False
     return components
 

@@ -13,7 +13,13 @@ import numpy as np
 import pandas as pd
 
 from chemprop_tpu.cli.common import add_common_args, find_models
-from chemprop_tpu.cli.parsing import build_datasets, load_input_feats, make_datapoints, parse_csv
+from chemprop_tpu.cli.parsing import (
+    build_datasets,
+    load_component_feats,
+    load_input_feats,
+    make_datapoints,
+    parse_csv,
+)
 from chemprop_tpu.data import DataLoader
 from chemprop_tpu.featurizers.molecule import MoleculeFeaturizerRegistry
 from chemprop_tpu.models.serialize import load_model
@@ -211,9 +217,9 @@ def _build_loader(args, path, with_targets: bool = False, variables: dict | None
             if X_d is None
             else [np.concatenate([a, b]) for a, b in zip(X_d, col_X)]
         )
-    V_fs = load_input_feats(getattr(args, "atom_features_path", None), n)
-    E_fs = load_input_feats(getattr(args, "bond_features_path", None), n)
-    V_ds = load_input_feats(args.atom_descriptors_path, n)
+    V_fs = load_component_feats(getattr(args, "atom_features_path", None), n)
+    E_fs = load_component_feats(getattr(args, "bond_features_path", None), n)
+    V_ds = load_component_feats(args.atom_descriptors_path, n)
     components = make_datapoints(
         smis, rxns,
         Y if Y.size else np.full((n, 1), np.nan),

@@ -16,6 +16,7 @@ import numpy as np
 from chemprop_tpu.cli.common import add_common_args
 from chemprop_tpu.cli.parsing import (
     build_datasets,
+    load_component_feats,
     load_input_feats,
     make_datapoints,
     parse_csv,
@@ -262,7 +263,12 @@ def build_model(args, train_dset, output_transform=None, X_d_transform=None, V_d
     mp_cls = AtomMessagePassing if args.atom_messages else BondMessagePassing
     blocks = []
     n_blocks = 1 if args.mpn_shared else len(datasets)
-    for _ in range(n_blocks):
+    # per-component transforms arrive as lists for multicomponent datasets
+    V_d_ts = V_d_transform if isinstance(V_d_transform, list) else [V_d_transform] * n_blocks
+    graph_ts = (
+        graph_transform if isinstance(graph_transform, list) else [graph_transform] * n_blocks
+    )
+    for k in range(n_blocks):
         blocks.append(
             mp_cls(
                 d_h=args.message_hidden_dim,
@@ -271,9 +277,9 @@ def build_model(args, train_dset, output_transform=None, X_d_transform=None, V_d
                 dropout=args.dropout,
                 activation=args.activation,
                 undirected=args.undirected,
-                d_vd=datasets[0].d_vd or None,
-                V_d_transform=V_d_transform,
-                graph_transform=graph_transform,
+                d_vd=datasets[min(k, len(datasets) - 1)].d_vd or None,
+                V_d_transform=V_d_ts[k],
+                graph_transform=graph_ts[k],
             )
         )
     if multicomponent:
@@ -352,44 +358,56 @@ def build_splits(args, components):
 
 def normalize_inputs(train_dset, val_dset, args):
     """Fit input scalers on train, apply to train+val, return transforms for
-    the model graph (used at eval; cf. reference ``cli/train.py:813-920``)."""
-    X_d_transform = None
-    V_d_transform = None
-    graph_transform = None
-    multicomponent = isinstance(train_dset, MulticomponentDataset)
-    d0 = train_dset.datasets[0] if multicomponent else train_dset
+    the model graph (used at eval; cf. reference ``cli/train.py:813-920``).
 
+    Multicomponent datasets get PER-COMPONENT ``V_d``/graph transforms
+    (lists, one per component — components may carry different extra
+    features via the indexed ``--atom-features-path 0 a.npz 1 b.npz``
+    syntax); single-component datasets return bare transforms."""
+    multicomponent = isinstance(train_dset, MulticomponentDataset)
+    datasets = train_dset.datasets if multicomponent else [train_dset]
+    if val_dset is None:
+        val_datasets = [None] * len(datasets)
+    else:
+        val_datasets = val_dset.datasets if multicomponent else [val_dset]
+
+    X_d_transform = None
+    d0 = datasets[0]
     if d0.d_xd > 0 and not getattr(args, "no_descriptor_scaling", False):
-        scaler = train_dset.normalize_inputs("X_d")
-        scaler = scaler[0] if isinstance(scaler, list) else scaler
+        scaler = d0.normalize_inputs("X_d")
         if scaler is not None:
-            val_dset and val_dset.normalize_inputs("X_d", scaler)
+            val_datasets[0] is not None and val_datasets[0].normalize_inputs("X_d", scaler)
             X_d_transform = ScaleTransform.from_standard_scaler(scaler)
-    if not isinstance(d0, ReactionDataset):
-        if d0.d_vd > 0 and not getattr(args, "no_atom_descriptor_scaling", False):
-            scaler = train_dset.normalize_inputs("V_d")
-            scaler = scaler[0] if isinstance(scaler, list) else scaler
-            if scaler is not None:
-                val_dset and val_dset.normalize_inputs("V_d", scaler)
-                V_d_transform = ScaleTransform.from_standard_scaler(scaler)
-        V_t = E_t = None
-        if d0.d_vf > 0 and not getattr(args, "no_atom_feature_scaling", False):
-            scaler = train_dset.normalize_inputs("V_f")
-            scaler = scaler[0] if isinstance(scaler, list) else scaler
-            if scaler is not None:
-                val_dset and val_dset.normalize_inputs("V_f", scaler)
-                pad = d0.featurizer.atom_fdim - d0.d_vf
-                V_t = ScaleTransform.from_standard_scaler(scaler, pad=pad)
-        if d0.d_ef > 0 and not getattr(args, "no_bond_feature_scaling", False):
-            scaler = train_dset.normalize_inputs("E_f")
-            scaler = scaler[0] if isinstance(scaler, list) else scaler
-            if scaler is not None:
-                val_dset and val_dset.normalize_inputs("E_f", scaler)
-                pad = d0.featurizer.bond_fdim - d0.d_ef
-                E_t = ScaleTransform.from_standard_scaler(scaler, pad=pad)
-        if V_t is not None or E_t is not None:
-            graph_transform = GraphTransform(V_t, E_t)
-    return X_d_transform, V_d_transform, graph_transform
+
+    V_d_transforms, graph_transforms = [], []
+    for d, vd in zip(datasets, val_datasets):
+        V_d_t = graph_t = None
+        if not isinstance(d, ReactionDataset):
+            if d.d_vd > 0 and not getattr(args, "no_atom_descriptor_scaling", False):
+                scaler = d.normalize_inputs("V_d")
+                if scaler is not None:
+                    vd is not None and vd.normalize_inputs("V_d", scaler)
+                    V_d_t = ScaleTransform.from_standard_scaler(scaler)
+            V_t = E_t = None
+            if d.d_vf > 0 and not getattr(args, "no_atom_feature_scaling", False):
+                scaler = d.normalize_inputs("V_f")
+                if scaler is not None:
+                    vd is not None and vd.normalize_inputs("V_f", scaler)
+                    pad = d.featurizer.atom_fdim - d.d_vf
+                    V_t = ScaleTransform.from_standard_scaler(scaler, pad=pad)
+            if d.d_ef > 0 and not getattr(args, "no_bond_feature_scaling", False):
+                scaler = d.normalize_inputs("E_f")
+                if scaler is not None:
+                    vd is not None and vd.normalize_inputs("E_f", scaler)
+                    pad = d.featurizer.bond_fdim - d.d_ef
+                    E_t = ScaleTransform.from_standard_scaler(scaler, pad=pad)
+            if V_t is not None or E_t is not None:
+                graph_t = GraphTransform(V_t, E_t)
+        V_d_transforms.append(V_d_t)
+        graph_transforms.append(graph_t)
+    if not multicomponent:
+        return X_d_transform, V_d_transforms[0], graph_transforms[0]
+    return X_d_transform, V_d_transforms, graph_transforms
 
 
 def main(args) -> int:
@@ -432,9 +450,9 @@ def main(args) -> int:
             if X_d is None
             else [np.concatenate([a, b]) for a, b in zip(X_d, col_X)]
         )
-    V_fs = load_input_feats(args.atom_features_path, n)
-    E_fs = load_input_feats(args.bond_features_path, n)
-    V_ds = load_input_feats(args.atom_descriptors_path, n)
+    V_fs = load_component_feats(args.atom_features_path, n)
+    E_fs = load_component_feats(args.bond_features_path, n)
+    V_ds = load_component_feats(args.atom_descriptors_path, n)
     components = make_datapoints(
         smis, rxns, Y, weights, lt, gt,
         keep_h=args.keep_h, add_h=args.add_h, ignore_stereo=args.ignore_stereo,

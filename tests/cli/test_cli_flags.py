@@ -249,3 +249,46 @@ class TestSpectralTask:
         vals = np.array([[float(v) for k, v in r.items() if k != "name"] for r in rows])
         assert (vals > 0).all()
         np.testing.assert_allclose(vals.sum(1), 1.0, atol=1e-4)
+
+
+class TestIndexedFeaturePaths:
+    def test_multicomponent_indexed_extras_train(self, monkeypatch, data_dir, tmp_path):
+        """Reference per-component extra-feature syntax
+        (``--atom-features-path 0 a.npz 1 b.npz``, common.py:194-231) using
+        the reference's own mol+mol fixtures."""
+        import json
+        import sys
+
+        from chemprop_tpu.cli.main import main as cli_main
+
+        mm = data_dir / "regression" / "mol+mol"
+        out = tmp_path / "out"
+        monkeypatch.setattr(sys, "argv", [
+            "chemprop-tpu", "train", "-i", str(mm / "mol+mol.csv"),
+            "-s", "smiles", "solvent", "--target-columns", "peakwavs_max",
+            "--atom-features-path", "0", str(mm / "atom_features_0.npz"),
+            "1", str(mm / "atom_features_1.npz"),
+            "--bond-features-path", "0", str(mm / "bond_features_0.npz"),
+            "--atom-descriptors-path", "1", str(mm / "atom_descriptors_1.npz"),
+            "--epochs", "1", "--batch-size", "16", "-o", str(out),
+        ])
+        assert cli_main() in (0, None)
+        scores = json.load(open(next(out.rglob("test_scores.json"))))
+        vals = [v for s in (scores if isinstance(scores, list) else [scores])
+                for v in s.values() if isinstance(v, (int, float))]
+        assert vals and all(abs(v) < 1e6 for v in vals)
+
+    def test_bad_pairs_raise(self):
+        import pytest as _pytest
+
+        from chemprop_tpu.cli.parsing import parse_indexed_paths
+
+        assert parse_indexed_paths(None) is None
+        assert parse_indexed_paths("a.npz") == {0: __import__("pathlib").Path("a.npz")}
+        assert 1 in parse_indexed_paths(["0", "a.npz", "1", "b.npz"])
+        with _pytest.raises(ValueError):
+            parse_indexed_paths(["0", "a.npz", "b.npz"])
+        with _pytest.raises(ValueError):
+            parse_indexed_paths(["x", "a.npz"])
+        with _pytest.raises(ValueError):
+            parse_indexed_paths(["0", "a.npz", "0", "b.npz"])
