@@ -77,24 +77,24 @@ def add_predict_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     )
     g.add_argument(
         "--cal-atom-features-path",
-        type=Path,
-        help="extra atom features (.npz) for the calibration set",
+        nargs="+",
+        help="extra atom features (.npz) for the calibration set: PATH, or IDX PATH pairs",
     )
     g.add_argument(
         "--cal-atom-descriptors-path",
-        type=Path,
-        help="post-MP atom descriptors (.npz) for the calibration set",
+        nargs="+",
+        help="post-MP atom descriptors (.npz) for the calibration set: PATH, or IDX PATH pairs",
     )
     g.add_argument(
         "--cal-bond-features-path",
-        type=Path,
-        help="extra bond features (.npz) for the calibration set",
+        nargs="+",
+        help="extra bond features (.npz) for the calibration set: PATH, or IDX PATH pairs",
     )
     g.add_argument(
         "--cal-bond-descriptors-path",
-        type=Path,
+        nargs="+",
         help="post-MP bond descriptors (.npz) for the calibration set "
-        "(cf. reference cli/predict.py:197)",
+        "(cf. reference cli/predict.py:197): PATH, or IDX PATH pairs",
     )
     g.add_argument(
         "--cal-constraints-path",
