@@ -19,10 +19,27 @@ implements that algorithm on the in-repo :class:`Mol`:
 
 Verified bit-for-bit against the reference's pinned RDKit fixtures
 (radius 2 x 2048 binary + counts, radius 3 x 1024) in
-``tests/unit/chem/test_morgan_rdkit.py``. Scope: bit-exactness holds for
-ACHIRAL molecules; RDKit's ``includeChirality`` CIP augmentation is not
-implemented, and a warning is logged once for molecules with chiral tags
-(see :func:`morgan_environment_invariants`).
+``tests/unit/chem/test_morgan_rdkit.py``.
+
+``include_chirality`` implements RDKit's stereochemistry augmentation
+(``MorganFingerprints.cpp`` / ``MorganGenerator.cpp``):
+
+* bond invariants: a DOUBLE bond with assigned stereo hashes as
+  ``100 + 10 * bondTypeCode + stereoCode`` instead of the plain bond-type
+  code (``MorganBondInvGenerator`` with ``useChirality``);
+* atom invariants: the first layer that processes a tagged tetrahedral
+  stereocenter with an assignable CIP code adds ``1`` (R) / ``2`` (S) to
+  that layer's environment invariant, exactly once per atom (RDKit's
+  ``chiralAtoms`` bitset); centers without an assignable code (RDKit: no
+  ``_CIPCode`` property) contribute nothing. CIP codes come from the
+  in-repo perception (:func:`chemprop_tpu.chem.perception.atom_cip_code`).
+
+No RDKit is available in this environment and the reference pins no CHIRAL
+Morgan fixtures, so unlike the achiral path the chirality augmentation is
+validated by construction (achiral molecules are bit-identical with the
+flag on or off; enantiomers differ exactly in their stereocenter-rooted
+bits) plus self-pinned fixtures, not against an RDKit golden — see
+``docs/chemistry_divergences.md``.
 """
 
 from __future__ import annotations
@@ -89,17 +106,23 @@ def _exact_mass(z: int, isotope: int) -> float:
     return float(isotope)
 
 
-def morgan_environment_invariants(mol: Mol, radius: int):
+def _bond_invariant(b, include_chirality: bool) -> int:
+    """RDKit ``MorganBondInvGenerator``: the plain bond-type code, except —
+    with ``useChirality`` — a stereo-assigned DOUBLE bond hashes as
+    ``stereoOffset(100) + bondTypeOffset(10) * bondType + stereo``."""
+    bt = _RDKIT_BOND_CODE.get(b.bond_type, 0)
+    if include_chirality and b.bond_type == BondType.DOUBLE and int(b.stereo):
+        return 100 + 10 * bt + int(b.stereo)
+    return bt
+
+
+def morgan_environment_invariants(mol: Mol, radius: int, include_chirality: bool = False):
     """Yield every emitted environment invariant (with multiplicity), i.e.
     the values whose ``% fpSize`` are the fingerprint bit positions.
 
-    Scope: ACHIRAL bit-exactness. RDKit's ``includeChirality=True`` (the
-    reference MorganFeaturizer default) folds CIP information into the
-    invariants of stereocenters once their environments differentiate;
-    this implementation has no CIP machinery, so fingerprints of molecules
-    WITH chiral tags may differ from RDKit on stereocenter-rooted bits
-    (:func:`rdkit_morgan_binary` warns once per process). Achiral
-    molecules match RDKit bit-for-bit (pinned fixtures)."""
+    Achiral molecules match RDKit bit-for-bit (pinned fixtures), with or
+    without ``include_chirality``. With it, stereocenter CIP codes and
+    double-bond stereo fold into the invariants per the module docstring."""
     n_atoms, n_bonds = mol.num_atoms, mol.num_bonds
     current = connectivity_invariants(mol)
     emitted = list(current)  # round 0: every atom emits its invariant
@@ -112,6 +135,21 @@ def morgan_environment_invariants(mol: Mol, radius: int):
     # (MorganFingerprints.cpp: ``if (!tAtom->getDegree()) deadAtoms.set``),
     # so an isolated atom emits ONLY its radius-0 invariant
     dead = [mol.degree(i) == 0 for i in range(n_atoms)]
+
+    # CIP augmentation state: each stereocenter contributes once, at the
+    # first layer that processes it (RDKit's chiralAtoms bitset)
+    chiral_done = [False] * n_atoms
+    cip_codes: dict[int, str | None] = {}
+    if include_chirality:
+        from chemprop_tpu.chem.mol import ChiralType
+        from chemprop_tpu.chem.perception import atom_cip_code
+
+        for i, a in enumerate(mol.atoms):
+            if a.chiral_tag in (
+                ChiralType.CHI_TETRAHEDRAL_CW,
+                ChiralType.CHI_TETRAHEDRAL_CCW,
+            ):
+                cip_codes[i] = atom_cip_code(mol, i)
 
     for layer in range(radius):
         round_inv = list(current)
@@ -126,14 +164,18 @@ def morgan_environment_invariants(mol: Mol, radius: int):
                 env |= 1 << b.idx
                 o = b.other_atom_idx(idx)
                 env |= atom_envs[o]
-                bt = _RDKIT_BOND_CODE.get(b.bond_type, 0)
-                nbrs.append((bt, current[o]))
+                nbrs.append((_bond_invariant(b, include_chirality), current[o]))
             nbrs.sort()
             invar = _hash_combine(layer, current[idx])
             for bt, ninv in nbrs:
                 # boost hashes the std::pair as one unit (seed 0), then
                 # combines the pair-hash into the environment invariant
                 invar = _hash_combine(invar, _hash_combine(_hash_combine(0, bt), ninv))
+            if include_chirality and not chiral_done[idx] and idx in cip_codes:
+                code = cip_codes[idx]
+                if code is not None:
+                    invar = (invar + (1 if code == "R" else 2)) & _M32
+                    chiral_done[idx] = True
             round_inv[idx] = invar
             round_envs[idx] = env
             this_round.append((env, invar, idx))
@@ -151,35 +193,19 @@ def morgan_environment_invariants(mol: Mol, radius: int):
     return emitted
 
 
-_warned_chirality = False
-
-
-def _warn_if_chiral(mol: Mol) -> None:
-    global _warned_chirality
-    if _warned_chirality:
-        return
-    if any(a.chiral_tag for a in mol.atoms):
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "Morgan fingerprints are RDKit-bit-exact for ACHIRAL molecules "
-            "only; this molecule carries chiral tags, and RDKit's "
-            "includeChirality bits may differ (see chem/morgan_rdkit.py)"
-        )
-        _warned_chirality = True
-
-
-def rdkit_morgan_binary(mol: Mol, radius: int = 2, length: int = 2048) -> np.ndarray:
-    _warn_if_chiral(mol)
+def rdkit_morgan_binary(
+    mol: Mol, radius: int = 2, length: int = 2048, include_chirality: bool = False
+) -> np.ndarray:
     fp = np.zeros(length, dtype=np.uint8)
-    for inv in morgan_environment_invariants(mol, radius):
+    for inv in morgan_environment_invariants(mol, radius, include_chirality):
         fp[inv % length] = 1
     return fp
 
 
-def rdkit_morgan_count(mol: Mol, radius: int = 2, length: int = 2048) -> np.ndarray:
-    _warn_if_chiral(mol)
+def rdkit_morgan_count(
+    mol: Mol, radius: int = 2, length: int = 2048, include_chirality: bool = False
+) -> np.ndarray:
     fp = np.zeros(length, dtype=np.int32)
-    for inv in morgan_environment_invariants(mol, radius):
+    for inv in morgan_environment_invariants(mol, radius, include_chirality):
         fp[inv % length] += 1
     return fp

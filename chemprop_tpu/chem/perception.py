@@ -524,6 +524,85 @@ def _cip_branch_gt(mol: Mol, root: int, x: int, y: int, max_depth: int = 8) -> b
     return None
 
 
+def atom_cip_code(mol: Mol, idx: int) -> str | None:
+    """CIP ``R``/``S`` code of a tagged tetrahedral stereocenter, or None
+    when the atom carries no tag or its four substituents cannot be strictly
+    ranked (RDKit's ``_CIPCode`` property is likewise absent for
+    unresolvable centers, so downstream consumers — e.g. Morgan
+    ``includeChirality`` — skip them the same way).
+
+    Substituent ranking reuses :func:`_cip_branch_gt` (CIP rule 1a,
+    hierarchical digraph); the implicit H (or the lone pair of a
+    3-coordinate center) takes the neighbor-list position the SMILES
+    convention assigns it — directly after the preceding-atom bond, or first
+    when the stereocenter opens the SMILES — which is the same normalization
+    the parser's tag adjustment assumes (chem/smiles.py:161-179)."""
+    from chemprop_tpu.chem.mol import ChiralType
+
+    a = mol.atoms[idx]
+    if a.chiral_tag not in (
+        ChiralType.CHI_TETRAHEDRAL_CW,
+        ChiralType.CHI_TETRAHEDRAL_CCW,
+    ):
+        return None
+    nbrs = [b.other_atom_idx(idx) for b in mol.atom_bonds(idx)]
+    if len(nbrs) < 3 or len(nbrs) > 4:
+        return None
+    tokens: list = list(nbrs)
+    if len(nbrs) == 3:
+        pad = "H" if a.total_num_hs >= 1 else "LP"
+        pos = 1 if nbrs and nbrs[0] < idx else 0
+        tokens.insert(pos, pad)
+    elif a.total_num_hs:
+        return None  # 4 explicit neighbors + implicit H: not tetrahedral
+
+    def gt(x, y) -> bool | None:
+        """True if substituent x outranks y; None = tie (unresolvable)."""
+        if x == "LP":
+            return False if y != "LP" else None
+        if y == "LP":
+            return True
+        if x == "H":
+            if isinstance(y, int) and mol.atoms[y].atomic_num > 1:
+                return False
+            return None  # implicit H vs explicit H: tie
+        if y == "H":
+            if isinstance(x, int) and mol.atoms[x].atomic_num > 1:
+                return True
+            return None
+        return _cip_branch_gt(mol, idx, x, y)
+
+    wins = [0] * 4
+    for i in range(4):
+        for j in range(i + 1, 4):
+            r = gt(tokens[i], tokens[j])
+            if r is None:
+                return None
+            wins[i if r else j] += 1
+    # wins are a permutation of {3,2,1,0}: rank 0 = highest priority
+    rank = [3 - w for w in wins]
+    # re-order to (lowest, 1st, 2nd, 3rd): "from the lowest-priority
+    # substituent, the remaining three in descending priority" — CCW
+    # handedness of that view is R (the viewer looks from lowest, so from
+    # the OPPOSITE side of "lowest pointing away" the rotation inverts)
+    target = [rank.index(3), rank.index(0), rank.index(1), rank.index(2)]
+    swaps = 0
+    seen = [False] * 4
+    for start in range(4):
+        if seen[start]:
+            continue
+        k, cycle = start, 0
+        while not seen[k]:
+            seen[k] = True
+            k = target[k]
+            cycle += 1
+        swaps += cycle - 1
+    ccw = a.chiral_tag == ChiralType.CHI_TETRAHEDRAL_CCW
+    if swaps % 2:
+        ccw = not ccw
+    return "R" if ccw else "S"
+
+
 def assign_bond_stereo(mol: Mol) -> None:
     """Assign STEREOZ/STEREOE to double bonds flanked by directional single
     bonds (``/`` ``\\``). RDKit semantics: the Z/E label refers to the

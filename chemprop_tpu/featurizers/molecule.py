@@ -5,9 +5,12 @@ Morgan fingerprints come from the in-repo RDKit-bit-compatible
 implementation (:mod:`chemprop_tpu.chem.morgan_rdkit`): for ACHIRAL
 molecules bit positions match RDKit's ``GetMorganGenerator`` exactly, so
 reference checkpoints trained with Morgan extra descriptors transfer
-unchanged; molecules with chiral tags may differ on stereocenter-rooted
-bits (RDKit's ``includeChirality`` CIP augmentation is not implemented —
-a warning is logged once).
+unchanged. ``include_chirality=True`` (the reference default,
+``chemprop/featurizers/molecule.py:19-27``) folds CIP codes and
+double-bond stereo into the invariants per RDKit's algorithm; no chiral
+RDKit golden exists in this environment, so that path is pinned by
+self-fixtures (see chem/morgan_rdkit.py and
+docs/chemistry_divergences.md).
 """
 
 from __future__ import annotations
@@ -42,7 +45,7 @@ class BinaryFeaturizerMixin:
     ``featurizers/molecule.py:32``)."""
 
     def __call__(self, mol: Mol) -> np.ndarray:
-        return rdkit_morgan_binary(mol, self.radius, self.length)
+        return rdkit_morgan_binary(mol, self.radius, self.length, self.include_chirality)
 
 
 class CountFeaturizerMixin:
@@ -50,7 +53,7 @@ class CountFeaturizerMixin:
     ``featurizers/molecule.py:37``)."""
 
     def __call__(self, mol: Mol) -> np.ndarray:
-        return rdkit_morgan_count(mol, self.radius, self.length)
+        return rdkit_morgan_count(mol, self.radius, self.length, self.include_chirality)
 
 
 @MoleculeFeaturizerRegistry.register("morgan_binary")

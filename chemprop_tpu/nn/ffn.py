@@ -40,7 +40,18 @@ class MLP(nn.Module):
         return len(self.dims) - 1
 
     def setup(self):
-        self.layers = [nn.Dense(d, name=f"block{i}") for i, d in enumerate(self.dims[1:])]
+        from chemprop_tpu.nn import init as init_scheme
+
+        dims = self.dims
+        self.layers = [
+            nn.Dense(
+                d,
+                name=f"block{i}",
+                kernel_init=init_scheme.kernel_init(),
+                bias_init=init_scheme.bias_init(dims[i]),
+            )
+            for i, d in enumerate(dims[1:])
+        ]
         self.drop = nn.Dropout(self.dropout)
         self.tau = get_activation_function(self.activation)
 

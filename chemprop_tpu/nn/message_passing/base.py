@@ -87,8 +87,10 @@ class PaddedDense(nn.Module):
             if d_in is None:
                 d_in = self.in_features if self.in_features is not None else x.shape[-1]
             x_width = x.shape[-1]
+        from chemprop_tpu.nn import init as init_scheme
+
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (d_in, self.features), jnp.float32
+            "kernel", init_scheme.kernel_init(), (d_in, self.features), jnp.float32
         )
         out_w = out_width or self.pad_to or self.features
         k = kernel
@@ -98,7 +100,7 @@ class PaddedDense(nn.Module):
             k = jnp.pad(k, ((0, 0), (0, out_w - self.features)))
         b = None
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            b = self.param("bias", init_scheme.bias_init(d_in), (self.features,), jnp.float32)
             if out_w != self.features:
                 b = jnp.pad(b, (0, out_w - self.features))
         if weights_only:
@@ -165,7 +167,16 @@ class _MessagePassingBase(nn.Module):
         # lane-aligned finalize path overrides d_in/out_width per call
         self.W_o = PaddedDense(self.d_h, use_bias=True, name="W_o", dtype=dt)
         if self.d_vd:
-            self.W_d = nn.Dense(self.d_h + self.d_vd, use_bias=True, name="W_d", dtype=dt)
+            from chemprop_tpu.nn import init as init_scheme
+
+            self.W_d = nn.Dense(
+                self.d_h + self.d_vd,
+                use_bias=True,
+                name="W_d",
+                dtype=dt,
+                kernel_init=init_scheme.kernel_init(),
+                bias_init=init_scheme.bias_init(self.d_h + self.d_vd),
+            )
         self.drop = nn.Dropout(self.dropout)
         self.tau: Callable = get_activation_function(self.activation)
 

@@ -38,7 +38,7 @@ class MABTrainer(Trainer):
             total = total + part
         return (total, parts) if return_parts else total
 
-    def _make_train_step(self) -> Callable:
+    def _train_body(self) -> Callable:
         model, tx = self.model, self.tx
 
         def train_step(state: TrainState, batch):
@@ -81,9 +81,11 @@ class MABTrainer(Trainer):
                 loss,
             )
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return train_step
 
     def _make_eval_step(self) -> Callable:
+        if self._eval_step_jit is not None:
+            return self._eval_step_jit
         model = self.model
 
         def eval_step(params, batch_stats, batch):
@@ -103,7 +105,8 @@ class MABTrainer(Trainer):
             loss, parts = self._losses(model, preds, batch, return_parts=True)
             return {"total": loss, "n": jnp.ones(()), **parts}, preds
 
-        return jax.jit(eval_step)
+        self._eval_step_jit = jax.jit(eval_step)
+        return self._eval_step_jit
 
     def _run_validation(self, val_loader, eval_step) -> dict[str, float]:
         """Returns ``val_loss`` plus per-head ``val_loss-{mol,atom,bond}``
@@ -162,17 +165,21 @@ class MABTrainer(Trainer):
     def init_state(self, batch, steps_per_epoch: int) -> TrainState:
         import jax
 
+        from chemprop_tpu.nn.init import init_scheme
+
+        self._check_jit_cache(steps_per_epoch)
         rng = jax.random.PRNGKey(self.seed)
         rng, init_rng = jax.random.split(rng)
-        variables = self.model.init(
-            init_rng,
-            batch.bmg,
-            batch.V_d,
-            batch.E_d,
-            batch.X_d,
-            batch.constraints,
-            is_training=False,
-        )
+        with init_scheme(self.param_init):
+            variables = self.model.init(
+                init_rng,
+                batch.bmg,
+                batch.V_d,
+                batch.E_d,
+                batch.X_d,
+                batch.constraints,
+                is_training=False,
+            )
         from flax.core import FrozenDict
 
         params = variables["params"]

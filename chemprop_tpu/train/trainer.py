@@ -36,7 +36,7 @@ from chemprop_tpu.data.collate import TrainingBatch
 from chemprop_tpu.data.dataloader import DataLoader
 from chemprop_tpu.models.model import MPNN
 from chemprop_tpu.nn.metrics import ChempropMetric
-from chemprop_tpu.train.schedulers import build_noam_like_schedule
+from chemprop_tpu.train.schedulers import build_noam_like_schedule, noam_lr_host
 
 logger = logging.getLogger(__name__)
 
@@ -86,6 +86,55 @@ def _device_put_batch(batch: TrainingBatch, sharding=None):
     return jax.device_put(batch, sharding)
 
 
+def _count_edges(host_batch) -> int:
+    bmgs = (
+        host_batch.bmg if isinstance(host_batch.bmg, tuple) else (host_batch.bmg,)
+    )
+    return int(sum(np.asarray(b.edge_mask).sum() for b in bmgs))
+
+
+def _batch_signature(host_batch):
+    leaves, treedef = jax.tree_util.tree_flatten(host_batch)
+    return treedef, tuple((np.shape(x), np.asarray(x).dtype.str) for x in leaves)
+
+
+def _stack_batches(batches: list):
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
+
+
+def _prefetch_chunk_put(loader, K: int, sharding=None, depth: int = 2):
+    """Yield ``(n_real_edges, k_steps, device_batch)``. With ``K > 1``,
+    consecutive same-shape host batches are stacked into ``[k, ...]`` chunks
+    (flushed on shape change) for the scan step; device transfers stay
+    ``depth`` chunks ahead of compute (jax.device_put is asynchronous)."""
+    from collections import deque
+
+    def chunks():
+        cur, cur_key, cur_edges = [], None, 0
+        for hb in loader:
+            e = _count_edges(hb)
+            if K <= 1:
+                yield e, 0, hb  # k=0 marks "not stacked"
+                continue
+            key = _batch_signature(hb)
+            if cur and (key != cur_key or len(cur) == K):
+                yield cur_edges, len(cur), _stack_batches(cur)
+                cur, cur_edges = [], 0
+            cur.append(hb)
+            cur_key, cur_edges = key, cur_edges + e
+        if cur:
+            yield cur_edges, len(cur), _stack_batches(cur)
+
+    q: deque = deque()
+    it = chunks()
+    for e, k, host in it:
+        q.append((e, k, _device_put_batch(host, sharding)))
+        if len(q) > depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 @dataclass
 class Trainer:
     model: MPNN
@@ -126,6 +175,16 @@ class Trainer:
     # transfer learning: predicate on the flattened param path; matching
     # subtrees get zero updates (reference --freeze-encoder / --frzn-ffn-layers)
     freeze: Callable[[str], bool] | None = None
+    # parameter init scheme: "lecun" (flax defaults) or "torch" (the
+    # reference's nn.Linear law: kaiming-uniform weights, uniform biases) —
+    # see chemprop_tpu/nn/init.py
+    param_init: str = "lecun"
+    # train steps chained per device dispatch (lax.scan over stacked
+    # same-shape batches). None = auto by batch size: small batches are
+    # chained so per-step host/link overhead amortizes (remote-TPU dispatch
+    # and fetch latencies otherwise dominate small-dataset training); large
+    # batches run one step per dispatch. 1 disables chaining.
+    steps_per_dispatch: int | None = None
 
     # populated during fit
     start_epoch: int = 0
@@ -133,13 +192,24 @@ class Trainer:
     best_variables: dict | None = None
     history: list[dict] = field(default_factory=list)
 
+    # jit caches, reused across fits of the same trainer (a fresh closure per
+    # fit would recompile every seed of a multi-seed run)
+    _jit_key: tuple | None = field(default=None, repr=False)
+    _train_step_jit: Any = field(default=None, repr=False)
+    _scan_step_jit: Any = field(default=None, repr=False)
+    _eval_step_jit: Any = field(default=None, repr=False)
+    _init_jit: Any = field(default=None, repr=False)
+    _best_update_jit: Any = field(default=None, repr=False)
+    _predict_jits: dict = field(default_factory=dict, repr=False)
+
     # ------------------------------------------------------------------ setup
     def _build_optimizer(self, steps_per_epoch: int) -> optax.GradientTransformation:
         warmup_steps = self.warmup_epochs * steps_per_epoch
         cooldown_steps = max(1, (self.max_epochs - self.warmup_epochs) * steps_per_epoch)
-        self.lr_schedule = build_noam_like_schedule(
+        self._sched_args = (
             warmup_steps, cooldown_steps, self.init_lr, self.max_lr, self.final_lr
         )
+        self.lr_schedule = build_noam_like_schedule(*self._sched_args)
         tx = optax.adam(self.lr_schedule)
         if self.grad_clip:
             tx = optax.chain(optax.clip_by_global_norm(self.grad_clip), tx)
@@ -157,12 +227,36 @@ class Trainer:
             tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, label)
         return tx
 
+    def _check_jit_cache(self, steps_per_epoch: int) -> None:
+        """Invalidate the cached jitted functions when anything they close
+        over changes; identical refits (multi-seed runs) reuse them and skip
+        retrace + recompile."""
+        key = (steps_per_epoch, id(self.model), self.sharded)
+        if key != self._jit_key:
+            self._jit_key = key
+            self._train_step_jit = self._scan_step_jit = None
+            self._eval_step_jit = self._init_jit = self._best_update_jit = None
+            self._predict_jits.clear()
+        # param_init only affects parameter creation, not the step functions
+        if getattr(self, "_init_key", None) != self.param_init:
+            self._init_key = self.param_init
+            self._init_jit = None
+
     def init_state(self, batch: TrainingBatch, steps_per_epoch: int) -> TrainState:
+        self._check_jit_cache(steps_per_epoch)
         rng = jax.random.PRNGKey(self.seed)
         rng, init_rng = jax.random.split(rng)
-        variables = self.model.init(
-            init_rng, batch.bmg, batch.V_d, batch.X_d, is_training=False
-        )
+        if self._init_jit is None:
+            from chemprop_tpu.nn.init import init_scheme
+
+            model, scheme = self.model, self.param_init
+
+            def _init(init_rng, bmg, V_d, X_d):
+                with init_scheme(scheme):
+                    return model.init(init_rng, bmg, V_d, X_d, is_training=False)
+
+            self._init_jit = jax.jit(_init)
+        variables = self._init_jit(init_rng, batch.bmg, batch.V_d, batch.X_d)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         self.tx = self._build_optimizer(steps_per_epoch)
@@ -180,11 +274,31 @@ class Trainer:
     # ------------------------------------------------------------------ steps
     def _make_train_step(self) -> Callable:
         if self.sharded:
-            from chemprop_tpu.parallel.shard_train import make_sharded_train_step
+            if self._train_step_jit is None:
+                from chemprop_tpu.parallel.shard_train import make_sharded_train_step
 
-            return make_sharded_train_step(
-                self.model, self.model.criterion, self.tx, self.mesh
-            )
+                self._train_step_jit = make_sharded_train_step(
+                    self.model, self.model.criterion, self.tx, self.mesh
+                )
+            return self._train_step_jit
+        if self._train_step_jit is None:
+            self._train_step_jit = jax.jit(self._train_body(), donate_argnums=(0,))
+        return self._train_step_jit
+
+    def _make_scan_step(self) -> Callable:
+        """``(state, stacked_batches[K]) -> (state, losses[K])`` — K chained
+        train steps per dispatch (lax.scan), so per-step dispatch/link
+        latency amortizes K-fold on small batches."""
+        if self._scan_step_jit is None:
+            body = self._train_body()
+
+            def scan_steps(state, batches):
+                return jax.lax.scan(body, state, batches)
+
+            self._scan_step_jit = jax.jit(scan_steps, donate_argnums=(0,))
+        return self._scan_step_jit
+
+    def _train_body(self) -> Callable:
         model, criterion, tx = self.model, self.model.criterion, self.tx
 
         def train_step(state: TrainState, batch: TrainingBatch):
@@ -229,13 +343,46 @@ class Trainer:
             )
             return new_state, loss
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return train_step
+
+    def _make_best_update(self) -> Callable:
+        """Device-side best-epoch tracking: ``(best, score, variables, epoch)
+        -> best`` where ``best = (score, epoch, variables)``. Keeps the
+        per-epoch monitor comparison and the best-parameter snapshot entirely
+        on device — no host fetch, no host-side parameter copy per epoch."""
+        if self._best_update_jit is None:
+            minimize, min_delta = self.mode == "min", self.min_delta
+
+            def update_best(best, score, variables, epoch):
+                best_score, best_epoch, best_vars = best
+                better = (
+                    score < best_score - min_delta
+                    if minimize
+                    else score > best_score + min_delta
+                )
+                new_vars = jax.tree.map(
+                    lambda b, p: jnp.where(better, p, b), best_vars, variables
+                )
+                return (
+                    jnp.where(better, score, best_score),
+                    jnp.where(better, epoch, best_epoch),
+                    new_vars,
+                )
+
+            self._best_update_jit = jax.jit(update_best, donate_argnums=(0,))
+        return self._best_update_jit
 
     def _make_eval_step(self) -> Callable:
         if self.sharded:
-            from chemprop_tpu.parallel.shard_train import make_sharded_eval_step
+            if self._eval_step_jit is None:
+                from chemprop_tpu.parallel.shard_train import make_sharded_eval_step
 
-            return make_sharded_eval_step(self.model, self.model.criterion, self.mesh)
+                self._eval_step_jit = make_sharded_eval_step(
+                    self.model, self.model.criterion, self.mesh
+                )
+            return self._eval_step_jit
+        if self._eval_step_jit is not None:
+            return self._eval_step_jit
         model, criterion = self.model, self.model.criterion
 
         def eval_step(params, batch_stats, batch: TrainingBatch):
@@ -261,7 +408,8 @@ class Trainer:
             )
             return loss_state, preds
 
-        return jax.jit(eval_step)
+        self._eval_step_jit = jax.jit(eval_step)
+        return self._eval_step_jit
 
     # ------------------------------------------------------------------- fit
     def fit(self, train_loader: DataLoader, val_loader: DataLoader | None = None) -> TrainState:
@@ -303,9 +451,51 @@ class Trainer:
 
             tb_writer = ScalarEventWriter(self.tensorboard_dir)
 
+        # steps chained per dispatch: small batches amortize per-dispatch
+        # host/link overhead K-fold via lax.scan; big batches (compute-bound)
+        # and instrumented/sharded paths run one step per dispatch
+        if self.sharded or self.mesh is not None or self.profile_dir is not None:
+            K = 1
+        elif self.steps_per_dispatch is not None:
+            K = max(1, int(self.steps_per_dispatch))
+        else:
+            nbytes = sum(np.asarray(x).nbytes for x in jax.tree.leaves(first_batch))
+            K = int(max(1, min(50, 8_000_000 // max(1, nbytes))))
+        scan_step = self._make_scan_step() if K > 1 else None
+
+        # deferred-sync mode: nothing in this configuration needs a per-epoch
+        # host value, so the monitor comparison and best-parameter snapshot
+        # run on device and every scalar is fetched once after the last epoch
+        # (per-epoch round trips otherwise dominate small-dataset wall-clock
+        # on remote-TPU links)
+        deferred = (
+            val_loader is None
+            and self.checkpoint_dir is None
+            and self.patience is None
+            and not self.log_every
+            and tb_writer is None
+            and not self.sharded
+        )
+
         best_score = np.inf if self.mode == "min" else -np.inf
         best_epoch = -1
         epochs_since_improvement = 0
+        host_step = self.start_epoch * steps_per_epoch
+        dev_best = None
+        dev_epoch_losses: list = []
+        n_fit_epochs = 0
+        if deferred:
+            update_best = self._make_best_update()
+            # jnp.copy: update_best donates its best argument, so the initial
+            # snapshot must not alias the live training state
+            dev_best = (
+                jnp.asarray(best_score, jnp.float32),
+                jnp.asarray(-1, jnp.int32),
+                jax.tree.map(
+                    jnp.copy,
+                    {"params": self.state.params, "batch_stats": self.state.batch_stats},
+                ),
+            )
 
         for epoch in range(self.start_epoch, self.max_epochs):
             t0 = time.time()
@@ -313,8 +503,8 @@ class Trainer:
             n_edges = 0
             losses = []
             profiling = False
-            for step_i, (host_batch, batch) in enumerate(
-                _device_prefetch(train_loader, self.data_sharding)
+            for step_i, (chunk_edges, k, batch) in enumerate(
+                _prefetch_chunk_put(train_loader, K, self.data_sharding)
             ):
                 if (
                     self.profile_dir is not None
@@ -323,33 +513,55 @@ class Trainer:
                 ):
                     jax.profiler.start_trace(str(self.profile_dir))
                     profiling = True
-                # count real edges from the HOST batch: touching device
+                # edge counts come from the HOST batches: touching device
                 # arrays here would block the dispatch pipeline every step
                 # (on remote-TPU links that round-trip dominates epoch time)
-                bmgs = host_batch.bmg if isinstance(host_batch.bmg, tuple) else (host_batch.bmg,)
-                n_edges += int(sum(np.asarray(b.edge_mask).sum() for b in bmgs))
-                self.state, loss = train_step(self.state, batch)
-                losses.append(loss)
+                n_edges += chunk_edges
+                if k:  # stacked chunk of k steps
+                    self.state, ls = scan_step(self.state, batch)
+                    losses.append(ls)
+                    host_step += k
+                else:
+                    self.state, loss = train_step(self.state, batch)
+                    losses.append(loss)
+                    host_step += 1
                 if profiling and step_i >= self.profile_steps:
-                    jax.block_until_ready(loss)
+                    jax.block_until_ready(losses[-1])
                     jax.profiler.stop_trace()
                     profiling = False
                     logger.info(f"wrote jax.profiler trace to {self.profile_dir}")
             if profiling:
                 jax.block_until_ready(losses[-1])
                 jax.profiler.stop_trace()
-            # one device->host fetch per epoch, after the queue has drained
-            train_loss = (
-                float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            epoch_loss_dev = (
+                jnp.mean(jnp.concatenate([jnp.atleast_1d(l) for l in losses]))
+                if losses
+                else jnp.asarray(float("nan"))
             )
             dt = time.time() - t0
             record = {
                 "epoch": epoch,
-                "train_loss": train_loss,
+                "train_loss": float("nan"),
                 "time_s": dt,
                 "edges_per_s": n_edges / max(dt, 1e-9),
-                "lr": float(self.lr_schedule(self.state.step)),
+                "lr": noam_lr_host(host_step, *self._sched_args),
             }
+            n_fit_epochs += 1
+
+            if deferred:
+                dev_epoch_losses.append(epoch_loss_dev)
+                dev_best = update_best(
+                    dev_best,
+                    epoch_loss_dev,
+                    {"params": self.state.params, "batch_stats": self.state.batch_stats},
+                    jnp.asarray(epoch, jnp.int32),
+                )
+                self.history.append(record)
+                continue
+
+            # one device->host fetch per epoch, after the queue has drained
+            train_loss = float(epoch_loss_dev) if losses else float("nan")
+            record["train_loss"] = train_loss
 
             # ---- validate
             if val_loader is not None:
@@ -390,6 +602,16 @@ class Trainer:
                 logger.info(f"early stopping at epoch {epoch} (best epoch {best_epoch})")
                 break
 
+        if deferred and dev_best is not None:
+            # single batched fetch for everything the loop deferred
+            b_score, b_epoch, b_vars = dev_best
+            fetched = jax.device_get(
+                {"losses": dev_epoch_losses, "score": b_score, "epoch": b_epoch, "vars": b_vars}
+            )
+            for rec, l in zip(self.history[-n_fit_epochs:], fetched["losses"]):
+                rec["train_loss"] = float(l)
+            best_score, best_epoch = float(fetched["score"]), int(fetched["epoch"])
+            self.best_variables = fetched["vars"]
         if tb_writer is not None:
             tb_writer.close()
         if self.best_variables is None:
@@ -402,21 +624,23 @@ class Trainer:
         criterion = self.model.criterion
         state = None
         preds_chunks, Y_chunks = [], []
-        for batch in val_loader:
-            batch = self._put(batch) if self.mesh is not None else _device_put_batch(batch)
+        for host in val_loader:
+            batch = self._put(host) if self.mesh is not None else _device_put_batch(host)
             loss_state, preds = eval_step(self.state.params, self.state.batch_stats, batch)
             if state is None:
                 state = loss_state
             else:
                 state = jax.tree.map(lambda a, b: a + b, state, loss_state)
             if self.val_metrics:
+                # targets/masks come from the HOST batch (device fetches here
+                # would add a round trip per batch)
                 p = np.asarray(preds)
-                Y = np.asarray(batch.Y)
+                Y = np.asarray(host.Y)
                 if self.sharded:  # [S, B_shard, ...] -> flat rows
                     p = p.reshape((-1,) + p.shape[2:])
                     Y = Y.reshape((-1,) + Y.shape[2:])
-                preds_chunks.append(p[batch.pad_mask])
-                Y_chunks.append(Y[batch.pad_mask])
+                preds_chunks.append(p[host.pad_mask])
+                Y_chunks.append(Y[host.pad_mask])
         record = {
             "val_loss": float(criterion.compute(state)) if state is not None else float("nan")
         }
@@ -487,29 +711,40 @@ class Trainer:
                 chunks.append(preds[batch.pad_mask])
             return np.concatenate(chunks, axis=0)
 
-        def _apply(v, bmg, V_d, X_d):
-            kwargs = {"method": method} if method else {}
-            if use_batch_statistics:
-                out = self.model.apply(
-                    v,
-                    bmg,
-                    V_d,
-                    X_d,
-                    is_training=True,
-                    rngs={"dropout": jax.random.PRNGKey(0)},
-                    mutable=["batch_stats"] if v.get("batch_stats") else False,
-                    **kwargs,
-                )
-                return out[0] if isinstance(out, tuple) else out
-            return self.model.apply(v, bmg, V_d, X_d, is_training=False, **kwargs)
+        cache_key = ("predict", method, use_batch_statistics)
+        apply = self._predict_jits.get(cache_key)
+        if apply is None:
 
-        apply = jax.jit(_apply)
-        chunks = []
-        for batch in loader:
-            batch = self._put(batch)
-            preds = apply(variables, batch.bmg, batch.V_d, batch.X_d)
-            chunks.append(np.asarray(preds)[batch.pad_mask])
-        return np.concatenate(chunks, axis=0)
+            def _apply(v, bmg, V_d, X_d):
+                kwargs = {"method": method} if method else {}
+                if use_batch_statistics:
+                    out = self.model.apply(
+                        v,
+                        bmg,
+                        V_d,
+                        X_d,
+                        is_training=True,
+                        rngs={"dropout": jax.random.PRNGKey(0)},
+                        mutable=["batch_stats"] if v.get("batch_stats") else False,
+                        **kwargs,
+                    )
+                    return out[0] if isinstance(out, tuple) else out
+                return self.model.apply(v, bmg, V_d, X_d, is_training=False, **kwargs)
+
+            apply = jax.jit(_apply)
+            self._predict_jits[cache_key] = apply
+
+        variables = jax.device_put(variables)  # once, not per batch dispatch
+        dev_chunks, masks = [], []
+        for host in loader:
+            masks.append(host.pad_mask)  # host mask BEFORE the device put
+            batch = self._put(host) if self.mesh is not None else _device_put_batch(host)
+            dev_chunks.append(apply(variables, batch.bmg, batch.V_d, batch.X_d))
+        # all batches dispatched asynchronously; one batched fetch at the end
+        vals = jax.device_get(dev_chunks)
+        return np.concatenate(
+            [np.asarray(v)[m] for v, m in zip(vals, masks)], axis=0
+        )
 
     def _put(self, batch: TrainingBatch) -> TrainingBatch:
         """Device-put a host batch with mesh shardings (multi-host safety:

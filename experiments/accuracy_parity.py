@@ -6,7 +6,22 @@ The reference publishes no numbers, so the comparison baseline is the
 reference's own training math (D-MPNN + Adam + Noam LR, reference defaults:
 d_h=300, depth=3, FFN 1x300, batch 64, 50 epochs, lr 1e-4->1e-3->1e-4)
 implemented in eager torch on this host, fed the SAME featurized graphs and
-the SAME seeded 80/10/10 split. Writes ACCURACY_r03.json at the repo root.
+the SAME seeded 80/10/10 split.
+
+Round-4 A/B attribution (VERDICT r3 item 2): the r3 deficit (ours lost RMSE
+on all 3 seeds) had two untested named suspects —
+
+* init law: torch ``nn.Linear`` uses kaiming-uniform(a=sqrt(5)) weights +
+  uniform(+-1/sqrt(fan_in)) biases; flax defaults are lecun_normal + zeros
+  (3x the weight variance, zero biases). ``ours_init`` arms run both
+  (``Trainer(param_init=...)``).
+* partial-batch policy: the r3 torch baseline dropped the last partial batch
+  (64 of 80 train molecules per epoch, 1 step/epoch); the actual reference
+  keeps it (``drop_last=False`` unless the tail is a single sample,
+  ``/root/reference/chemprop/data/dataloader.py:77-85``) as do we. The
+  faithful baseline keeps it; the r3 behavior is retained as an arm.
+
+Writes ACCURACY_r04.json at the repo root.
 
 Run: python experiments/accuracy_parity.py
 """
@@ -29,6 +44,7 @@ REPO = Path(__file__).parent.parent
 EPOCHS = 50
 BATCH = 64
 D_H = 300
+N_SEEDS = 5
 
 
 def load_csv(path, target_col):
@@ -55,70 +71,83 @@ def featurize(smis):
     return [feat(MoleculeDatapoint.from_smi(s, y=np.zeros(1)).mol) for s in smis]
 
 
-def train_ours(mgs, ys, tr, va, te, task):
-    """Library-API training on the default device (TPU under the driver)."""
-    import jax.numpy as jnp
+class _OursRunner:
+    """One model + trainer per task, reused across seeds/arms so the jitted
+    train step compiles once (Trainer caches its jits across refits)."""
 
-    from chemprop_tpu.data import DataLoader
-    from chemprop_tpu.models import MPNN
-    from chemprop_tpu.nn import (
-        BinaryClassificationFFN,
-        BondMessagePassing,
-        MeanAggregation,
-        RegressionFFN,
-    )
-    from chemprop_tpu.train import Trainer
+    def __init__(self, mgs, ys, task):
+        import jax.numpy as jnp
 
-    from chemprop_tpu.data.datasets import Datum
+        from chemprop_tpu.data.collate import PadSpec
+        from chemprop_tpu.models import MPNN
+        from chemprop_tpu.nn import (
+            BinaryClassificationFFN,
+            BondMessagePassing,
+            MeanAggregation,
+            RegressionFFN,
+        )
+        from chemprop_tpu.train import Trainer
 
-    class GraphDS:
-        def __init__(self, idxs, scale=None):
-            self.idxs = list(idxs)
-            self.scale = scale
+        self.mgs, self.ys, self.task = mgs, ys, task
+        predictor = RegressionFFN() if task == "regression" else BinaryClassificationFFN()
+        self.model = MPNN(
+            message_passing=BondMessagePassing(compute_dtype=jnp.bfloat16),
+            agg=MeanAggregation(),
+            predictor=predictor,
+            batch_norm=False,
+        )
+        self.trainer = Trainer(self.model, max_epochs=EPOCHS, seed=0)
+        # one dataset-wide pad spec -> one compiled shape for every batch
+        self.pad = PadSpec.for_graphs(mgs, n_graphs=BATCH)
 
-        def __len__(self):
-            return len(self.idxs)
+    def run(self, tr, te, seed=0, param_init="lecun"):
+        from chemprop_tpu.data import DataLoader
+        from chemprop_tpu.data.datasets import Datum
 
-        def __getitem__(self, k):
-            i = self.idxs[k]
-            y = ys[i]
-            if self.scale is not None:
-                y = (y - self.scale[0]) / self.scale[1]
-            return Datum(mgs[i], None, None, y, 1.0, None, None)
+        mgs, ys = self.mgs, self.ys
 
-        @property
-        def Y(self):
-            return ys[self.idxs]
+        class GraphDS:
+            def __init__(self, idxs, scale=None):
+                self.idxs = list(idxs)
+                self.scale = scale
 
-    scale = None
-    if task == "regression":
-        mu = ys[tr].mean(0)
-        sd = ys[tr].std(0)
-        scale = (mu, sd)
-    train_ds = GraphDS(tr, scale)
-    predictor = (
-        RegressionFFN() if task == "regression" else BinaryClassificationFFN()
-    )
-    model = MPNN(
-        message_passing=BondMessagePassing(compute_dtype=jnp.bfloat16),
-        agg=MeanAggregation(),
-        predictor=predictor,
-        batch_norm=False,
-    )
-    trainer = Trainer(model, max_epochs=EPOCHS, seed=0)
-    loader = DataLoader(train_ds, batch_size=BATCH, shuffle=True, seed=0)
-    trainer.fit(loader)
-    test_loader = DataLoader(GraphDS(te), batch_size=BATCH)
-    preds = trainer.predict(test_loader)[: len(te)]
-    preds = np.asarray(preds, np.float64).reshape(len(te), -1)
-    if task == "regression":
-        preds = preds * scale[1] + scale[0]
-    return preds
+            def __len__(self):
+                return len(self.idxs)
+
+            def __getitem__(self, k):
+                i = self.idxs[k]
+                y = ys[i]
+                if self.scale is not None:
+                    y = (y - self.scale[0]) / self.scale[1]
+                return Datum(mgs[i], None, None, y, 1.0, None, None)
+
+            @property
+            def Y(self):
+                return ys[self.idxs]
+
+        scale = None
+        if self.task == "regression":
+            scale = (ys[tr].mean(0), ys[tr].std(0))
+        t = self.trainer
+        t.seed, t.param_init = seed, param_init
+        t.state, t.best_variables, t.history = None, None, []
+        loader = DataLoader(
+            GraphDS(tr, scale), batch_size=BATCH, shuffle=True, seed=seed, pad_spec=self.pad
+        )
+        t.fit(loader)
+        test_loader = DataLoader(GraphDS(te), batch_size=BATCH, pad_spec=self.pad)
+        preds = t.predict(test_loader)[: len(te)]
+        preds = np.asarray(preds, np.float64).reshape(len(te), -1)
+        if self.task == "regression":
+            preds = preds * scale[1] + scale[0]
+        return preds
 
 
-def train_torch_reference(mgs, ys, tr, va, te, task, seed=0):
+def train_torch_reference(mgs, ys, tr, te, task, seed=0, drop_partial=False):
     """The reference's training math in eager torch (base.py + model.py +
-    schedulers.py semantics) on the same graphs/split."""
+    schedulers.py semantics) on the same graphs/split. ``drop_partial=False``
+    is the faithful setting (reference ``data/dataloader.py:77-85`` keeps the
+    partial tail batch); ``True`` reproduces the r3 baseline."""
     import torch
 
     torch.manual_seed(seed)
@@ -171,8 +200,12 @@ def train_torch_reference(mgs, ys, tr, va, te, task, seed=0):
         agg = torch.zeros(ng, D_H).index_add_(0, bat, Hv) / counts[:, None]
         return f1(torch.relu(f0(agg)))
 
-    # reference Noam-like schedule (schedulers.py:5-65)
-    steps_per_epoch = max(1, len(tr) // BATCH)
+    # reference Noam-like schedule (schedulers.py:5-65); steps_per_epoch
+    # matches the loader's batch count under the chosen tail policy
+    if drop_partial:
+        steps_per_epoch = max(1, len(tr) // BATCH)
+    else:
+        steps_per_epoch = -(-len(tr) // BATCH)
     warmup = 2 * steps_per_epoch
     total = EPOCHS * steps_per_epoch
     init_lr, max_lr, final_lr = 1e-4, 1e-3, 1e-4
@@ -183,11 +216,12 @@ def train_torch_reference(mgs, ys, tr, va, te, task, seed=0):
         frac = (step - warmup) / max(1, total - warmup)
         return max_lr * (final_lr / max_lr) ** frac
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     step = 0
+    stop = (len(tr) - BATCH + 1) if drop_partial else len(tr)
     for _ in range(EPOCHS):
         order = rng.permutation(len(tr))
-        for k in range(0, len(order) - BATCH + 1, BATCH):
+        for k in range(0, stop, BATCH):
             idxs = tr[order[k : k + BATCH]]
             for g in opt.param_groups:
                 g["lr"] = lr_at(step)
@@ -224,63 +258,78 @@ def auc(p, y):
     return float((ranks[pos].sum() - n1 * (n1 + 1) / 2) / (n1 * n0))
 
 
+def run_task(name, smis, ys, task, metric_fn, metric_name, results):
+    mgs = featurize(smis)
+    ours = _OursRunner(mgs, ys, task)
+    per_seed = []
+    arms = {
+        "ours_lecun": [], "ours_torch_init": [],
+        "reference_math": [], "reference_math_drop_partial": [],
+    }
+    t_ours = t_ref = 0.0
+    for seed in range(N_SEEDS):
+        tr, va, te = split(len(smis), seed=seed)
+        y_te = ys[te]
+        row = {"seed": seed}
+        t0 = time.time()
+        row["ours_lecun"] = round(metric_fn(ours.run(tr, te, seed, "lecun"), y_te), 4)
+        row["ours_torch_init"] = round(metric_fn(ours.run(tr, te, seed, "torch"), y_te), 4)
+        t_ours += time.time() - t0
+        t0 = time.time()
+        row["reference_math"] = round(
+            metric_fn(train_torch_reference(mgs, ys, tr, te, task, seed), y_te), 4
+        )
+        t_ref += time.time() - t0
+        row["reference_math_drop_partial"] = round(
+            metric_fn(
+                train_torch_reference(mgs, ys, tr, te, task, seed, drop_partial=True), y_te
+            ),
+            4,
+        )
+        for k in arms:
+            arms[k].append(row[k])
+        per_seed.append(row)
+        print(f"[{name}] {row}", flush=True)
+    results[name] = {
+        "metric": metric_name,
+        "per_seed": per_seed,
+        "means": {k: round(float(np.mean(v)), 4) for k, v in arms.items()},
+        "stds": {k: round(float(np.std(v)), 4) for k, v in arms.items()},
+        # ours time includes one-time jit compilation for the task (2 arms);
+        # the torch time is 2x faithful+drop arms per seed
+        "ours_train_s_total_2arms": round(t_ours, 1),
+        "reference_train_s_total_1arm": round(t_ref, 1),
+    }
+
+
 def main():
     enable_compile_cache()
     results = {}
 
     # regression: 100-row lipophilicity (the reference's ESOL-style bar);
-    # the 10-molecule test split is noisy, so report 3 split seeds
+    # the 10-molecule test split is noisy, so report N_SEEDS split seeds
     smis, ys = load_csv(REPO / "tests/data/regression/mol/mol.csv", "lipo")
-    mgs = featurize(smis)
-    reg = []
-    t_ours = t_ref = 0.0
-    for seed in range(3):
-        tr, va, te = split(len(smis), seed=seed)
-        t0 = time.time()
-        ours = train_ours(mgs, ys, tr, va, te, "regression")
-        t_ours += time.time() - t0
-        t0 = time.time()
-        ref = train_torch_reference(mgs, ys, tr, va, te, "regression", seed=seed)
-        t_ref += time.time() - t0
-        reg.append({"seed": seed, "ours_rmse": round(rmse(ours, ys[te]), 4),
-                    "reference_math_rmse": round(rmse(ref, ys[te]), 4)})
-    results["regression_lipo"] = {
-        "per_seed": reg,
-        "ours_mean_rmse": round(float(np.mean([r["ours_rmse"] for r in reg])), 4),
-        "reference_mean_rmse": round(
-            float(np.mean([r["reference_math_rmse"] for r in reg])), 4
-        ),
-        "ours_train_s_total": round(t_ours, 1),
-        "reference_train_s_total": round(t_ref, 1),
-    }
+    run_task("regression_lipo", smis, ys, "regression", rmse, "rmse", results)
 
-    # classification: Tox21-style NR-AhR, 3 split seeds
+    # classification: Tox21-style NR-AhR
     smis, ys = load_csv(REPO / "tests/data/classification/mol.csv", "NR-AhR")
     keep = [i for i, row in enumerate(ys) if np.isfinite(row).all()]
     smis = [smis[i] for i in keep]
     ys = ys[keep]
-    mgs = featurize(smis)
-    cls = []
-    for seed in range(3):
-        tr, va, te = split(len(smis), seed=seed)
-        ours = train_ours(mgs, ys, tr, va, te, "classification")
-        ref = train_torch_reference(mgs, ys, tr, va, te, "classification", seed=seed)
-        cls.append({"seed": seed, "ours_auc": round(auc(ours, ys[te]), 4),
-                    "reference_math_auc": round(auc(ref, ys[te]), 4)})
-    results["classification_nr_ahr"] = {
-        "per_seed": cls,
-        "ours_mean_auc": round(float(np.mean([r["ours_auc"] for r in cls])), 4),
-        "reference_mean_auc": round(
-            float(np.mean([r["reference_math_auc"] for r in cls])), 4
-        ),
-    }
+    run_task("classification_nr_ahr", smis, ys, "classification", auc, "auc", results)
 
     results["config"] = {
-        "epochs": EPOCHS, "batch": BATCH, "d_h": D_H, "depth": 3,
+        "epochs": EPOCHS, "batch": BATCH, "d_h": D_H, "depth": 3, "n_seeds": N_SEEDS,
         "split": "seeded 80/10/10", "ours_precision": "bf16 compute / f32 params",
         "reference": "eager torch f32, reference defaults (Adam + Noam 1e-4->1e-3->1e-4)",
+        "arms": {
+            "ours_lecun": "flax default init (lecun_normal weights, zero biases)",
+            "ours_torch_init": "torch nn.Linear init law (Trainer(param_init='torch'))",
+            "reference_math": "faithful: keeps the partial tail batch (reference drop_last=False)",
+            "reference_math_drop_partial": "r3 baseline behavior: drops the tail batch",
+        },
     }
-    out = REPO / "ACCURACY_r03.json"
+    out = REPO / "ACCURACY_r04.json"
     out.write_text(json.dumps(results, indent=2) + "\n")
     print(json.dumps(results, indent=2))
 
