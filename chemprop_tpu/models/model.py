@@ -63,8 +63,14 @@ class MPNN(nn.Module):
         # readout — the graph-level slice below is ~30x cheaper than slicing
         # or re-padding the node table (see docs/performance.md)
         keep_padded = getattr(self.agg, "columnwise", False)
-        H_v = self.message_passing(bmg, V_d, is_training, mc_dropout, keep_padded=keep_padded)
-        H = self.agg(H_v, bmg)
+        # out_dtype=None: the node table stays in the MP compute dtype (one
+        # bf16 write instead of bf16+f32); the f32 cast happens on the much
+        # smaller graph table below, bitwise-identical because every readout
+        # accumulates in f32
+        H_v = self.message_passing(
+            bmg, V_d, is_training, mc_dropout, keep_padded=keep_padded, out_dtype=None
+        )
+        H = self.agg(H_v, bmg).astype(jnp.float32)
         if H.shape[1] != self.message_passing.output_dim:
             H = H[:, : self.message_passing.output_dim]
         if self.batch_norm:

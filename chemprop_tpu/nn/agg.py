@@ -47,11 +47,14 @@ class MeanAggregation(Aggregation):
 
     @nn.compact
     def __call__(self, H: jax.Array, bmg: BatchMolGraph) -> jax.Array:
-        totals = segment_sum(H, bmg.batch, bmg.n_graphs + 1, sorted=True)[: bmg.n_graphs]
-        counts = segment_sum(
-            jnp.ones((H.shape[0], 1), H.dtype), bmg.batch, bmg.n_graphs + 1, sorted=True
-        )[: bmg.n_graphs]
-        return totals / jnp.maximum(counts, 1)
+        from chemprop_tpu.ops.sorted_segments import sorted_segment_sum_counts
+
+        # counts ride the same kernel pass as the totals (one-hot row sums,
+        # no extra HBM traffic) instead of a separate segment-sum of ones
+        totals, counts = sorted_segment_sum_counts(H, bmg.batch, bmg.n_graphs + 1)
+        totals = totals[: bmg.n_graphs]
+        counts = counts[: bmg.n_graphs]
+        return totals / jnp.maximum(counts[:, None].astype(totals.dtype), 1.0)
 
 
 @AggregationRegistry.register("norm")

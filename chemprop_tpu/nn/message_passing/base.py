@@ -197,6 +197,7 @@ class _MessagePassingBase(nn.Module):
         is_training: bool = True,
         mc_dropout: bool = False,
         keep_padded: bool = False,
+        out_dtype: jnp.dtype | None = jnp.float32,
     ) -> jax.Array:
         # mc_dropout activates dropout layers ONLY (Monte-Carlo dropout
         # uncertainty, reference ``uncertainty/estimator.py:605-636`` patches
@@ -295,7 +296,12 @@ class _MessagePassingBase(nn.Module):
             H_v = self.W_d(jnp.concatenate([H_v, V_d.astype(self.compute_dtype)], axis=1))
             H_v = self.drop(H_v, deterministic=not drop_on)
 
-        return H_v.astype(jnp.float32)
+        # out_dtype=None keeps the compute dtype: in bf16 mode the node table
+        # is then written once in bf16 (casting to f32 here would materialize
+        # an extra f32 node table — ~2x the HBM bytes — for values that are
+        # bf16-representable anyway; MPNN casts AFTER the graph readout,
+        # which is bitwise-identical since the readout accumulates in f32)
+        return H_v if out_dtype is None else H_v.astype(out_dtype)
 
 
 class BondMessagePassing(_MessagePassingBase):
@@ -317,8 +323,19 @@ class BondMessagePassing(_MessagePassingBase):
         # cast BEFORE the node->edge gather: exact (casts commute with
         # gathers) and halves the gathered bytes in bf16 mode
         d_in = bmg.V.shape[1] + bmg.E.shape[1]
+        V_c = bmg.V.astype(self.compute_dtype)
+        if bmg.edges_sorted and bmg.fused_ok and V_c.dtype == jnp.bfloat16:
+            # Pallas sliding-window gather: XLA's M[dst][rev] pair runs at
+            # ~1/5 HBM bandwidth here; forward-only (V carries no grad).
+            # Window: 4 chunks cover the per-group node span for <=129-edge
+            # molecules, 5 for the wider fused windows (see window_gather)
+            from chemprop_tpu.ops.window_gather import window_gather
+
+            v_src = window_gather(V_c, bmg.src, w=4 if bmg.fused_window <= 1 else 5)
+        else:
+            v_src = _gather_src(V_c, bmg)
         parts = [
-            _gather_src(bmg.V.astype(self.compute_dtype), bmg),
+            v_src,
             bmg.E.astype(self.compute_dtype),
         ]
         # lane-align the edge-feature table: zero input columns hit zero

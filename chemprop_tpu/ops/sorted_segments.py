@@ -48,8 +48,13 @@ DEPTH = int(os.environ.get("CHEMPROP_TPU_SEG_DEPTH", 8))  # DMA pipeline depth (
 MAX_VMEM_BYTES = 12 << 20
 
 
-def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int, n_total: int):
-    def _kernel(e_lo_ref, e_hi_ref, ids2d_ref, data_ref, out_ref, acc_ref, data_buf, marks, sems):
+def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int, n_total: int, with_counts: bool = False):
+    def _kernel(e_lo_ref, e_hi_ref, ids2d_ref, data_ref, *rest):
+        if with_counts:
+            out_ref, counts_ref, acc_ref, cacc_ref, data_buf, marks, sems = rest
+        else:
+            out_ref, acc_ref, data_buf, marks, sems = rest
+            counts_ref = cacc_ref = None
         """GLOBAL chunk pipeline: ``marks`` (SMEM) holds monotonic
         issued/waited chunk watermarks that persist across grid steps, so
         the DMA stream flows tile-to-tile — each chunk is issued and waited
@@ -72,6 +77,8 @@ def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int, n_total: int):
             marks[1] = 0  # waited watermark (next chunk to wait)
 
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        if with_counts:
+            cacc_ref[...] = jnp.zeros_like(cacc_ref)
 
         # NSLOTS = DEPTH + 1: issuing chunk c+DEPTH clobbers the slot of
         # chunk c-1 — strictly consumed, even when the last chunk of this
@@ -116,6 +123,14 @@ def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int, n_total: int):
             # hi+lo recovers ~16 mantissa bits of the f32 data at 2 MXU
             # passes (vs 6 for Precision.HIGHEST) with f32 accumulation
             P = (ids[None, :] == rows).astype(jnp.bfloat16)
+            if with_counts:
+                # per-segment element counts ride along as P's row sums —
+                # VPU-only, no extra HBM traffic (replaces a whole
+                # segment-sum-of-ones pass for mean readouts). Broadcast over
+                # the 8 sublane rows (TPU block-shape minimum); the caller
+                # reads row 0.
+                sums = jnp.sum(P.astype(jnp.float32), axis=1)
+                cacc_ref[...] += jnp.broadcast_to(sums[None, :], cacc_ref.shape)
             x = data_buf[jax.lax.rem(c, NSLOTS)]
             if x.dtype == jnp.bfloat16:
                 # bf16 inputs: one MXU pass with f32 accumulation is exact
@@ -142,6 +157,8 @@ def _make_kernel(TILE_S: int, CHUNK: int, DEPTH: int, n_total: int):
         # happens at the single tile write, so a bf16 out_dtype halves the
         # HBM write bytes with numerics identical to casting afterwards
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+        if with_counts:
+            counts_ref[...] = cacc_ref[...]
 
     return _kernel
 
@@ -155,7 +172,11 @@ def _tile_tables(ids: jax.Array, num_segments: int):
 
 
 def _sorted_segment_sum_fwd_impl(
-    data: jax.Array, ids: jax.Array, num_segments: int, out_dtype=jnp.float32
+    data: jax.Array,
+    ids: jax.Array,
+    num_segments: int,
+    out_dtype=jnp.float32,
+    with_counts: bool = False,
 ):
     n, d_orig = data.shape
     if n % CHUNK != 0:
@@ -171,6 +192,24 @@ def _sorted_segment_sum_fwd_impl(
     s_pad = n_tiles * TILE_S
     ids2d = ids.reshape(n // CHUNK, CHUNK)
 
+    out_specs = pl.BlockSpec(
+        (TILE_S, d), lambda t, e_lo, e_hi: (t, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((s_pad, d), out_dtype)
+    scratch = [
+        pltpu.VMEM((TILE_S, d), jnp.float32),
+        pltpu.VMEM((DEPTH + 1, CHUNK, d), data.dtype),
+        pltpu.SMEM((2,), jnp.int32),  # issued/waited chunk watermarks
+        pltpu.SemaphoreType.DMA((DEPTH + 1,)),
+    ]
+    if with_counts:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((8, TILE_S), lambda t, e_lo, e_hi: (t, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((n_tiles * 8, TILE_S), jnp.float32)]
+        scratch = scratch[:1] + [pltpu.VMEM((8, TILE_S), jnp.float32)] + scratch[1:]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # e_lo, e_hi
         grid=(n_tiles,),
@@ -178,21 +217,18 @@ def _sorted_segment_sum_fwd_impl(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ids fully VMEM-resident
             pl.BlockSpec(memory_space=pl.ANY),  # data stays in HBM
         ],
-        out_specs=pl.BlockSpec(
-            (TILE_S, d), lambda t, e_lo, e_hi: (t, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((TILE_S, d), jnp.float32),
-            pltpu.VMEM((DEPTH + 1, CHUNK, d), data.dtype),
-            pltpu.SMEM((2,), jnp.int32),  # issued/waited chunk watermarks
-            pltpu.SemaphoreType.DMA((DEPTH + 1,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        _make_kernel(TILE_S, CHUNK, DEPTH, n_total=n // CHUNK),
+        _make_kernel(TILE_S, CHUNK, DEPTH, n_total=n // CHUNK, with_counts=with_counts),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((s_pad, d), out_dtype),
+        out_shape=out_shape,
     )(e_lo, e_hi, ids2d, data)
+    if with_counts:
+        out, counts = out
+        counts = counts.reshape(n_tiles, 8, TILE_S)[:, 0, :].reshape(-1)[:num_segments]
+        return out[:num_segments, :d_orig], counts
     return out[:num_segments, :d_orig]
 
 
@@ -240,3 +276,60 @@ def _bwd(num_segments, out_dtype, res, g):
 
 
 sorted_segment_sum.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sorted_segment_sum_counts(
+    data: jax.Array, ids: jax.Array, num_segments: int, out_dtype=jnp.float32
+):
+    """Like :func:`sorted_segment_sum` but also returns the per-segment
+    element counts ``[num_segments]`` (f32). On the Pallas path the counts
+    are the one-hot matrix's row sums accumulated on the VPU — zero extra
+    HBM traffic, vs a full data pass for a segment-sum-of-ones (the mean
+    readout's denominator)."""
+    return _dispatch_counts(data, ids, num_segments, out_dtype)
+
+
+def _dispatch_counts(data, ids, num_segments, out_dtype=jnp.float32):
+    platform = jax.devices()[0].platform
+    d = -(-data.shape[1] // 128) * 128
+    itemsize = jnp.dtype(data.dtype).itemsize
+    vmem = (
+        DEPTH * CHUNK * d * itemsize
+        + TILE_S * d * (4 + 4)
+        + data.shape[0] * 4
+    )
+    if (
+        platform in ("tpu",)
+        and os.environ.get("CHEMPROP_TPU_PALLAS", "1") == "1"
+        and data.dtype in (jnp.float32, jnp.bfloat16)
+        and data.shape[0] % CHUNK == 0
+        and vmem <= MAX_VMEM_BYTES
+    ):
+        return _sorted_segment_sum_fwd_impl(
+            data, ids, num_segments, out_dtype, with_counts=True
+        )
+    out = jax.ops.segment_sum(
+        data, ids, num_segments=num_segments, indices_are_sorted=True
+    ).astype(out_dtype)
+    counts = jax.ops.segment_sum(
+        jnp.ones(ids.shape[0], jnp.float32), ids, num_segments=num_segments,
+        indices_are_sorted=True,
+    )
+    return out, counts
+
+
+def _fwd_counts(data, ids, num_segments, out_dtype):
+    return (
+        _dispatch_counts(data, ids, num_segments, out_dtype),
+        (ids, jnp.zeros((0,), data.dtype)),
+    )
+
+
+def _bwd_counts(num_segments, out_dtype, res, g):
+    ids, proto = res
+    g_out, _ = g  # counts carry no data gradient
+    return g_out[ids].astype(proto.dtype), None
+
+
+sorted_segment_sum_counts.defvjp(_fwd_counts, _bwd_counts)

@@ -1,0 +1,130 @@
+"""Pallas TPU kernel: row gather through a sliding source window.
+
+``out[j] = M[ids[j]]`` for id streams with *bounded locality*: in the
+dst-sorted collate layout (``data/collate.py:batch_mol_graphs``) molecules
+are contiguous, so the source rows referenced by any run of consecutive
+edges span a bounded node range. Each UNROLL-chunk group of output rows
+then needs only a ``W``-chunk window of M, fetched via Pallas's block
+pipeline — where XLA's row gather runs at ~1/5 of HBM bandwidth on TPU
+(measured: the V[src] featurization gather pair cost 381 us/step on the
+123k-edge bench).
+
+The gather itself is a one-hot MXU product per window chunk:
+``C[j, k] = [ids[j] - window_start == k]``, ``out = C @ M_window`` — rows
+whose id falls OUTSIDE the window produce exact zeros (all-zero one-hot
+row). That makes the zero-fallback semantics load-bearing: collate points
+every padding edge at the single sacrificial node (``n_nodes - 1``) whose
+feature row is all-zero, so out-of-window padding rows are bit-identical
+to a real gather. Real ids are window-covered by the collate invariants;
+a traced containment check (``lax.cond``) falls back to the XLA gather for
+exotic layouts (e.g. long runs of zero-edge single-atom molecules
+inflating the node range).
+
+Forward-only by design: the one call site (V[src] featurization) gathers
+*input data*, which never carries gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 128
+UNROLL = 4  # output chunks per grid step (per-step overhead amortization)
+
+
+def _kernel(base_ref, ids_ref, *refs, w: int, d: int, out_dtype):
+    m_refs, out_ref = refs[:w], refs[w]
+    s = pl.program_id(0)
+    start = base_ref[s] * CHUNK
+    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    for u in range(UNROLL):
+        local = ids_ref[s * UNROLL + u, :] - start  # [CHUNK]
+        acc = jnp.zeros((CHUNK, d), jnp.float32)
+        for k in range(w):
+            C = (col == (local[:, None] - k * CHUNK)).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot(
+                C, m_refs[k][...], preferred_element_type=jnp.float32
+            )
+        out_ref[pl.ds(u * CHUNK, CHUNK), :] = acc.astype(out_dtype)
+
+
+def _group_bounds(m_rows: int, ids: jax.Array, w: int):
+    """Per-UNROLL-group window base (chunk units) + containment flag. The
+    sacrificial id (``m_rows - 1``, collate padding) is expected
+    out-of-window and excluded from the bounds."""
+    n = ids.shape[0]
+    n_chunks = n // CHUNK
+    n_steps = -(-n_chunks // UNROLL)
+    m_chunks = max(-(-m_rows // CHUNK), w)
+    idg = ids.astype(jnp.int32)
+    if n_steps * UNROLL != n_chunks:
+        idg = jnp.pad(idg, (0, (n_steps * UNROLL - n_chunks) * CHUNK), constant_values=-1)
+    idg = idg.reshape(n_steps, UNROLL * CHUNK)
+    real = (idg >= 0) & (idg < m_rows - 1)
+    mn = jnp.min(jnp.where(real, idg, jnp.int32(2**30)), axis=1)
+    base = jnp.clip(mn // CHUNK, 0, m_chunks - w).astype(jnp.int32)
+    mx = jnp.max(jnp.where(real, idg, jnp.int32(-1)), axis=1)
+    ok = jnp.all(mx - base * CHUNK < w * CHUNK)
+    return base, ok, n_steps, m_chunks
+
+
+def _window_gather_impl(M: jax.Array, ids: jax.Array, base: jax.Array, w: int, n_steps: int, m_chunks: int):
+    n = ids.shape[0]
+    m_rows, d = M.shape
+    n_chunks = n // CHUNK
+    c_pad = n_steps * UNROLL
+    if m_chunks * CHUNK != m_rows:
+        M = jnp.pad(M, ((0, m_chunks * CHUNK - m_rows), (0, 0)))
+    ids2d = ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
+    if c_pad != n_chunks:
+        # padded id chunks use -1: matches nothing, output rows are zero
+        ids2d = jnp.pad(ids2d, ((0, c_pad - n_chunks), (0, 0)), constant_values=-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # base
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]  # ids, whole-array
+        + [
+            pl.BlockSpec(
+                (CHUNK, d),
+                functools.partial(lambda s, base, k: (base[s] + k, 0), k=k),
+                memory_space=pltpu.VMEM,
+            )
+            for k in range(w)
+        ],
+        out_specs=pl.BlockSpec((UNROLL * CHUNK, d), lambda s, base: (s, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, w=w, d=d, out_dtype=M.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c_pad * CHUNK, d), M.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+    )(base, ids2d, *([M] * w))
+    return out[:n]
+
+
+def window_gather(M: jax.Array, ids: jax.Array, w: int = 4) -> jax.Array:
+    """``M[ids]`` with out-of-window ids mapping to zero rows (see module
+    docstring — exact for collate's sacrificial-row padding). Dispatches to
+    the Pallas window kernel on TPU when the traced containment check
+    holds, else to the XLA gather."""
+    n, (m_rows, d) = ids.shape[0], M.shape
+    usable = (
+        jax.devices()[0].platform == "tpu"
+        and n % CHUNK == 0
+        and d % 128 == 0
+        and M.dtype == jnp.bfloat16
+    )
+    if not usable:
+        return M[ids]
+    base, ok, n_steps, m_chunks = _group_bounds(m_rows, ids, w)
+    return jax.lax.cond(
+        ok,
+        lambda: _window_gather_impl(M, ids, base, w, n_steps, m_chunks),
+        lambda: jnp.where((ids < m_rows - 1)[:, None], M[ids], 0).astype(M.dtype),
+    )
