@@ -71,6 +71,10 @@ class BatchMolGraph:
     # window for graphs <= 129 edges, 2 = 5-chunk for <= 257)
     fused_ok: bool = struct.field(pytree_node=False, default=False)
     fused_window: int = struct.field(pytree_node=False, default=2)
+    # the fused iteration+readout backward may stream the M_v cotangent as a
+    # node table (ops/fused_message.py:nodes_window_ok) — static, stamped at
+    # collate where the check is free numpy
+    readout_ok: bool = struct.field(pytree_node=False, default=False)
 
     def __len__(self) -> int:
         return self.n_graphs
@@ -231,6 +235,12 @@ def batch_mol_graphs(
     if sort_edges and not fused_ok:
         _warn_fused_fallback(max_block)
 
+    readout_ok = False
+    if fused_ok:
+        from chemprop_tpu.ops.fused_message import nodes_window_ok
+
+        readout_ok = nodes_window_ok(dst, pad.n_nodes, fused_window)
+
     bmg = BatchMolGraph(
         V=V,
         E=E,
@@ -244,6 +254,7 @@ def batch_mol_graphs(
         edges_sorted=sort_edges,
         fused_ok=fused_ok,
         fused_window=fused_window,
+        readout_ok=readout_ok,
     )
     return (bmg, perm) if return_perm else bmg
 

@@ -75,6 +75,7 @@ def _symbolic_bmg(bmg: BatchMolGraph, scope) -> BatchMolGraph:
         # fused-kernel eligibility metadata is pinned in the signature
         fused_ok=False,
         fused_window=2,
+        readout_ok=False,
     )
 
 
@@ -88,7 +89,7 @@ class _NormalizingExported:
         self.exported = exported
 
     def call(self, variables, bmg, V_d=None, X_d=None):
-        bmg = bmg.replace(fused_ok=False, fused_window=2)
+        bmg = bmg.replace(fused_ok=False, fused_window=2, readout_ok=False)
         return self.exported.call(variables, bmg, V_d, X_d)
 
     __call__ = call
@@ -113,7 +114,7 @@ def export_forward(
     the same graph count and feature dims can be fed); the graph count stays
     static because segment reductions size their output with it.
     """
-    bmg = example_batch.bmg.replace(fused_ok=False, fused_window=2)
+    bmg = example_batch.bmg.replace(fused_ok=False, fused_window=2, readout_ok=False)
     V_d, X_d = example_batch.V_d, example_batch.X_d
 
     def forward(variables, bmg, V_d, X_d):

@@ -34,6 +34,7 @@ from chemprop_tpu.nn.utils import get_activation_function
 from chemprop_tpu.ops.fused_message import (
     fused_depth_loop,
     fused_first_iter,
+    fused_loop_readout,
     fused_message,
     fused_message_iter,
 )
@@ -239,9 +240,25 @@ class _MessagePassingBase(nn.Module):
                 bmg.fused_window, self.depth,
             )
             self.sow("intermediates", "H", H)
+            M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)
         else:
+            # the WHOLE depth loop + M_v readout as one custom-VJP op
+            # (ops/fused_message.py:fused_loop_readout): its hand-written
+            # backward chains the node-streamed and premultiplied kernels so
+            # no cotangent edge table round-trips HBM. Applicable when
+            # nothing needs the intermediate H tables afterwards: no
+            # per-iteration dropout, depth >= 3 (depth 2's only iteration is
+            # the streamed-ReLU first pass), no activation taps requested
+            last_fused = (
+                fuse_iter
+                and self.depth >= 3
+                and not (drop_on and self.dropout > 0)
+                and not self.is_mutable_collection("intermediates")
+                and _os.environ.get("CHEMPROP_TPU_FUSED_READOUT", "1") == "1"
+            )
+            n_iters = 1 if last_fused else self.depth
             first = True
-            for _ in range(1, self.depth):
+            for _ in range(1, n_iters):
                 if self.undirected:
                     H = (H + _gather_rev(H, bmg)) / 2
                 if fuse_iter:
@@ -260,8 +277,14 @@ class _MessagePassingBase(nn.Module):
                     H = self.drop(self.tau(H_0 + self.W_h(M)), deterministic=not drop_on)
                 first = False
                 self.sow("intermediates", "H", H)
+            if last_fused:
+                M_v = fused_loop_readout(
+                    H_0, W_h, b_h, bmg.src, bmg.dst, bmg.rev, n_nodes,
+                    bmg.fused_window, self.depth, getattr(bmg, "readout_ok", False),
+                )
+            else:
+                M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)
 
-        M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)
         self.sow("intermediates", "M_v", M_v)
         d_v = bmg.V.shape[1]
         wide = (
@@ -324,16 +347,27 @@ class BondMessagePassing(_MessagePassingBase):
         # gathers) and halves the gathered bytes in bf16 mode
         d_in = bmg.V.shape[1] + bmg.E.shape[1]
         V_c = bmg.V.astype(self.compute_dtype)
-        if bmg.edges_sorted and bmg.fused_ok and V_c.dtype == jnp.bfloat16:
-            # Pallas sliding-window gather: XLA's M[dst][rev] pair runs at
-            # ~1/5 HBM bandwidth here; forward-only (V carries no grad).
-            # Window: 4 chunks cover the per-group node span for <=129-edge
-            # molecules, 5 for the wider fused windows (see window_gather)
+        import os as _os
+
+        if (
+            _os.environ.get("CHEMPROP_TPU_WINDOW_GATHER", "0") == "1"
+            and bmg.edges_sorted
+            and bmg.fused_ok
+            and V_c.dtype == jnp.bfloat16
+        ):
+            # opt-in Pallas sliding-window gather — measured SLOWER in the
+            # full step than the plain gather below on v5e (6.15 vs 6.05 ms
+            # on the 123k-edge bench: the containment check + cond + one-hot
+            # MXU cost more than XLA's random gather); kept for future
+            # hardware (see ops/window_gather.py)
             from chemprop_tpu.ops.window_gather import window_gather
 
             v_src = window_gather(V_c, bmg.src, w=4 if bmg.fused_window <= 1 else 5)
         else:
-            v_src = _gather_src(V_c, bmg)
+            # plain single row gather: V carries no gradient (input data), so
+            # the scatter-free-backward rewrite M[dst][rev] buys nothing here
+            # and measured 2x slower than the direct gather (381 vs 190 us)
+            v_src = V_c[bmg.src]
         parts = [
             v_src,
             bmg.E.astype(self.compute_dtype),

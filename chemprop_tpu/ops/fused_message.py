@@ -591,6 +591,360 @@ def _bwd_msg_impl(g, y, src, dst, rev, kw, gz_acc=None):
     return G, gz
 
 
+# ---- node-streamed backward (the fused iteration+readout op) --------------
+# the last depth iteration's cotangent arrives as the M_v NODE table (the
+# readout segment-sum's upstream grad); expanding it to the edge table in XLA
+# is a full extra pass (g[dst]: read nodes + write 94.8 MB at 123k edges,
+# measured 362 us/step). This kernel variant streams the node table through
+# its own watermark ring and expands per edge chunk IN VMEM (a 2-chunk
+# one-hot product), so the expanded table never exists in HBM.
+WN = 2  # node-window chunks per edge chunk (sorted dst: span <= 127 + offset)
+# node ring slots: must cover the max in-flight node-chunk distance
+# (lookahead edge chunks x node-advance rate, PLUS the padding-transition
+# jump where nbase leaps to the sacrificial node's chunk — measured 22 on
+# the 123k-edge bench batch); statically guarded by nodes_window_ok
+NSLOTS_N = 28
+
+
+def _bwd_msg_nodes_kernel(
+    nbase_ref,  # [c_pad] per-edge-chunk node-window base (chunk units), SMEM
+    row2d_ref,  # dst ids (transposed-message rows)
+    col2d_ref,  # src ids (transposed-message cols)
+    revloc_ref,
+    gn_ref,  # node cotangent table, HBM (watermark-ring streamed)
+    y_ref,  # saved forward output (ReLU mask), HBM (ring-streamed)
+    G_ref,
+    gz_ref,
+    g_bufs,  # gz scratch ring (NO DMA: filled by the in-VMEM expansion)
+    y_bufs,
+    n_bufs,
+    y_sems,
+    n_sems,
+    nmarks,  # SMEM [2]: issued/waited node-chunk watermarks
+    *,
+    n_chunks,
+    n_node_chunks,
+    kw,
+):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        nmarks[0] = 0
+        nmarks[1] = 0
+
+    def issue_nodes_to(target):
+        hi = jnp.minimum(target, n_node_chunks)
+
+        def ib(j, _):
+            _ring_dma(gn_ref, n_bufs, n_sems, j).start()
+            return 0
+
+        jax.lax.fori_loop(nmarks[0], jnp.maximum(nmarks[0], hi), ib, 0)
+        nmarks[0] = jnp.maximum(nmarks[0], hi)
+
+    def wait_nodes_to(target):
+        hi = jnp.minimum(target, n_node_chunks)
+
+        def wb(j, _):
+            _ring_dma(gn_ref, n_bufs, n_sems, j).wait()
+            return 0
+
+        jax.lax.fori_loop(nmarks[1], jnp.maximum(nmarks[1], hi), wb, 0)
+        nmarks[1] = jnp.maximum(nmarks[1], hi)
+
+    def start(k):
+        _ring_dma(y_ref, y_bufs, y_sems, k).start()
+        issue_nodes_to(nbase_ref[k] + WN)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+
+    def wait(k):
+        _ring_dma(y_ref, y_bufs, y_sems, k).wait()
+        nb = nbase_ref[k]
+        wait_nodes_to(nb + WN)
+        # expand the node cotangent to this edge chunk: one-hot rows for ids
+        # outside the window are all-zero — exactly right for padding edges
+        # (their dst is the sacrificial node whose M_v cotangent is zero)
+        local = row2d_ref[k, :] - nb * CHUNK
+        acc = jnp.zeros((CHUNK, y_bufs.shape[-1]), jnp.float32)
+        for w in range(WN):
+            C = (col == (local[:, None] - w * CHUNK)).astype(jnp.bfloat16)
+            nslot = jax.lax.rem(nb + w, NSLOTS_N)
+            acc = acc + jax.lax.dot(C, n_bufs[nslot], preferred_element_type=jnp.float32)
+        slot = jax.lax.rem(k, g_bufs.shape[0])
+        g_bufs[slot] = jnp.where(
+            y_bufs[jax.lax.rem(k, y_bufs.shape[0])].astype(jnp.float32) > 0,
+            acc,
+            0.0,
+        ).astype(g_bufs.dtype)
+
+    _dma_schedule(s, n_chunks, kw, start, wait)
+
+    def gz_at(k):
+        return g_bufs[jax.lax.rem(k, g_bufs.shape[0])]
+
+    for u in range(UNROLL):
+        c = s * UNROLL + u
+        acc = _window_product(
+            c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, gz_at,
+            g_bufs.shape[-1], jnp.bfloat16,
+        )
+        G_ref[pl.ds(u * CHUNK, CHUNK), :] = acc.astype(G_ref.dtype)
+        gz_ref[pl.ds(u * CHUNK, CHUNK), :] = gz_at(c).astype(gz_ref.dtype)
+
+
+def nodes_window_ok(dst, n_nodes: int, kw: int) -> bool:
+    """STATIC (host/numpy, collate-time) validity of the node-streamed
+    backward for a dst-sorted edge table: every real dst id (the sacrificial
+    padding id ``n_nodes - 1`` is expected out-of-window) lies inside its
+    chunk's WN-chunk window, and the DMA lookahead never outruns the node
+    ring. Collate stamps the result on ``BatchMolGraph.readout_ok`` so the
+    backward picks the kernel with a Python-level branch — a traced
+    ``lax.cond`` here measured +360 us/step of conditional copy overhead
+    AND let XLA hoist the fallback's g[dst] expand out of the branch."""
+    import numpy as _np
+
+    dst = _np.asarray(dst)
+    n = dst.shape[0]
+    if n % CHUNK != 0:
+        return False
+    row2d = dst.reshape(n // CHUNK, CHUNK)
+    n_node_chunks = -(-n_nodes // CHUNK)
+    nbase = _np.clip(row2d[:, 0] // CHUNK, 0, max(n_node_chunks - WN, 0))
+    real = row2d < n_nodes - 1
+    mx = _np.where(real, row2d, -1).max(axis=1)
+    if not bool((mx - nbase * CHUNK < WN * CHUNK).all()):
+        return False
+    lookahead = (UNROLL + 2 * kw) + PREFETCH
+    ahead = _np.concatenate([nbase[lookahead:], _np.full(min(lookahead, len(nbase)), nbase[-1])])
+    return bool((ahead + WN - nbase <= NSLOTS_N).all())
+
+
+def _bwd_msg_nodes_impl(g_nodes, y, src, dst, rev, kw):
+    """(G, gz) with the node-cotangent expansion fused into the masked
+    transposed-message kernel (see ``_bwd_msg_nodes_kernel``). Callers must
+    have verified ``nodes_window_ok`` (collate stamps it statically)."""
+    n, d = y.shape
+    n_nodes = g_nodes.shape[0]
+    row2d, col2d, rev_local, n_chunks, n_steps, c_pad = _prep_tables(dst, src, rev, kw)
+    n_node_chunks = -(-n_nodes // CHUNK)
+    gp = g_nodes
+    if n_node_chunks * CHUNK != n_nodes:
+        gp = jnp.pad(g_nodes, ((0, n_node_chunks * CHUNK - n_nodes), (0, 0)))
+    # dst sorted -> the chunk's first id is its minimum (padded chunks carry
+    # -1 ids -> base clips to 0, outputs sliced)
+    nbase = jnp.clip(row2d[:, 0] // CHUNK, 0, max(n_node_chunks - WN, 0)).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # nbase
+        grid=(n_steps,),
+        in_specs=_id_specs()
+        + [
+            pl.BlockSpec(memory_space=pl.ANY),  # g_nodes (watermark ring)
+            pl.BlockSpec(memory_space=pl.ANY),  # y (ring-streamed)
+        ],
+        # index maps take (grid idx, scalar-prefetch ref) here
+        out_specs=[
+            pl.BlockSpec((UNROLL * CHUNK, d), lambda s, nb: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((UNROLL * CHUNK, d), lambda s, nb: (s, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_nslots(kw), CHUNK, d), jnp.bfloat16),  # gz scratch ring
+            pltpu.VMEM((_nslots(kw), CHUNK, d), y.dtype),  # y ring
+            pltpu.VMEM((NSLOTS_N, CHUNK, d), g_nodes.dtype),  # node ring
+            pltpu.SemaphoreType.DMA((_nslots(kw),)),
+            pltpu.SemaphoreType.DMA((NSLOTS_N,)),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    G, gz = pl.pallas_call(
+        functools.partial(
+            _bwd_msg_nodes_kernel,
+            n_chunks=n_chunks,
+            n_node_chunks=n_node_chunks,
+            kw=kw,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c_pad * CHUNK, d), y.dtype),
+            jax.ShapeDtypeStruct((c_pad * CHUNK, d), y.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(nbase, row2d, col2d, rev_local, gp, y)
+    if c_pad != n_chunks:
+        G, gz = G[:n], gz[:n]
+    return G, gz
+
+
+def _bwd_msg_nodes_usable(g_nodes, y, kw: int) -> bool:
+    n, d = y.shape
+    nslots = _nslots(kw)
+    vmem = (
+        2 * nslots * CHUNK * d * 2  # gz scratch + y rings (bf16)
+        + NSLOTS_N * CHUNK * d * 2  # node ring
+        + CHUNK * d * 4  # f32 accumulators
+        + 2 * 2 * UNROLL * CHUNK * d * 2  # double-buffered G/gz out blocks
+        + n * 12  # id tables
+    )
+    return (
+        _usable(y, kw)
+        and y.dtype == jnp.bfloat16
+        and g_nodes.dtype == jnp.bfloat16
+        and vmem <= MAX_VMEM_BYTES
+    )
+
+
+def _bwd_msg_premul_kernel(
+    row2d_ref,  # dst ids (transposed-message rows)
+    col2d_ref,  # src ids (transposed-message cols)
+    revloc_ref,
+    gin_ref,  # G of the NEXT iteration's backward, HBM (ring-streamed)
+    y_ref,  # this iteration's saved forward output (ReLU mask), HBM
+    h0_ref,  # H0 (only when fold_h0), HBM
+    wT_ref,  # Wᵀ, fully VMEM-resident
+    G_ref,
+    z_ref,  # gz (fold_h0=False) or dH0_first = gz + dH∘[H0>0] (fold_h0=True)
+    g_bufs,  # gz scratch ring (filled by the in-VMEM Wᵀ product + mask)
+    y_bufs,
+    h0_bufs,
+    z_bufs,  # retained per-chunk z rows (written at output time)
+    y_sems,
+    h0_sems,
+    gin_bufs,
+    gin_sems,
+    *,
+    n_chunks,
+    kw,
+    fold_h0,
+):
+    """Premultiplied masked transposed message: the upstream cotangent
+    arrives as the NEXT stage's G table and ``dH = G_next Wᵀ`` happens on
+    the VMEM tile right after its DMA — the dH edge table (an XLA GEMM
+    writing + this kernel re-reading 94.8 MB at 123k edges) never exists.
+    With ``fold_h0`` the first iteration's full H0-cotangent
+    ``gz + dH ∘ [H0 > 0]`` is emitted instead of gz, which drops two edge
+    tables from the dW_i accumulation prologue downstream."""
+    s = pl.program_id(0)
+
+    def start(k):
+        _ring_dma(gin_ref, gin_bufs, gin_sems, k).start()
+        _ring_dma(y_ref, y_bufs, y_sems, k).start()
+        if fold_h0:
+            _ring_dma(h0_ref, h0_bufs, h0_sems, k).start()
+
+    WT = wT_ref[...]
+
+    def wait(k):
+        _ring_dma(gin_ref, gin_bufs, gin_sems, k).wait()
+        _ring_dma(y_ref, y_bufs, y_sems, k).wait()
+        dh = jax.lax.dot(
+            gin_bufs[jax.lax.rem(k, gin_bufs.shape[0])], WT,
+            preferred_element_type=jnp.float32,
+        )
+        yk = y_bufs[jax.lax.rem(k, y_bufs.shape[0])].astype(jnp.float32)
+        gz = jnp.where(yk > 0, dh, 0.0)
+        slot = jax.lax.rem(k, g_bufs.shape[0])
+        g_bufs[slot] = gz.astype(g_bufs.dtype)
+        if fold_h0:
+            _ring_dma(h0_ref, h0_bufs, h0_sems, k).wait()
+            h0k = h0_bufs[jax.lax.rem(k, h0_bufs.shape[0])].astype(jnp.float32)
+            z = gz + jnp.where(h0k > 0, dh, 0.0)
+            z_bufs[jax.lax.rem(k, z_bufs.shape[0])] = z.astype(z_bufs.dtype)
+
+    _dma_schedule(s, n_chunks, kw, start, wait)
+
+    def gz_at(k):
+        return g_bufs[jax.lax.rem(k, g_bufs.shape[0])]
+
+    for u in range(UNROLL):
+        c = s * UNROLL + u
+        acc = _window_product(
+            c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, gz_at,
+            g_bufs.shape[-1], jnp.bfloat16,
+        )
+        G_ref[pl.ds(u * CHUNK, CHUNK), :] = acc.astype(G_ref.dtype)
+        src_ring = z_bufs if fold_h0 else g_bufs
+        z_ref[pl.ds(u * CHUNK, CHUNK), :] = src_ring[
+            jax.lax.rem(c, src_ring.shape[0])
+        ].astype(z_ref.dtype)
+
+
+def _bwd_msg_premul_impl(G_in, y, H0, W, src, dst, rev, kw, fold_h0):
+    """(G, z): the premultiplied backward stage. ``z`` is gz, or the folded
+    first-iteration H0 cotangent when ``fold_h0`` (H0 required then)."""
+    n, d = y.shape
+    row2d, col2d, rev_local, n_chunks, n_steps, c_pad = _prep_tables(dst, src, rev, kw)
+    h0 = H0 if fold_h0 else jnp.zeros((CHUNK, d), y.dtype)  # placeholder
+    nslots = _nslots(kw)
+    # compute-side scratch rings (no DMA prefetch to cover): the gz window
+    # product reads +-kw around each output chunk and writes land kw+UNROLL
+    # ahead, so retention is 2kw + UNROLL (+2 margin) — NOT the DMA ring
+    # depth (VMEM budget: three full DMA rings already cost ~9 MB at d=384)
+    sslots = 2 * kw + UNROLL + 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=_id_specs()
+        + [
+            pl.BlockSpec(memory_space=pl.ANY),  # G_in
+            pl.BlockSpec(memory_space=pl.ANY),  # y
+            pl.BlockSpec(memory_space=pl.ANY),  # H0 (or placeholder)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Wᵀ
+        ],
+        out_specs=[_block_spec(d), _block_spec(d)],
+        scratch_shapes=[
+            pltpu.VMEM((sslots, CHUNK, d), jnp.bfloat16),  # gz scratch ring
+            pltpu.VMEM((nslots, CHUNK, d), y.dtype),  # y ring
+            pltpu.VMEM((nslots if fold_h0 else 1, CHUNK, d), y.dtype),  # h0 ring
+            pltpu.VMEM((sslots if fold_h0 else 1, CHUNK, d), jnp.bfloat16),  # z ring
+            pltpu.SemaphoreType.DMA((nslots,)),
+            pltpu.SemaphoreType.DMA((nslots if fold_h0 else 1,)),
+            pltpu.VMEM((nslots, CHUNK, d), G_in.dtype),  # G_in ring
+            pltpu.SemaphoreType.DMA((nslots,)),
+        ],
+    )
+    G, z = pl.pallas_call(
+        functools.partial(
+            _bwd_msg_premul_kernel, n_chunks=n_chunks, kw=kw, fold_h0=fold_h0
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c_pad * CHUNK, d), y.dtype),
+            jax.ShapeDtypeStruct((c_pad * CHUNK, d), y.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(row2d, col2d, rev_local, G_in, y, h0, W.T)
+    if c_pad != n_chunks:
+        G, z = G[:n], z[:n]
+    return G, z
+
+
+def _bwd_msg_premul_usable(G_in, y, W, kw: int) -> bool:
+    n, d = y.shape
+    nslots = _nslots(kw)
+    sslots = 2 * kw + UNROLL + 2
+    vmem = (
+        3 * nslots * CHUNK * d * 2  # G_in, y, h0 DMA rings (bf16)
+        + 2 * sslots * CHUNK * d * 2  # gz, z compute scratch rings
+        + d * d * 2  # Wᵀ tile
+        + CHUNK * d * 4 * 2  # f32 accumulators (window product + Wᵀ GEMM)
+        + 2 * 2 * UNROLL * CHUNK * d * 2  # double-buffered out blocks
+        + n * 12  # id tables
+    )
+    return (
+        _usable(y, kw)
+        and y.dtype == jnp.bfloat16
+        and G_in.dtype == jnp.bfloat16
+        and W.shape == (d, d)
+        and W.dtype == jnp.bfloat16
+        and vmem <= MAX_VMEM_BYTES
+    )
+
+
 def _bwd_msg_usable(g, y, kw: int) -> bool:
     n, d = g.shape
     nslots = _nslots(kw)
@@ -908,3 +1262,180 @@ def _bwd(n_nodes, window, res, g):
 
 
 fused_message.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_iter_readout(
+    H, H0, W, b, src, dst, rev, n_nodes: int, window: int = 2, nodes_ok: bool = False
+):
+    """The LAST depth iteration fused with the M_v readout:
+
+        y   = relu(H0 + message(H) @ W [+ b])
+        M_v = segment_sum(y, dst)                 (the node readout table)
+
+    Forward runs the fused iteration kernel then the sorted-segment kernel
+    (y is materialized once — it is also this op's own ReLU-mask residual).
+    The payoff is the BACKWARD: the upstream cotangent arrives as the NODE
+    table dM_v, and the masked transposed-message kernel expands it to edge
+    rows in VMEM (``_bwd_msg_nodes_kernel``) — the expanded edge table
+    (g[dst], a full extra HBM pass, measured 362 us/step at 123k edges)
+    never exists. ``nodes_ok`` is the STATIC collate-stamped window validity
+    (``nodes_window_ok`` / ``BatchMolGraph.readout_ok``). Reference
+    semantics: the last loop pass + scatter of
+    ``chemprop/nn/message_passing/base.py:196-212``."""
+    return _readout_fwd(H, H0, W, b, src, dst, rev, n_nodes, window, nodes_ok)[0]
+
+
+def _readout_fwd(H, H0, W, b, src, dst, rev, n_nodes, window, nodes_ok):
+    from chemprop_tpu.ops.segment import segment_sum
+
+    if iter_usable(H, W, window):
+        y = _iter_impl(H, H0, W, b, src, dst, rev, window)
+    else:
+        y = _iter_composed(H, H0, W, b, src, dst, rev, n_nodes, window)
+    M_v = segment_sum(y, dst, n_nodes, sorted=True)
+    return M_v, (y, H, W, b, src, dst, rev)
+
+
+def _readout_bwd(n_nodes, window, nodes_ok, res, g_Mv):
+    y, H, W, b, src, dst, rev = res
+    g_Mv = g_Mv.astype(y.dtype)
+    if nodes_ok and _bwd_msg_nodes_usable(g_Mv, y, window):
+        G, gz = _bwd_msg_nodes_impl(g_Mv, y, src, dst, rev, window)
+    else:
+        g = g_Mv[dst].astype(y.dtype)
+        if _bwd_msg_usable(g, y, window):
+            G, gz = _bwd_msg_impl(g, y, src, dst, rev, window)
+        else:
+            gz = g * (y > 0).astype(g.dtype)
+            if _usable(gz, window):
+                G = _fused_message_impl(gz, dst, src, rev, window)
+            else:
+                from chemprop_tpu.ops.gather import gather_dst, gather_rev
+                from chemprop_tpu.ops.segment import segment_sum
+
+                g_rev = gather_rev(gz, rev)
+                G = gather_dst(segment_sum(g_rev, dst, n_nodes, sorted=True), dst) - g_rev
+                G = G.astype(gz.dtype)
+    from chemprop_tpu.ops.grad_weight import grad_weight
+
+    dH = jax.lax.dot(G, W.T).astype(H.dtype)
+    dW = grad_weight(H, G).astype(W.dtype)
+    db = None if b is None else jnp.sum(gz.astype(jnp.float32), axis=0).astype(b.dtype)
+    return dH, gz, dW, db, None, None, None
+
+
+fused_iter_readout.defvjp(_readout_fwd, _readout_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_loop_readout(
+    H0, W, b, src, dst, rev, n_nodes: int, window: int, depth: int, nodes_ok: bool = False
+):
+    """The WHOLE depth loop + M_v readout as one custom-VJP op (the fused
+    path's production composition for ReLU bond MP without dropout):
+
+        H = relu(H0); repeat depth-1 times: H = relu(H0 + message(H) @ W [+ b])
+        M_v = segment_sum(H, dst)
+
+    Forward: the streamed-ReLU first-iteration kernel, depth-2 fused
+    iterations, then the sorted-segment readout (identical numerics and
+    kernels to the unfused chain). The hand-written backward chains three
+    kernel specializations so NO cotangent edge table ever round-trips HBM:
+
+    * last iteration: the M_v NODE cotangent expands in VMEM
+      (``_bwd_msg_nodes_kernel`` — kills the g[dst] expand pass);
+    * middle/first iterations: the next stage's G table premultiplies by Wᵀ
+      in VMEM (``_bwd_msg_premul_kernel`` — kills the dH GEMM pass), and the
+      first iteration folds ``gz + dH∘[H0>0]`` so the dW_i accumulation
+      downstream reads two fewer edge tables.
+
+    Bias gradients need the per-iteration gz sums, so ``b is not None``
+    falls back to the per-iteration VJP composition at the model level.
+    Reference semantics: ``chemprop/nn/message_passing/base.py:196-212``."""
+    return _loop_readout_fwd(H0, W, b, src, dst, rev, n_nodes, window, depth, nodes_ok)[0]
+
+
+def _loop_readout_fwd(H0, W, b, src, dst, rev, n_nodes, window, depth, nodes_ok):
+    from chemprop_tpu.ops.segment import segment_sum
+
+    usable = iter_usable(H0, W, window)
+    if usable:
+        y = _iter_impl(H0, H0, W, b, src, dst, rev, window, relu_stream=True)
+    else:
+        y = _iter_composed(_relu(H0), H0, W, b, src, dst, rev, n_nodes, window)
+    ys = [y]
+    for _ in range(2, depth):
+        if usable:
+            y = _iter_impl(y, H0, W, b, src, dst, rev, window)
+        else:
+            y = _iter_composed(y, H0, W, b, src, dst, rev, n_nodes, window)
+        ys.append(y)
+    M_v = segment_sum(y, dst, n_nodes, sorted=True)
+    return M_v, (tuple(ys), H0, W, b, src, dst, rev)
+
+
+def _loop_readout_bwd(n_nodes, window, depth, nodes_ok, res, g_Mv):
+    ys, H0, W, b, src, dst, rev = res
+    from chemprop_tpu.ops.grad_weight import grad_weight
+
+    g_Mv = g_Mv.astype(ys[-1].dtype)
+    fast = (
+        b is None
+        and depth >= 3  # depth 2's single iteration needs the H0 chain rule
+        and nodes_ok
+        and _bwd_msg_nodes_usable(g_Mv, ys[-1], window)
+        and _bwd_msg_premul_usable(ys[-1], ys[-1], W, window)
+    )
+    if fast:
+        # last iteration: node-streamed expansion
+        G, gz_last = _bwd_msg_nodes_impl(g_Mv, ys[-1], src, dst, rev, window)
+        dW = grad_weight(ys[-2] if depth >= 3 else _relu(H0), G)
+        dH0_parts = [gz_last]
+        # middle iterations (depth >= 4), then the first (H0-folded)
+        for t in range(depth - 2, 0, -1):
+            y_t = ys[t - 1]
+            fold = t == 1
+            G, z = _bwd_msg_premul_impl(G, y_t, H0 if fold else None, W, src, dst, rev, window, fold)
+            x_t = ys[t - 2] if t >= 2 else _relu(H0)
+            dW = dW + grad_weight(x_t, G)
+            dH0_parts.append(z)
+        dH0 = dH0_parts[0]
+        for p in dH0_parts[1:]:
+            dH0 = dH0 + p
+        return dH0, dW.astype(W.dtype), None, None, None, None
+    # composed fallback: per-iteration chain (identical to the per-iter VJPs)
+    g = g_Mv[dst].astype(ys[-1].dtype)
+    dW = None
+    dH0_acc = None
+    for t in range(depth - 1, 0, -1):
+        y_t = ys[t - 1]
+        if _bwd_msg_usable(g, y_t, window):
+            G, gz = _bwd_msg_impl(g, y_t, src, dst, rev, window, gz_acc=dH0_acc)
+            dH0_acc = gz
+        else:
+            gz = g * (y_t > 0).astype(g.dtype)
+            if _usable(gz, window):
+                G = _fused_message_impl(gz, dst, src, rev, window)
+            else:
+                from chemprop_tpu.ops.gather import gather_dst, gather_rev
+                from chemprop_tpu.ops.segment import segment_sum
+
+                g_rev = gather_rev(gz, rev)
+                G = gather_dst(segment_sum(g_rev, dst, n_nodes, sorted=True), dst) - g_rev
+                G = G.astype(gz.dtype)
+            dH0_acc = gz if dH0_acc is None else dH0_acc + gz
+        x_t = ys[t - 2] if t >= 2 else _relu(H0)
+        dWt = grad_weight(x_t, G)
+        dW = dWt if dW is None else dW + dWt
+        g = jax.lax.dot(G, W.T).astype(H0.dtype)
+    db = (
+        None
+        if b is None
+        else jnp.sum(dH0_acc.astype(jnp.float32), axis=0).astype(b.dtype)
+    )
+    dH0 = dH0_acc + g * (H0 > 0).astype(g.dtype)
+    return dH0, dW.astype(W.dtype), db, None, None, None
+
+
+fused_loop_readout.defvjp(_loop_readout_fwd, _loop_readout_bwd)

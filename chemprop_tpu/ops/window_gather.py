@@ -117,7 +117,7 @@ def window_gather(M: jax.Array, ids: jax.Array, w: int = 4) -> jax.Array:
     usable = (
         jax.devices()[0].platform == "tpu"
         and n % CHUNK == 0
-        and d % 128 == 0
+        and d <= 512  # block = full array width; wider tables gain nothing
         and M.dtype == jnp.bfloat16
     )
     if not usable:
