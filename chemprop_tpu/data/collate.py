@@ -75,6 +75,15 @@ class BatchMolGraph:
     # node table (ops/fused_message.py:nodes_window_ok) — static, stamped at
     # collate where the check is free numpy
     readout_ok: bool = struct.field(pytree_node=False, default=False)
+    # rounded max per-graph edge-block size: the fused kernels statically
+    # trim their side-chunk one-hot products to this row band (128 = no
+    # trim); quantized to 8 sublanes (a dataset has ONE stable value, so
+    # the compiled-shape count stays tiny in practice)
+    edge_band: int = struct.field(pytree_node=False, default=128)
+    # the mean/sum readout backward may expand the graph-table cotangent
+    # with the Pallas window gather (ops/window_gather.py) — static
+    # containment stamp over the node->graph id vector
+    agg_expand_ok: bool = struct.field(pytree_node=False, default=False)
 
     def __len__(self) -> int:
         return self.n_graphs
@@ -240,6 +249,10 @@ def batch_mol_graphs(
         from chemprop_tpu.ops.fused_message import nodes_window_ok
 
         readout_ok = nodes_window_ok(dst, pad.n_nodes, fused_window)
+    edge_band = min(128, -(-max(max_block, 1) // 8) * 8)
+    from chemprop_tpu.ops.window_gather import expand_window_ok
+
+    agg_expand_ok = expand_window_ok(batch, pad.n_graphs + 1, 2)
 
     bmg = BatchMolGraph(
         V=V,
@@ -255,6 +268,8 @@ def batch_mol_graphs(
         fused_ok=fused_ok,
         fused_window=fused_window,
         readout_ok=readout_ok,
+        edge_band=edge_band,
+        agg_expand_ok=agg_expand_ok,
     )
     return (bmg, perm) if return_perm else bmg
 
@@ -401,8 +416,19 @@ def _unify_fused_flags(bmgs: Sequence[BatchMolGraph]) -> list[BatchMolGraph]:
     fused_ok = all(b.fused_ok for b in bmgs)
     window = max(b.fused_window for b in bmgs)
     sorted_ = all(b.edges_sorted for b in bmgs)
+    readout_ok = all(b.readout_ok for b in bmgs)
+    band = max(b.edge_band for b in bmgs)
+    agg_ok = all(b.agg_expand_ok for b in bmgs)
     return [
-        b.replace(fused_ok=fused_ok, fused_window=window, edges_sorted=sorted_) for b in bmgs
+        b.replace(
+            fused_ok=fused_ok,
+            fused_window=window,
+            edges_sorted=sorted_,
+            readout_ok=readout_ok,
+            edge_band=band,
+            agg_expand_ok=agg_ok,
+        )
+        for b in bmgs
     ]
 
 

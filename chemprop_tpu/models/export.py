@@ -76,6 +76,8 @@ def _symbolic_bmg(bmg: BatchMolGraph, scope) -> BatchMolGraph:
         fused_ok=False,
         fused_window=2,
         readout_ok=False,
+        edge_band=128,
+        agg_expand_ok=False,
     )
 
 
@@ -89,7 +91,7 @@ class _NormalizingExported:
         self.exported = exported
 
     def call(self, variables, bmg, V_d=None, X_d=None):
-        bmg = bmg.replace(fused_ok=False, fused_window=2, readout_ok=False)
+        bmg = bmg.replace(fused_ok=False, fused_window=2, readout_ok=False, edge_band=128, agg_expand_ok=False)
         return self.exported.call(variables, bmg, V_d, X_d)
 
     __call__ = call
@@ -114,7 +116,7 @@ def export_forward(
     the same graph count and feature dims can be fed); the graph count stays
     static because segment reductions size their output with it.
     """
-    bmg = example_batch.bmg.replace(fused_ok=False, fused_window=2, readout_ok=False)
+    bmg = example_batch.bmg.replace(fused_ok=False, fused_window=2, readout_ok=False, edge_band=128, agg_expand_ok=False)
     V_d, X_d = example_batch.V_d, example_batch.X_d
 
     def forward(variables, bmg, V_d, X_d):

@@ -50,8 +50,13 @@ class MeanAggregation(Aggregation):
         from chemprop_tpu.ops.sorted_segments import sorted_segment_sum_counts
 
         # counts ride the same kernel pass as the totals (one-hot row sums,
-        # no extra HBM traffic) instead of a separate segment-sum of ones
-        totals, counts = sorted_segment_sum_counts(H, bmg.batch, bmg.n_graphs + 1)
+        # no extra HBM traffic) instead of a separate segment-sum of ones;
+        # the bwd cotangent expansion takes the Pallas window gather when
+        # collate stamped containment
+        expand_w = 2 if getattr(bmg, "agg_expand_ok", False) else 0
+        totals, counts = sorted_segment_sum_counts(
+            H, bmg.batch, bmg.n_graphs + 1, jnp.float32, expand_w
+        )
         totals = totals[: bmg.n_graphs]
         counts = counts[: bmg.n_graphs]
         return totals / jnp.maximum(counts[:, None].astype(totals.dtype), 1.0)

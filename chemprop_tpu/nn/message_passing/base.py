@@ -281,6 +281,7 @@ class _MessagePassingBase(nn.Module):
                 M_v = fused_loop_readout(
                     H_0, W_h, b_h, bmg.src, bmg.dst, bmg.rev, n_nodes,
                     bmg.fused_window, self.depth, getattr(bmg, "readout_ok", False),
+                    getattr(bmg, "edge_band", 128),
                 )
             else:
                 M_v = segment_sum(H, bmg.dst, n_nodes, sorted=bmg.edges_sorted)

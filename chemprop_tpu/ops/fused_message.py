@@ -148,43 +148,80 @@ def _ring_dma(ref, bufs, sems, k):
     )
 
 
-def _window_product(c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, x_at, d, dtype):
+def _window_product(c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, x_at, d, dtype, band=CHUNK):
     """f32 accumulator of the one-hot window product for output chunk ``c``:
     ``acc = Σ_j C_j @ x(k_j)`` with ``C = [col==row] − [k==rev]`` (exact in
-    bf16). The window is clamped to real chunks so ragged-tail output chunks
-    (c >= n_chunks, sliced off by the caller) only read DMA'd slots."""
-    cb = jnp.clip(c - kw, 0, n_chunks - (2 * kw + 1))
+    bf16). The window is SYMMETRIC around ``c`` (offsets −kw..+kw): the col
+    id table is front-padded ``kw`` chunks with match-nothing ids and the
+    data chunk index clamps into range, so out-of-range window slots
+    contribute exact zeros (sufficient: a per-graph block of ≤ kw·128+1
+    edges never reaches past ±kw chunks).
+
+    ``band`` (static, collate's rounded max per-graph edge-block size) trims
+    the SIDE products to the only rows that can match across a chunk
+    boundary — row p of chunk c matches a col in chunk c+off only when
+    ``|p − q − off·128| < max_block`` — cutting the dominant one-hot MXU
+    cost by ~(1 − band/128) per side chunk."""
     row_c = row2d_ref[c, :]  # (CHUNK,) row ids (fwd: src of this chunk)
     rev_l = revloc_ref[c, :]  # (CHUNK,) rev index local to the window
     acc = jnp.zeros((CHUNK, d), jnp.float32)
     for j in range(2 * kw + 1):  # static unroll over window chunks
-        k = cb + j
-        col_w = col2d_ref[k, :]  # (CHUNK,) column ids (fwd: dst of window)
-        same = col_w[None, :] == row_c[:, None]
-        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) + j * CHUNK
-        isrev = col == rev_l[:, None]
+        off = j - kw
+        m = jnp.clip(c + off, 0, n_chunks - 1)  # data chunk (id-guarded)
+        col_w = col2d_ref[c + j, :]  # (CHUNK,) col ids (front-padded table)
+        x = x_at(m)
+        bj = min(CHUNK, max(0, band - (abs(off) - 1) * CHUNK)) if off else CHUNK
+        if bj == 0:
+            continue  # this side chunk is statically unreachable
+        if bj >= CHUNK:
+            same = col_w[None, :] == row_c[:, None]
+            col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1) + j * CHUNK
+            isrev = col == rev_l[:, None]
+            C = same.astype(jnp.bfloat16) - isrev.astype(jnp.bfloat16)
+            acc = _window_dot(acc, C, x, dtype)
+            continue
+        lo = 0 if off < 0 else CHUNK - bj  # top band (left) / bottom (right)
+        rc = row_c[lo : lo + bj]
+        rl = rev_l[lo : lo + bj]
+        same = col_w[None, :] == rc[:, None]
+        col = jax.lax.broadcasted_iota(jnp.int32, (bj, CHUNK), 1) + j * CHUNK
+        isrev = col == rl[:, None]
         C = same.astype(jnp.bfloat16) - isrev.astype(jnp.bfloat16)
-        acc = _window_dot(acc, C, x_at(k), dtype)
+        part = _window_dot(jnp.zeros((bj, d), jnp.float32), C, x, dtype)
+        band_rows = acc[lo : lo + bj] + part
+        if off < 0:
+            acc = jnp.concatenate([band_rows, acc[bj:]], axis=0)
+        else:
+            acc = jnp.concatenate([acc[: CHUNK - bj], band_rows], axis=0)
     return acc
 
 
 def _prep_tables(row_ids, col_ids, rev, kw):
     """Chunked id tables (row, col, window-local rev), padded to whole grid
     steps; padded rows use ids that match nothing, so their output chunks
-    are garbage and sliced off by the caller."""
+    are garbage and sliced off by the caller.
+
+    The col table is FRONT-padded ``kw`` chunks (and tail-padded ``kw``
+    past the grid) with match-nothing ids: the window is symmetric around
+    each output chunk (``_window_product`` indexes ``col2d[c + j]`` for
+    window slot j), and out-of-range slots must contribute zeros. The rev
+    table is window-local relative to the symmetric window start
+    ``(c - kw) * CHUNK`` (possibly negative — rev offsets stay positive)."""
     n = row_ids.shape[0]
     n_chunks = n // CHUNK
     n_steps = -(-n_chunks // UNROLL)
     c_pad = n_steps * UNROLL
     row2d = row_ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
     col2d = col_ids.astype(jnp.int32).reshape(n_chunks, CHUNK)
-    base = jnp.clip(jnp.arange(n_chunks, dtype=jnp.int32) - kw, 0, n_chunks - (2 * kw + 1))
+    base = jnp.arange(n_chunks, dtype=jnp.int32) - kw
     rev_local = rev.astype(jnp.int32).reshape(n_chunks, CHUNK) - base[:, None] * CHUNK
     if c_pad != n_chunks:
         pad = ((0, c_pad - n_chunks), (0, 0))
         row2d = jnp.pad(row2d, pad, constant_values=-1)
-        col2d = jnp.pad(col2d, pad, constant_values=-2)
         rev_local = jnp.pad(rev_local, pad, constant_values=-1)
+    col2d = jnp.pad(
+        col2d, ((kw, c_pad - n_chunks + kw), (0, 0)), constant_values=-2
+    )
     return row2d, col2d, rev_local, n_chunks, n_steps, c_pad
 
 
@@ -266,6 +303,7 @@ def _iter_kernel(
     kw,
     has_bias,
     relu_stream=False,
+    band=CHUNK,
 ):
     """One full D-MPNN depth iteration per edge chunk:
 
@@ -302,7 +340,8 @@ def _iter_kernel(
     for u in range(UNROLL):
         c = s * UNROLL + u
         acc = _window_product(
-            c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, x_at, bufs.shape[-1], jnp.bfloat16
+            c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, x_at, bufs.shape[-1],
+            jnp.bfloat16, band=band,
         )
         z = jax.lax.dot(acc.astype(jnp.bfloat16), W, preferred_element_type=jnp.float32)
         h0 = h0_ref[pl.ds(u * CHUNK, CHUNK), :].astype(jnp.float32)
@@ -311,7 +350,7 @@ def _iter_kernel(
         out_ref[pl.ds(u * CHUNK, CHUNK), :] = jnp.maximum(h0 + z, 0.0).astype(out_ref.dtype)
 
 
-def _iter_impl(H, H0, W, b, row_ids, col_ids, rev, kw, relu_stream=False):
+def _iter_impl(H, H0, W, b, row_ids, col_ids, rev, kw, relu_stream=False, band=CHUNK):
     n, d = H.shape
     row2d, col2d, rev_local, n_chunks, n_steps, c_pad = _prep_tables(row_ids, col_ids, rev, kw)
     H0p = H0 if c_pad == n_chunks else jnp.pad(H0, ((0, c_pad * CHUNK - n), (0, 0)))
@@ -336,7 +375,8 @@ def _iter_impl(H, H0, W, b, row_ids, col_ids, rev, kw, relu_stream=False):
     )
     out = pl.pallas_call(
         functools.partial(
-            _iter_kernel, n_chunks=n_chunks, kw=kw, has_bias=has_bias, relu_stream=relu_stream
+            _iter_kernel, n_chunks=n_chunks, kw=kw, has_bias=has_bias,
+            relu_stream=relu_stream, band=band,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c_pad * CHUNK, d), H.dtype),
@@ -625,6 +665,7 @@ def _bwd_msg_nodes_kernel(
     n_chunks,
     n_node_chunks,
     kw,
+    band=CHUNK,
 ):
     s = pl.program_id(0)
 
@@ -721,7 +762,7 @@ def nodes_window_ok(dst, n_nodes: int, kw: int) -> bool:
     return bool((ahead + WN - nbase <= NSLOTS_N).all())
 
 
-def _bwd_msg_nodes_impl(g_nodes, y, src, dst, rev, kw):
+def _bwd_msg_nodes_impl(g_nodes, y, src, dst, rev, kw, band=CHUNK):
     """(G, gz) with the node-cotangent expansion fused into the masked
     transposed-message kernel (see ``_bwd_msg_nodes_kernel``). Callers must
     have verified ``nodes_window_ok`` (collate stamps it statically)."""
@@ -764,6 +805,7 @@ def _bwd_msg_nodes_impl(g_nodes, y, src, dst, rev, kw):
             n_chunks=n_chunks,
             n_node_chunks=n_node_chunks,
             kw=kw,
+            band=band,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -818,6 +860,7 @@ def _bwd_msg_premul_kernel(
     n_chunks,
     kw,
     fold_h0,
+    band=CHUNK,
 ):
     """Premultiplied masked transposed message: the upstream cotangent
     arrives as the NEXT stage's G table and ``dH = G_next Wᵀ`` happens on
@@ -862,7 +905,7 @@ def _bwd_msg_premul_kernel(
         c = s * UNROLL + u
         acc = _window_product(
             c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, gz_at,
-            g_bufs.shape[-1], jnp.bfloat16,
+            g_bufs.shape[-1], jnp.bfloat16, band=band,
         )
         G_ref[pl.ds(u * CHUNK, CHUNK), :] = acc.astype(G_ref.dtype)
         src_ring = z_bufs if fold_h0 else g_bufs
@@ -871,7 +914,7 @@ def _bwd_msg_premul_kernel(
         ].astype(z_ref.dtype)
 
 
-def _bwd_msg_premul_impl(G_in, y, H0, W, src, dst, rev, kw, fold_h0):
+def _bwd_msg_premul_impl(G_in, y, H0, W, src, dst, rev, kw, fold_h0, band=CHUNK):
     """(G, z): the premultiplied backward stage. ``z`` is gz, or the folded
     first-iteration H0 cotangent when ``fold_h0`` (H0 required then)."""
     n, d = y.shape
@@ -908,7 +951,7 @@ def _bwd_msg_premul_impl(G_in, y, H0, W, src, dst, rev, kw, fold_h0):
     )
     G, z = pl.pallas_call(
         functools.partial(
-            _bwd_msg_premul_kernel, n_chunks=n_chunks, kw=kw, fold_h0=fold_h0
+            _bwd_msg_premul_kernel, n_chunks=n_chunks, kw=kw, fold_h0=fold_h0, band=band
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -1328,9 +1371,10 @@ def _readout_bwd(n_nodes, window, nodes_ok, res, g_Mv):
 fused_iter_readout.defvjp(_readout_fwd, _readout_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def fused_loop_readout(
-    H0, W, b, src, dst, rev, n_nodes: int, window: int, depth: int, nodes_ok: bool = False
+    H0, W, b, src, dst, rev, n_nodes: int, window: int, depth: int,
+    nodes_ok: bool = False, band: int = CHUNK,
 ):
     """The WHOLE depth loop + M_v readout as one custom-VJP op (the fused
     path's production composition for ReLU bond MP without dropout):
@@ -1353,21 +1397,21 @@ def fused_loop_readout(
     Bias gradients need the per-iteration gz sums, so ``b is not None``
     falls back to the per-iteration VJP composition at the model level.
     Reference semantics: ``chemprop/nn/message_passing/base.py:196-212``."""
-    return _loop_readout_fwd(H0, W, b, src, dst, rev, n_nodes, window, depth, nodes_ok)[0]
+    return _loop_readout_fwd(H0, W, b, src, dst, rev, n_nodes, window, depth, nodes_ok, band)[0]
 
 
-def _loop_readout_fwd(H0, W, b, src, dst, rev, n_nodes, window, depth, nodes_ok):
+def _loop_readout_fwd(H0, W, b, src, dst, rev, n_nodes, window, depth, nodes_ok, band):
     from chemprop_tpu.ops.segment import segment_sum
 
     usable = iter_usable(H0, W, window)
     if usable:
-        y = _iter_impl(H0, H0, W, b, src, dst, rev, window, relu_stream=True)
+        y = _iter_impl(H0, H0, W, b, src, dst, rev, window, relu_stream=True, band=band)
     else:
         y = _iter_composed(_relu(H0), H0, W, b, src, dst, rev, n_nodes, window)
     ys = [y]
     for _ in range(2, depth):
         if usable:
-            y = _iter_impl(y, H0, W, b, src, dst, rev, window)
+            y = _iter_impl(y, H0, W, b, src, dst, rev, window, band=band)
         else:
             y = _iter_composed(y, H0, W, b, src, dst, rev, n_nodes, window)
         ys.append(y)
@@ -1375,7 +1419,7 @@ def _loop_readout_fwd(H0, W, b, src, dst, rev, n_nodes, window, depth, nodes_ok)
     return M_v, (tuple(ys), H0, W, b, src, dst, rev)
 
 
-def _loop_readout_bwd(n_nodes, window, depth, nodes_ok, res, g_Mv):
+def _loop_readout_bwd(n_nodes, window, depth, nodes_ok, band, res, g_Mv):
     ys, H0, W, b, src, dst, rev = res
     from chemprop_tpu.ops.grad_weight import grad_weight
 
@@ -1389,14 +1433,16 @@ def _loop_readout_bwd(n_nodes, window, depth, nodes_ok, res, g_Mv):
     )
     if fast:
         # last iteration: node-streamed expansion
-        G, gz_last = _bwd_msg_nodes_impl(g_Mv, ys[-1], src, dst, rev, window)
+        G, gz_last = _bwd_msg_nodes_impl(g_Mv, ys[-1], src, dst, rev, window, band=band)
         dW = grad_weight(ys[-2] if depth >= 3 else _relu(H0), G)
         dH0_parts = [gz_last]
         # middle iterations (depth >= 4), then the first (H0-folded)
         for t in range(depth - 2, 0, -1):
             y_t = ys[t - 1]
             fold = t == 1
-            G, z = _bwd_msg_premul_impl(G, y_t, H0 if fold else None, W, src, dst, rev, window, fold)
+            G, z = _bwd_msg_premul_impl(
+                G, y_t, H0 if fold else None, W, src, dst, rev, window, fold, band=band
+            )
             x_t = ys[t - 2] if t >= 2 else _relu(H0)
             dW = dW + grad_weight(x_t, G)
             dH0_parts.append(z)

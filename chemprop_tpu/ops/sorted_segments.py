@@ -278,15 +278,21 @@ def _bwd(num_segments, out_dtype, res, g):
 sorted_segment_sum.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def sorted_segment_sum_counts(
-    data: jax.Array, ids: jax.Array, num_segments: int, out_dtype=jnp.float32
+    data: jax.Array, ids: jax.Array, num_segments: int, out_dtype=jnp.float32,
+    expand_w: int = 0,
 ):
     """Like :func:`sorted_segment_sum` but also returns the per-segment
     element counts ``[num_segments]`` (f32). On the Pallas path the counts
     are the one-hot matrix's row sums accumulated on the VPU — zero extra
     HBM traffic, vs a full data pass for a segment-sum-of-ones (the mean
-    readout's denominator)."""
+    readout's denominator).
+
+    ``expand_w > 0``: the backward's cotangent expansion ``g[ids]`` runs
+    through the Pallas window gather with that chunk window (XLA's row
+    gather runs at ~25% of bandwidth here). STATIC promise — callers pass
+    it only when collate stamped containment (BatchMolGraph.agg_expand_ok)."""
     return _dispatch_counts(data, ids, num_segments, out_dtype)
 
 
@@ -319,16 +325,21 @@ def _dispatch_counts(data, ids, num_segments, out_dtype=jnp.float32):
     return out, counts
 
 
-def _fwd_counts(data, ids, num_segments, out_dtype):
+def _fwd_counts(data, ids, num_segments, out_dtype, expand_w):
     return (
         _dispatch_counts(data, ids, num_segments, out_dtype),
         (ids, jnp.zeros((0,), data.dtype)),
     )
 
 
-def _bwd_counts(num_segments, out_dtype, res, g):
+def _bwd_counts(num_segments, out_dtype, expand_w, res, g):
     ids, proto = res
     g_out, _ = g  # counts carry no data gradient
+    if expand_w and proto.dtype == jnp.bfloat16:
+        from chemprop_tpu.ops.window_gather import window_gather
+
+        # cast-then-expand == expand-then-cast, one tiny table cast
+        return window_gather(g_out.astype(jnp.bfloat16), ids, w=expand_w, checked=True), None
     return g_out[ids].astype(proto.dtype), None
 
 

@@ -108,11 +108,13 @@ def _window_gather_impl(M: jax.Array, ids: jax.Array, base: jax.Array, w: int, n
     return out[:n]
 
 
-def window_gather(M: jax.Array, ids: jax.Array, w: int = 4) -> jax.Array:
+def window_gather(M: jax.Array, ids: jax.Array, w: int = 4, checked: bool = False) -> jax.Array:
     """``M[ids]`` with out-of-window ids mapping to zero rows (see module
     docstring — exact for collate's sacrificial-row padding). Dispatches to
-    the Pallas window kernel on TPU when the traced containment check
-    holds, else to the XLA gather."""
+    the Pallas window kernel on TPU when the containment check holds, else
+    to the XLA gather. ``checked=True`` promises containment STATICALLY
+    (collate-verified) and skips the traced check — a ``lax.cond`` here
+    costs table-sized conditional copies."""
     n, (m_rows, d) = ids.shape[0], M.shape
     usable = (
         jax.devices()[0].platform == "tpu"
@@ -123,8 +125,34 @@ def window_gather(M: jax.Array, ids: jax.Array, w: int = 4) -> jax.Array:
     if not usable:
         return M[ids]
     base, ok, n_steps, m_chunks = _group_bounds(m_rows, ids, w)
+    if checked:
+        return _window_gather_impl(M, ids, base, w, n_steps, m_chunks)
     return jax.lax.cond(
         ok,
         lambda: _window_gather_impl(M, ids, base, w, n_steps, m_chunks),
         lambda: jnp.where((ids < m_rows - 1)[:, None], M[ids], 0).astype(M.dtype),
     )
+
+
+def expand_window_ok(ids, m_rows: int, w: int = 2) -> bool:
+    """HOST-side (numpy, collate-time) twin of the containment check for
+    ``window_gather(..., checked=True)``: every real id (``m_rows - 1`` is
+    the excluded sacrificial row) within its UNROLL-group window."""
+    import numpy as _np
+
+    ids = _np.asarray(ids)
+    n = ids.shape[0]
+    if n % CHUNK != 0:
+        return False
+    n_chunks = n // CHUNK
+    n_steps = -(-n_chunks // UNROLL)
+    m_chunks = max(-(-m_rows // CHUNK), w)
+    idg = ids.astype(_np.int64)
+    if n_steps * UNROLL != n_chunks:
+        idg = _np.pad(idg, (0, (n_steps * UNROLL - n_chunks) * CHUNK), constant_values=-1)
+    idg = idg.reshape(n_steps, UNROLL * CHUNK)
+    real = (idg >= 0) & (idg < m_rows - 1)
+    mn = _np.where(real, idg, 2**30).min(axis=1)
+    base = _np.clip(mn // CHUNK, 0, m_chunks - w)
+    mx = _np.where(real, idg, -1).max(axis=1)
+    return bool((mx - base * CHUNK < w * CHUNK).all())
