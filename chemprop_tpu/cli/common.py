@@ -12,7 +12,16 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     # `chemprop train --config-path cfg.toml`); the defaults themselves are
     # injected pre-parse by cli.main._apply_config_defaults
     group.add_argument("--config-path", type=Path, help="JSON/TOML file of argument defaults")
-    group.add_argument("-i", "--data-path", type=Path, help="input CSV path")
+    group.add_argument(
+        "-i",
+        "--data-path",
+        type=Path,
+        nargs="+",
+        help="input CSV path(s). train accepts one, two, or three files "
+        "(reference cli/train.py:126-133): one = train/val/test split; two = "
+        "the first is train/val-split and the second is the test set; three = "
+        "fixed train, val, test. Other subcommands take exactly one.",
+    )
     group.add_argument(
         "-s", "--smiles-columns", nargs="+", help="SMILES column name(s); >1 = multicomponent"
     )

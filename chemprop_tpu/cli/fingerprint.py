@@ -52,7 +52,10 @@ def main(args) -> int:
         for batch in loader:
             enc = apply(variables, batch.bmg, batch.V_d, batch.X_d)
             chunks.append(np.asarray(enc)[batch.pad_mask])
-        fps = np.concatenate(chunks, 0)
+        from chemprop_tpu.train.trainer import _restore_order
+
+        # oversized-molecule isolation may reorder batch emission
+        fps = _restore_order(np.concatenate(chunks, 0), loader)
 
         out = args.output or args.data_path.with_name(args.data_path.stem + "_fingerprint.csv")
         if len(model_paths) > 1:

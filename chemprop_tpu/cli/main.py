@@ -92,6 +92,21 @@ def main(argv: list[str] | None = None) -> int:
         handlers=handlers,
         force=True,
     )
+    # -i accepts 1-3 files for train (reference cli/train.py:126-133) and
+    # exactly one elsewhere; downstream code sees args.data_path (first file)
+    # plus args.data_paths (the full list)
+    dp = getattr(args, "data_path", None)
+    if isinstance(dp, list):
+        if args.mode == "train":
+            if not 1 <= len(dp) <= 3:
+                parser.error("train takes one, two, or three -i/--data-path files")
+        elif len(dp) != 1:
+            parser.error(f"{args.mode} takes exactly one -i/--data-path file")
+        args.data_paths = dp
+        args.data_path = dp[0]
+    elif dp is not None:
+        args.data_paths = [dp]
+
     logger.info(f"chemprop-tpu {__version__} :: {args.mode}")
     return args.func(args) or 0
 

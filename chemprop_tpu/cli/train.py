@@ -226,6 +226,34 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
 def process_train_args(args) -> None:
     """Normalize parsed args in place (cf. reference process_train_args)."""
+    # 1-3 input files (reference cli/train.py:126-133,1150-1215): two files =
+    # train/val split of the first + the second as test; three = fixed splits
+    paths = getattr(args, "data_paths", None) or (
+        [args.data_path] if getattr(args, "data_path", None) else []
+    )
+    args.data_paths = [Path(p) for p in paths]
+    if len(args.data_paths) > 1:
+        if getattr(args, "atom_target_columns", None) or getattr(args, "bond_target_columns", None):
+            raise ValueError(
+                "multiple -i files are not supported for atom/bond-target (MAB) training"
+            )
+        for name in (
+            "descriptors_path",
+            "atom_features_path",
+            "bond_features_path",
+            "atom_descriptors_path",
+        ):
+            if getattr(args, name, None):
+                raise ValueError(
+                    f"--{name.replace('_', '-')} is not supported with multiple -i files "
+                    "(per-file extra-feature tables would be required)"
+                )
+        if len(args.data_paths) == 3 and args.num_replicates > 1:
+            logger.warning(
+                "num_replicates is fixed to 1 when train, val, test data are "
+                "supplied in 3 separate files"
+            )
+            args.num_replicates = 1
     if getattr(args, "num_folds", None) is not None:
         raise ValueError(
             "the -k/--num-folds argument was removed in reference v2.1.0 — "
@@ -459,6 +487,41 @@ def main(args) -> int:
         molecule_featurizers=mol_featurizers, X_d=X_d, V_fs=V_fs, E_fs=E_fs, V_ds=V_ds,
     )
 
+    # extra -i files (reference cli/train.py:1150-1215): appended to the
+    # datapoint pool with known index ranges — 2 files: the second is the
+    # test set; 3 files: fixed train/val/test
+    extra_ns = []
+    for p in args.data_paths[1:]:
+        smis2, rxns2, Y2, w2, lt2, gt2, _, _, _ = parse_csv(
+            p,
+            args.smiles_columns,
+            args.reaction_columns,
+            args.target_columns,
+            ignore_cols + descriptors_cols,
+            args.weight_column,
+            bounded=args.loss_function is not None and "bounded" in args.loss_function,
+            no_header_row=args.no_header_row,
+        )
+        X_d2 = None
+        if descriptors_cols:
+            import pandas as pd
+
+            df2 = pd.read_csv(p, header=None if args.no_header_row else 0)
+            X_d2 = list(df2[descriptors_cols].to_numpy(dtype=np.float64))
+        comps2 = make_datapoints(
+            smis2, rxns2, Y2, w2, lt2, gt2,
+            keep_h=args.keep_h, add_h=args.add_h, ignore_stereo=args.ignore_stereo,
+            molecule_featurizers=mol_featurizers, X_d=X_d2,
+        )
+        for c, extra in zip(components, comps2):
+            c.extend(extra)
+        for col in smis:
+            smis[col].extend(smis2[col])
+        for col in rxns:
+            rxns[col].extend(rxns2[col])
+        Y = np.concatenate([Y, Y2], axis=0)
+        extra_ns.append(len(Y2))
+
     # save resolved config
     def _jsonable(v):
         try:
@@ -470,13 +533,25 @@ def main(args) -> int:
     with open(out_dir / "config.json", "w") as f:
         json.dump({k: _jsonable(v) for k, v in vars(args).items() if k != "func"}, f, indent=2)
 
-    if splits_col_values is not None:
+    if len(args.data_paths) == 3:
+        n1, n2 = extra_ns
+        split_idxs = (
+            [list(range(n))],
+            [list(range(n, n + n1))],
+            [list(range(n + n1, n + n1 + n2))],
+        )
+    elif splits_col_values is not None:
         tr = [i for i, s in enumerate(splits_col_values) if s == "train"]
         va = [i for i, s in enumerate(splits_col_values) if s == "val"]
         te = [i for i, s in enumerate(splits_col_values) if s == "test"]
         split_idxs = ([tr], [va], [te])
     else:
-        split_idxs = build_splits(args, components)
+        # splits are computed over the FIRST file's rows only
+        split_idxs = build_splits(args, [c[:n] for c in components])
+    if len(args.data_paths) == 2:
+        # the second file replaces the test split (its rows sit at [n, n+n1))
+        trains_, vals_, _ = split_idxs
+        split_idxs = (trains_, vals_, [list(range(n, n + extra_ns[0])) for _ in trains_])
     trains, vals, tests = split_idxs
 
     with open(out_dir / "splits.json", "w") as f:

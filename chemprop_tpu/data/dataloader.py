@@ -47,12 +47,20 @@ class DataLoader:
         self.prefetch = prefetch
         self.n_shards = n_shards
 
-        # oversized-molecule isolation REORDERS the emitted rows, which is
-        # only safe when row order is already meaningless (training-time
-        # shuffling/balancing). Unshuffled loaders (predict/fingerprint/
-        # calibration concatenate batches back in dataset row order) keep
-        # in-order batches and pay the composed-path fallback instead.
-        self._isolate_oversized = bool(shuffle or class_balance)
+        # oversized-molecule isolation REORDERS the emitted rows. For
+        # training-time loaders (shuffle/class_balance) order is already
+        # meaningless; for UNSHUFFLED molecule loaders it is still enabled
+        # and consumers restore dataset row order through
+        # :meth:`emitted_order` (Trainer.predict does) — so one giant
+        # molecule no longer demotes every co-batched small molecule to the
+        # composed message path. MolAtomBond loaders are the exception:
+        # their per-atom/bond output tables would need grouped reordering,
+        # so unshuffled MAB loaders keep in-order batches.
+        from chemprop_tpu.data.datasets import MolAtomBondDataset
+
+        mab = isinstance(dataset, MolAtomBondDataset)
+        self._reshuffles = bool(shuffle or class_balance)
+        self._isolate_oversized = self._reshuffles or not mab
         if class_balance:
             self.sampler = ClassBalanceSampler(dataset.Y, seed, shuffle)
         elif shuffle:
@@ -65,6 +73,19 @@ class DataLoader:
     def __len__(self) -> int:
         n = len(self.sampler)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def emitted_order(self):
+        """Dataset indices of emitted samples in emission order, or None for
+        loaders whose order may change between iterations (shuffle /
+        class-balance). Consumers that concatenate per-batch outputs
+        (``Trainer.predict``) invert this to restore dataset row order when
+        oversized-molecule isolation reordered the batches."""
+        if self._reshuffles:
+            return None
+        import numpy as np
+
+        idxs = [i for batch in self._index_batches() for i in batch]
+        return np.asarray(idxs, dtype=np.int64)
 
     def _make_batch(self, idxs: list[int]) -> TrainingBatch:
         from chemprop_tpu.data.collate import collate_mol_atom_bond_batch

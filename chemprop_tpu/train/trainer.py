@@ -86,6 +86,23 @@ def _device_put_batch(batch: TrainingBatch, sharding=None):
     return jax.device_put(batch, sharding)
 
 
+def _restore_order(preds: np.ndarray, loader, axis: int = 0) -> np.ndarray:
+    """Un-permute concatenated predictions back to dataset row order when the
+    loader's oversized-molecule isolation reordered batch emission
+    (DataLoader.emitted_order; None = order may reshuffle, identity = no-op)."""
+    order_fn = getattr(loader, "emitted_order", None)
+    if order_fn is None:
+        return preds
+    order = order_fn()
+    if order is None or preds.shape[axis] != len(order):
+        return preds
+    if np.array_equal(order, np.arange(len(order))):
+        return preds
+    inv = np.empty(len(order), np.int64)
+    inv[order] = np.arange(len(order))
+    return np.take(preds, inv, axis=axis)
+
+
 def _count_edges(host_batch) -> int:
     bmgs = (
         host_batch.bmg if isinstance(host_batch.bmg, tuple) else (host_batch.bmg,)
@@ -709,7 +726,7 @@ class Trainer:
                 preds = np.asarray(apply_sharded(variables, batch))
                 preds = preds.reshape((-1,) + preds.shape[2:])
                 chunks.append(preds[batch.pad_mask])
-            return np.concatenate(chunks, axis=0)
+            return _restore_order(np.concatenate(chunks, axis=0), loader)
 
         cache_key = ("predict", method, use_batch_statistics)
         apply = self._predict_jits.get(cache_key)
@@ -742,9 +759,8 @@ class Trainer:
             dev_chunks.append(apply(variables, batch.bmg, batch.V_d, batch.X_d))
         # all batches dispatched asynchronously; one batched fetch at the end
         vals = jax.device_get(dev_chunks)
-        return np.concatenate(
-            [np.asarray(v)[m] for v, m in zip(vals, masks)], axis=0
-        )
+        preds = np.concatenate([np.asarray(v)[m] for v, m in zip(vals, masks)], axis=0)
+        return _restore_order(preds, loader)
 
     def _put(self, batch: TrainingBatch) -> TrainingBatch:
         """Device-put a host batch with mesh shardings (multi-host safety:
@@ -789,7 +805,7 @@ class Trainer:
                 key = jax.random.fold_in(keys[s], b)
                 preds = _apply(variables, batch.bmg, batch.V_d, batch.X_d, key)
                 chunks.append(np.asarray(preds)[batch.pad_mask])
-            samples.append(np.concatenate(chunks, axis=0))
+            samples.append(_restore_order(np.concatenate(chunks, axis=0), loader))
         return np.stack(samples, axis=0)
 
     # ----------------------------------------------------------- checkpoints

@@ -322,3 +322,58 @@ class TestConvert:
         mgs = [feat(MoleculeDatapoint.from_smi(s, y=np.zeros(1)).mol) for s in smis]
         want = _reference_forward_torch(src_ckpt, mgs)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestMultiFileInput:
+    """1-3 ``-i`` files (reference cli/train.py:126-133,1150-1215): two =
+    train/val split of the first + the second as test; three = fixed
+    train/val/test with num_replicates forced to 1."""
+
+    @pytest.fixture(scope="class")
+    def three_csvs(self, data_dir, tmp_path_factory):
+        rows = list(csv.reader(open(data_dir / "regression" / "mol" / "mol.csv")))
+        header, body = rows[0], rows[1:]
+        d = tmp_path_factory.mktemp("multifile")
+        paths = []
+        for name, sl in [("train", slice(0, 16)), ("val", slice(16, 22)), ("test", slice(22, 30))]:
+            p = d / f"{name}.csv"
+            with open(p, "w", newline="") as f:
+                csv.writer(f).writerows([header] + body[sl])
+            paths.append(p)
+        return paths
+
+    def test_three_files_fixed_splits(self, three_csvs, tmp_path, monkeypatch):
+        out = tmp_path / "out3"
+        run_cli(
+            monkeypatch,
+            ["train", "-i", *map(str, three_csvs), "--epochs", "1",
+             "--batch-size", "8", "-o", str(out), "--num-replicates", "2"],
+        )
+        splits = json.load(open(out / "splits.json"))
+        assert len(splits) == 1  # replicates forced to 1
+        assert splits[0]["train"] == list(range(16))
+        assert splits[0]["val"] == list(range(16, 22))
+        assert splits[0]["test"] == list(range(22, 30))
+        assert (out / "best.ckpt").exists()
+
+    def test_two_files_test_set(self, three_csvs, tmp_path, monkeypatch):
+        out = tmp_path / "out2"
+        run_cli(
+            monkeypatch,
+            ["train", "-i", str(three_csvs[0]), str(three_csvs[2]), "--epochs", "1",
+             "--batch-size", "8", "-o", str(out)],
+        )
+        splits = json.load(open(out / "splits.json"))
+        # the first file (16 rows) was train/val-split; the second is test
+        assert splits[0]["test"] == list(range(16, 24))
+        assert max(splits[0]["train"] + splits[0]["val"]) < 16
+        assert (out / "best.ckpt").exists()
+
+    def test_predict_rejects_multiple_files(self, three_csvs, monkeypatch):
+        monkeypatch.setattr(
+            sys, "argv",
+            ["chemprop-tpu", "predict", "-i", str(three_csvs[0]), str(three_csvs[1]),
+             "--model-path", "nonexistent.ckpt"],
+        )
+        with pytest.raises(SystemExit):
+            cli_main()

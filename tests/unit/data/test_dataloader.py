@@ -126,20 +126,61 @@ class TestOversizedIsolation:
         # all molecules still pass through exactly once
         assert sum(int(np.asarray(b.w).reshape(-1).astype(bool).sum()) for b in batches) == n
 
-    def test_unshuffled_loader_preserves_row_order(self):
-        """Isolation must NOT reorder inference-time loaders: predict/
-        fingerprint/calibration concatenate batches back in dataset row
-        order (code-review r3 finding — a reordered giant silently shifted
-        every following prediction row)."""
+    def test_unshuffled_loader_isolates_and_exposes_order(self):
+        """Unshuffled loaders ALSO isolate oversized molecules (so one giant
+        no longer demotes co-batched small molecules to the composed path,
+        VERDICT r3 weak #4) and expose the emission order for consumers to
+        restore dataset row order."""
         import numpy as np
 
         from chemprop_tpu.data import DataLoader
 
         ds, n = self._mixed()
         loader = DataLoader(ds, batch_size=8, shuffle=False)
+        batches = list(loader)
+        flags = [b.bmg.fused_ok for b in batches]
+        assert sum(1 for f in flags if not f) == 1  # only the giant demoted
+        order = loader.emitted_order()
+        assert order is not None and sorted(order.tolist()) == list(range(n))
         ys = []
-        for b in loader:
+        for b in batches:
             keep = np.asarray(b.w).reshape(-1) > 0
             ys.extend(np.asarray(b.Y).reshape(-1)[keep].tolist())
-        want = [float(i) for i in range(3)] + [99.0] + [float(i) for i in range(3, n - 1)]
-        assert ys == want
+        # emission order matches the exposed order, and inverting restores
+        # dataset row order
+        assert ys == [float(np.asarray(ds.Y).reshape(-1)[i]) for i in order]
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        restored = np.asarray(ys)[inv]
+        assert restored.tolist() == np.asarray(ds.Y).reshape(-1).tolist()
+        # shuffled loaders cannot promise a stable order
+        assert DataLoader(ds, batch_size=8, shuffle=True, seed=0).emitted_order() is None
+
+    def test_predict_restores_dataset_order(self):
+        """End-to-end: Trainer.predict over a mixed dataset returns rows in
+        dataset order and matches a batch_size=1 reference."""
+        import numpy as np
+
+        from chemprop_tpu.data import DataLoader
+        from chemprop_tpu.models import MPNN
+        from chemprop_tpu.nn import BondMessagePassing, MeanAggregation, RegressionFFN
+        from chemprop_tpu.train import Trainer
+
+        ds, n = self._mixed()
+        model = MPNN(
+            message_passing=BondMessagePassing(d_h=32, depth=2),
+            agg=MeanAggregation(),
+            predictor=RegressionFFN(input_dim=32, hidden_dim=32),
+            batch_norm=False,
+        )
+        trainer = Trainer(model, max_epochs=1, seed=0)
+        trainer.init_loader = DataLoader(ds, batch_size=8)
+        trainer.state = trainer.init_state(next(iter(trainer.init_loader)), 1)
+        preds = trainer.predict(DataLoader(ds, batch_size=8), variables={
+            "params": trainer.state.params, "batch_stats": trainer.state.batch_stats
+        })
+        ref = trainer.predict(DataLoader(ds, batch_size=1), variables={
+            "params": trainer.state.params, "batch_stats": trainer.state.batch_stats
+        })
+        assert preds.shape[0] == n
+        np.testing.assert_allclose(preds, ref, rtol=2e-5, atol=2e-5)
