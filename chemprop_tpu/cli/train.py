@@ -163,6 +163,19 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
     g.add_argument("--no-batch-norm", action="store_true", help=argparse.SUPPRESS)
     g.add_argument("--no-cache", action="store_true")
+    g.add_argument(
+        "--edge-partition",
+        type=int,
+        nargs="?",
+        const=0,
+        default=None,
+        metavar="N",
+        help="edge-partitioned training: each molecule's edge table is cut "
+        "into contiguous per-chip slices with halo exchange over the device "
+        "mesh (N devices; 0/omitted value = all) — for molecules too large "
+        "for one chip's batch slice. One molecule per step; exact vs "
+        "single-device (parallel/partitioned_mp.py)",
+    )
 
     # transfer learning / resume (reference --checkpoint/--freeze-encoder/
     # --frzn-ffn-layers, cli/train.py:1826-1833; resume is new here)
@@ -596,6 +609,17 @@ def main(args) -> int:
             output_transform = UnscaleTransform.from_standard_scaler(scaler)
             logger.info(f"train target μ={scaler.mean_} σ={scaler.scale_}")
 
+        if getattr(args, "edge_partition", None) is not None:
+            scores = _train_edge_partitioned(
+                args, train_dset, test_dset, output_transform,
+                X_d_t, V_d_t, graph_t,
+                out_dir / (f"replicate_{rep}" if len(trains) > 1 else "."),
+                target_cols,
+            )
+            if scores is not None:
+                all_scores.append(scores)
+            continue
+
         if not args.no_cache:
             for d in (train_dset, val_dset):
                 if d is None:
@@ -717,6 +741,115 @@ def main(args) -> int:
             json.dump(all_scores, f, indent=2)
         print(json.dumps(all_scores[-1]))
     return 0
+
+
+def _train_edge_partitioned(
+    args, train_dset, test_dset, output_transform, X_d_t, V_d_t, graph_t,
+    out_dir, target_cols,
+):
+    """Edge-partitioned training loop: one molecule per step, its edge table
+    sharded across the device mesh with halo exchange
+    (``parallel/partitioned_mp.py``). Saves a STANDARD checkpoint — the
+    trained model loads and predicts on the normal path too."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh
+
+    from chemprop_tpu.data.collate import collate_batch
+    from chemprop_tpu.models.serialize import save_model
+    from chemprop_tpu.parallel.partitioned_mp import (
+        build_partitioned_graph,
+        check_partitionable,
+        make_partitioned_apply,
+        make_partitioned_train_step,
+        natural_dims,
+    )
+    from chemprop_tpu.train.schedulers import build_noam_like_schedule
+    from chemprop_tpu.train.trainer import TrainState
+
+    n_dev = args.edge_partition if args.edge_partition and args.edge_partition > 0 else len(
+        jax.devices()
+    )
+    n_dev = min(n_dev, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    model = build_model(args, train_dset, output_transform, X_d_t, V_d_t, graph_t)
+    check_partitionable(model)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def data(dset):
+        return [dset[i] for i in range(len(dset))] if dset is not None else []
+
+    train = data(train_dset)
+    tests = data(test_dset)
+    if not train:
+        raise ValueError("--edge-partition training needs a non-empty train split")
+
+    # common padded dims across the dataset -> one compiled program
+    nat = [natural_dims(d.mg, n_dev) for d in train + tests]
+    mins = dict(
+        min_halo_nodes=max(x.HN for x in nat),
+        min_halo_edges=max(x.HE for x in nat),
+        min_owned_nodes=max(x.N for x in nat),
+        min_shard_edges=max(x.P for x in nat),
+    )
+    g_train = [build_partitioned_graph(d.mg, n_dev, **mins) for d in train]
+    dims = g_train[0][1]
+    g_train = [g for g, _ in g_train]
+    g_test = [build_partitioned_graph(d.mg, n_dev, **mins)[0] for d in tests]
+    logger.info(
+        f"edge-partitioned training over {n_dev} devices: dims P={dims.P} "
+        f"N={dims.N} HN={dims.HN} HE={dims.HE}, {len(train)} molecules/epoch"
+    )
+
+    batch0 = collate_batch([train[0]])
+    variables = model.init(
+        jax.random.PRNGKey(args.seed), batch0.bmg, None, None, is_training=False
+    )
+    steps = max(1, len(train))
+    sched = build_noam_like_schedule(
+        args.warmup_epochs * steps,
+        max(1, (args.epochs - args.warmup_epochs) * steps),
+        args.init_lr, args.max_lr, args.final_lr,
+    )
+    tx = optax.adam(sched)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats={},
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(args.seed),
+    )
+    step_fn = make_partitioned_train_step(model, tx, mesh, dims)
+    rng = np.random.default_rng(args.data_seed)
+    history = []
+    for epoch in range(args.epochs):
+        order = rng.permutation(len(train))
+        losses = []
+        for i in order:
+            y = np.asarray(train[i].y, np.float32)[None]
+            w = np.asarray([train[i].weight], np.float32)
+            state, loss = step_fn(state, g_train[int(i)], jnp.asarray(y), jnp.asarray(w))
+            losses.append(loss)
+        train_loss = float(np.mean(jax.device_get(losses)))
+        history.append({"epoch": epoch, "train_loss": train_loss})
+        logger.info(f"epoch={epoch} train_loss={train_loss:.5g}")
+
+    final_vars = jax.device_get({"params": state.params, "batch_stats": {}})
+    save_model(out_dir / "best.ckpt", model, final_vars, output_columns=target_cols)
+    with open(out_dir / "history.json", "w") as f:
+        json.dump(history, f, indent=2)
+
+    scores = None
+    if tests:
+        apply_p = make_partitioned_apply(model, mesh, dims)
+        preds = np.concatenate(
+            [np.asarray(apply_p({"params": state.params}, g)) for g in g_test], axis=0
+        )
+        scores = _score_test(preds, test_dset, args, target_cols)
+        logger.info(f"edge-partitioned test scores: {scores}")
+        _save_preds(out_dir / "test_predictions.csv", test_dset, preds, target_cols)
+    return scores
 
 
 def _log_data_summary(rep, train_dset, val_dset, test_dset, target_cols) -> None:

@@ -80,6 +80,8 @@ def partition_edges(
     n_shards: int,
     min_halo_nodes: int = 8,
     min_halo_edges: int = 8,
+    min_owned_nodes: int = 1,
+    min_shard_edges: int = 1,
 ) -> EdgePartitionPlan:
     """Cut a dst-sorted edge table into ``n_shards`` contiguous slices.
 
@@ -102,8 +104,10 @@ def partition_edges(
     node_lo = np.array([dst[c] if c < E else n_nodes for c in cuts], np.int64)
     owned = node_lo[1:] - node_lo[:-1]
     n_edges = np.diff(cuts)
-    N = _round_up(max(1, int(owned.max())), 8)
-    P = _round_up(max(1, int(n_edges.max())), 128)
+    # min_owned_nodes/min_shard_edges force COMMON padded dims across a
+    # dataset of differently-sized molecules (one compiled program)
+    N = _round_up(max(min_owned_nodes, int(owned.max())), 8)
+    P = _round_up(max(min_shard_edges, int(n_edges.max())), 128)
 
     # required halos, measured per shard from the real spans
     need_hn = 1  # dst spills at most onto the straddled boundary node

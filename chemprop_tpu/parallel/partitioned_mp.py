@@ -1,0 +1,298 @@
+"""Edge-partitioned TRAINING and INFERENCE: one giant molecule sharded
+across the device mesh.
+
+The default multi-chip path places whole graphs per chip
+(``parallel/shard_train.py``); a molecule too large for one chip's batch
+slice would inflate every shard's PadSpec. This module turns the validated
+halo-exchange message op (``ops/edge_partition.py``) into a *training
+mode*: the molecule's dst-sorted edge table is cut into contiguous
+per-chip slices, the FULL D-MPNN forward (W_i featurization GEMM, the
+depth loop with the W_h GEMM, the M_v readout, W_o finalize, graph
+readout, prediction head) runs under ``shard_map``, and backprop flows
+through the ``ppermute`` halo exchanges (their transposes are the reverse
+permutations — gradients are exact, tested against the single-device
+model to f32 tolerance in ``tests/unit/parallel/test_partitioned_mp.py``).
+
+Parameters are the STANDARD ``MPNN`` parameter pytree: a model trained in
+this mode saves/loads through the normal checkpoint path and predicts on
+the normal single-device path (and vice versa).
+
+Scope (checked by :func:`check_partitionable`): BondMessagePassing
+(directed, no extra atom descriptors), mean/sum/norm aggregation, no
+batch norm, single component, deterministic (dropout off — one molecule
+per step is full-batch training). CLI: ``chemprop-tpu train
+--edge-partition [N]``.
+
+Reference analog: none — the reference holds whole graphs per rank
+(``chemprop/nn/message_passing/base.py:196-212`` on one device).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from chemprop_tpu.nn.utils import get_activation_function
+from chemprop_tpu.ops.edge_partition import (
+    EdgePartitionPlan,
+    halo_message,
+    halo_node_accumulators,
+    partition_edges,
+)
+from chemprop_tpu.parallel.shard_train import _shard_map, _tree_psum
+from chemprop_tpu.parallel.sharding import DATA_AXIS
+
+
+class PartitionedGraph(NamedTuple):
+    """One molecule, cut into per-shard slices (leading axis = shard)."""
+
+    V_ext: Any  # [S, N + 2HN + 1, d_v] node features: [halo|owned|halo|sac]
+    E: Any  # [S, P, d_e] edge features (dst-sorted slice)
+    src_ext: Any  # [S, P] into the extended node layout
+    dst_ext: Any
+    rev_ext: Any  # [S, P] into [HE | P | HE]
+    edge_mask: Any  # [S, P]
+    n_owned: Any  # [S]
+    n_edges: Any  # [S]
+
+
+class PartitionDims(NamedTuple):
+    n_shards: int
+    P: int
+    N: int
+    HN: int
+    HE: int
+
+
+def check_partitionable(model) -> None:
+    """Raise with a precise reason when the model config is outside this
+    mode's scope."""
+    from chemprop_tpu.nn.agg import MeanAggregation, NormAggregation, SumAggregation
+    from chemprop_tpu.nn.message_passing.base import BondMessagePassing
+
+    mp = model.message_passing
+    if not isinstance(mp, BondMessagePassing):
+        raise ValueError("--edge-partition requires bond message passing")
+    if mp.undirected:
+        raise ValueError("--edge-partition does not support --undirected")
+    if mp.d_vd:
+        raise ValueError("--edge-partition does not support extra atom descriptors")
+    if getattr(model, "batch_norm", False):
+        raise ValueError("--edge-partition does not support --batch-norm")
+    if not isinstance(model.agg, (MeanAggregation, SumAggregation, NormAggregation)):
+        raise ValueError("--edge-partition supports mean/sum/norm aggregation")
+
+
+def build_partitioned_graph(
+    mg,
+    n_shards: int,
+    min_halo_nodes: int = 8,
+    min_halo_edges: int = 8,
+    min_owned_nodes: int = 1,
+    min_shard_edges: int = 1,
+) -> tuple[PartitionedGraph, PartitionDims]:
+    """Host-side: dst-sort a featurized MolGraph and cut it into shard
+    slices with halo node-feature rows. The ``min_*`` floors force common
+    padded dims across a dataset (one compiled program)."""
+    src = np.asarray(mg.edge_index[0], np.int64)
+    dst = np.asarray(mg.edge_index[1], np.int64)
+    rev = np.asarray(mg.rev_edge_index, np.int64)
+    order = np.argsort(dst, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    src, dst, rev = src[order], dst[order], inv[rev[order]]
+    E_feats = np.asarray(mg.E, np.float32)[order]
+    V = np.asarray(mg.V, np.float32)
+    n_nodes = V.shape[0]
+
+    plan = partition_edges(
+        src, dst, rev, n_nodes, n_shards,
+        min_halo_nodes=min_halo_nodes,
+        min_halo_edges=min_halo_edges,
+        min_owned_nodes=min_owned_nodes,
+        min_shard_edges=min_shard_edges,
+    )
+    S, Pp, N, HN, HE = plan.n_shards, plan.P, plan.N, plan.HN, plan.HE
+    cuts = np.concatenate([[0], np.cumsum(np.asarray(plan.n_edges))]).astype(int)
+    lo = np.asarray(plan.node_lo)
+
+    V_ext = np.zeros((S, N + 2 * HN + 1, V.shape[1]), np.float32)
+    E_p = np.zeros((S, Pp, E_feats.shape[1]), np.float32)
+    own = np.asarray(plan.n_owned)
+    for s in range(S):
+        hi = int(lo[s]) + int(own[s])
+        # [left-halo | owned (padded to N) | right-halo | sacrificial]: the
+        # right halo sits AFTER the padded owned block, matching loc_node's
+        # ``HN + N + (node - hi)`` localization
+        for row0, g0, count in (
+            (0, int(lo[s]) - HN, HN),
+            (HN, int(lo[s]), int(own[s])),
+            (HN + N, hi, HN),
+        ):
+            idx = np.arange(count) + g0
+            ok = (idx >= 0) & (idx < n_nodes)
+            V_ext[s, row0 : row0 + count][ok] = V[idx[ok]]
+        k = cuts[s + 1] - cuts[s]
+        E_p[s, :k] = E_feats[cuts[s] : cuts[s + 1]]
+
+    g = PartitionedGraph(
+        V_ext=V_ext,
+        E=E_p,
+        src_ext=np.asarray(plan.src_ext),
+        dst_ext=np.asarray(plan.dst_ext),
+        rev_ext=np.asarray(plan.rev_ext),
+        edge_mask=np.asarray(plan.edge_mask),
+        n_owned=np.asarray(plan.n_owned),
+        n_edges=np.asarray(plan.n_edges),
+    )
+    return g, PartitionDims(S, Pp, N, HN, HE)
+
+
+def natural_dims(mg, n_shards: int) -> PartitionDims:
+    """The per-molecule dims before any cross-dataset floors."""
+    _, dims = build_partitioned_graph(mg, n_shards)
+    return dims
+
+
+def _mp_local(params, g: PartitionedGraph, dims: PartitionDims, mp, axis: str):
+    """Per-shard D-MPNN forward on the local slice (inside shard_map).
+    Returns ``(Hv [N, d_h], node_mask [N])`` for the owned nodes."""
+    tau = get_activation_function(mp.activation)
+    p = params["message_passing"]
+    W_i, W_h = p["W_i"]["kernel"], p["W_h"]["kernel"]
+    b_i, b_h = p["W_i"].get("bias"), p["W_h"].get("bias")
+    W_o, b_o = p["W_o"]["kernel"], p["W_o"]["bias"]
+    S, HN, HE, N = dims.n_shards, dims.HN, dims.HE, dims.N
+
+    X = jnp.concatenate([g.V_ext[g.src_ext], g.E], axis=-1)
+    H0 = X @ W_i
+    if b_i is not None:
+        H0 = H0 + b_i
+    H = tau(H0)
+    for _ in range(1, mp.depth):
+        M = halo_message(
+            H, g.src_ext, g.dst_ext, g.rev_ext, g.edge_mask,
+            g.n_owned, g.n_edges, N, HN, HE, axis, S,
+        )
+        Z = M @ W_h
+        if b_h is not None:
+            Z = Z + b_h
+        H = tau(H0 + Z)
+    Hm = jnp.where(g.edge_mask[:, None], H, 0)
+    M_v = halo_node_accumulators(
+        Hm, g.dst_ext, g.edge_mask, g.n_owned, N, HN, axis, S, with_halo=False
+    )
+    V_own = g.V_ext[HN : HN + N]
+    H_v = tau(jnp.concatenate([V_own, M_v], axis=-1) @ W_o + b_o)
+    node_mask = jnp.arange(N) < g.n_owned
+    return H_v, node_mask
+
+
+def _graph_embedding(model, local_sum, local_count, axis: str):
+    from chemprop_tpu.nn.agg import MeanAggregation, NormAggregation
+
+    s = jax.lax.psum(local_sum, axis)
+    c = jax.lax.psum(local_count, axis)
+    if isinstance(model.agg, MeanAggregation):
+        return s / jnp.maximum(c, 1.0)
+    if isinstance(model.agg, NormAggregation):
+        return s / model.agg.norm
+    return s  # sum
+
+
+def make_partitioned_apply(
+    model, mesh: Mesh, dims: PartitionDims, axis: str = DATA_AXIS,
+    train_space: bool = False,
+) -> Callable:
+    """Jitted shard_map inference: ``(variables, PartitionedGraph) ->
+    preds [1, ...]`` (inference activations + output unscaling unless
+    ``train_space``)."""
+    check_partitionable(model)
+    mp = model.message_passing
+
+    def body(variables, g):
+        g = jax.tree.map(lambda x: x[0], g)
+        H_v, node_mask = _mp_local(variables["params"], g, dims, mp, axis)
+        ls = jnp.sum(jnp.where(node_mask[:, None], H_v, 0), axis=0)
+        lc = jnp.sum(node_mask).astype(jnp.float32)
+        Z = _graph_embedding(model, ls, lc, axis)[None]
+        method = "train_step" if train_space else None
+        kwargs = {"method": method} if method else {}
+        return model.predictor.apply(
+            {"params": variables["params"]["predictor"]}, Z, is_training=False, **kwargs
+        )
+
+    fn = _shard_map(body, mesh, (P(), P(axis)), P())
+    return jax.jit(fn)
+
+
+def make_partitioned_train_step(
+    model, tx: optax.GradientTransformation, mesh: Mesh, dims: PartitionDims,
+    axis: str = DATA_AXIS,
+) -> Callable:
+    """Jitted shard_map train step for one partitioned molecule:
+    ``(state, PartitionedGraph, y [1, t], w [1]) -> (state, loss)``.
+
+    Gradient structure mirrors ``make_sharded_train_step``: the per-shard
+    MP forward is VJP'd locally, the graph readout + head + criterion run
+    replicated on the psum'd embedding, and the chained MP gradients are
+    psum'd — exact full-molecule gradients (the halo ``ppermute``
+    transposes are the reverse permutations)."""
+    check_partitionable(model)
+    mp = model.message_passing
+    criterion = model.criterion
+
+    def body(state, g, y, w):
+        g = jax.tree.map(lambda x: x[0], g)
+        y = y[0][None]
+        w = w[0][None]
+
+        def local_fn(p_mp):
+            H_v, node_mask = _mp_local({"message_passing": p_mp}, g, dims, mp, axis)
+            ls = jnp.sum(jnp.where(node_mask[:, None], H_v, 0), axis=0)
+            lc = jnp.sum(node_mask).astype(jnp.float32)
+            return ls, lc
+
+        (ls, lc), vjp_mp = jax.vjp(local_fn, state.params["message_passing"])
+
+        def head_fn(p_pred, ls, lc):
+            Z = _graph_embedding(model, ls, lc, axis)[None]
+            preds = model.predictor.apply(
+                {"params": p_pred}, Z, is_training=False, method="train_step"
+            )
+            mask = jnp.isfinite(y)
+            targets = jnp.nan_to_num(y)
+            st = criterion.update_state(
+                criterion.init_state(), preds, targets, mask, w,
+                jnp.zeros_like(mask), jnp.zeros_like(mask),
+            )
+            return criterion.compute(st)
+
+        # psum on PRIMALS; the replicated head differentiates cleanly
+        gs = jax.lax.psum(ls, axis)
+        gc = jax.lax.psum(lc, axis)
+        loss, (g_pred, d_gs, _) = jax.value_and_grad(head_fn, argnums=(0, 1, 2))(
+            state.params["predictor"], gs, gc
+        )
+        (g_mp,) = vjp_mp((d_gs, jnp.zeros_like(lc)))  # lc carries no param grad
+        g_mp = _tree_psum(g_mp, axis)
+        grads = dict(state.params)
+        grads["message_passing"] = g_mp
+        grads["predictor"] = g_pred
+        for k in grads:
+            if k not in ("message_passing", "predictor"):
+                grads[k] = jax.tree.map(jnp.zeros_like, state.params[k])
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1, rng=state.rng
+        )
+        return new_state, loss
+
+    step = _shard_map(body, mesh, (P(), P(axis), P(), P()), (P(), P()))
+    return jax.jit(step, donate_argnums=(0,))

