@@ -91,3 +91,37 @@ class TestServe:
         _post(url + "/predict", {"smiles": ["CCO"] * 3})
         _post(url + "/predict", {"smiles": ["CCO"] * 5})
         assert service.requests >= 3
+
+
+class TestCoalescing:
+    def test_concurrent_requests_coalesce_and_match(self, served):
+        """N concurrent clients: fewer device dispatches than requests
+        (micro-batching) and per-request predictions identical to the same
+        request sent alone (VERDICT r3 item 10)."""
+        url, service = served
+        smis = ["CCO", "c1ccccc1", "CC(=O)O", "CCN"]
+        solo = [_post(url + "/predict", {"smiles": [s]})[1]["preds"][0] for s in smis]
+
+        req0, disp0 = service.requests, service.dispatches
+        results = [None] * 16
+        barrier = threading.Barrier(16)
+
+        def worker(k):
+            barrier.wait()
+            code, out = _post(url + "/predict", {"smiles": [smis[k % 4]]})
+            results[k] = (code, out)
+
+        threads = [threading.Thread(target=worker, args=(k,)) for k in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        assert all(code == 200 for code, _ in results)
+        for k, (_, out) in enumerate(results):
+            np.testing.assert_allclose(out["preds"][0], solo[k % 4], rtol=1e-5, atol=1e-6)
+        reqs = service.requests - req0
+        disps = service.dispatches - disp0
+        assert reqs == 16
+        # micro-batching must have merged at least some concurrent requests
+        assert disps < reqs, (disps, reqs)
