@@ -31,6 +31,7 @@ import json
 import logging
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
@@ -83,6 +84,10 @@ class ModelService:
         self.requests = 0
         self.dispatches = 0
         self.max_coalesce = 256
+        # after the first request of a batch arrives, linger briefly so
+        # concurrent requests pile into the same padded dispatch (the
+        # dispatch itself costs ~ms, so a few-ms linger is free under load)
+        self.coalesce_linger_s = 0.005
         self._queue: queue.Queue = queue.Queue()
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._dispatcher.start()
@@ -143,9 +148,10 @@ class ModelService:
         while True:
             items = [self._queue.get()]
             total = len(items[0]["graphs"])
+            deadline = time.monotonic() + self.coalesce_linger_s
             while total < self.max_coalesce:
                 try:
-                    nxt = self._queue.get_nowait()
+                    nxt = self._queue.get(timeout=max(0.0, deadline - time.monotonic()))
                 except queue.Empty:
                     break
                 items.append(nxt)

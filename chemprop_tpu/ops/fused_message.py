@@ -386,6 +386,220 @@ def _iter_impl(H, H0, W, b, row_ids, col_ids, rev, kw, relu_stream=False, band=C
     return out[:n] if c_pad != n_chunks else out
 
 
+# env-gated: the chained two-iteration forward kernel (measured on-device;
+# see docs/performance.md for the A/B)
+ITER2 = os.environ.get("CHEMPROP_TPU_ITER2", "0") == "1"
+
+
+def _iter2_kernel(
+    row2d_ref,
+    col2d_ref,
+    revloc_ref,
+    h0_ref,  # raw H0, HBM (single ring-streamed read for BOTH iterations)
+    w_ref,  # W, fully VMEM-resident (shared weights across depth)
+    b_ref,
+    y1_ref,  # iteration-1 output, HBM (written via explicit ring DMA)
+    y2_ref,  # iteration-2 output (grid-uniform VMEM blocks)
+    h0_bufs,  # raw-H0 DMA ring (2kw effective window: y1 leads y2 by kw)
+    y1_bufs,  # y1 compute ring (window source for iteration 2)
+    h0_sems,
+    y1_wsems,  # y1 HBM-writeback semaphores (one live DMA per ring slot)
+    *,
+    n_chunks,
+    kw,
+    has_bias,
+    band=CHUNK,
+):
+    """TWO chained D-MPNN depth iterations in one pass over the edge table:
+
+        y1 = relu(H0 + message(relu(H0)) @ W [+ b])
+        y2 = relu(H0 + message(y1)       @ W [+ b])
+
+    The separate-kernel chain costs 6 edge-table HBM passes (iter-1 reads H0
+    twice, iter-2 reads y1 + H0, both write their output); this kernel costs
+    3 (one H0 read, two output writes). y1 chunks are computed ``kw`` chunks
+    AHEAD of y2 chunks into a VMEM ring — iteration 2's ±kw window then
+    reads finished y1 values without an HBM round-trip — and stream back to
+    HBM (the backward pass needs y1 as its ReLU-mask residual) via explicit
+    async copies overlapped with compute. ``relu(H0)`` for iteration 1's
+    window product is computed at use time from the raw ring (the raw chunk
+    is also both iterations' residual), so it never occupies VMEM or HBM.
+    Values are bitwise-identical to the sequential kernels: same window
+    products, same GEMM shapes, same bf16 ring dtypes."""
+    s = pl.program_id(0)
+    lead = kw + UNROLL  # y1 runs a grid step ahead of y2, so the y2 window
+    # only reads y1 chunks computed in previous steps
+    kw2 = lead + kw  # h0 ring effective window: y1's lead + y1's own ±kw
+
+    _dma_schedule(
+        s,
+        n_chunks,
+        kw2,
+        lambda k: _ring_dma(h0_ref, h0_bufs, h0_sems, k).start(),
+        lambda k: _ring_dma(h0_ref, h0_bufs, h0_sems, k).wait(),
+    )
+
+    W = w_ref[...]
+    yslots = y1_bufs.shape[0]
+    d = y1_bufs.shape[-1]
+
+    def h0_at(k):
+        return h0_bufs[jax.lax.rem(k, h0_bufs.shape[0])]
+
+    def h1_at(k):  # relu(H0) chunk, computed at use time (VPU-cheap)
+        x = h0_at(k)
+        return jnp.where(x.astype(jnp.float32) > 0, x, jnp.zeros_like(x))
+
+    def compute_y1(f):
+        """y1 chunk f into ring slot f%yslots, then start its HBM writeback
+        (waiting the slot's previous writeback first — exactly-once sems)."""
+        slot = jax.lax.rem(f, yslots)
+
+        @pl.when(f >= yslots)  # first lap has no prior writeback on the slot
+        def _():
+            pltpu.make_async_copy(
+                y1_bufs.at[slot], y1_ref.at[pl.ds(0, CHUNK), :], y1_wsems.at[slot]
+            ).wait()
+
+        acc = _window_product(
+            f, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, h1_at, d,
+            jnp.bfloat16, band=band,
+        )
+        z = jax.lax.dot(acc.astype(jnp.bfloat16), W, preferred_element_type=jnp.float32)
+        if has_bias:
+            z = z + b_ref[0, :].astype(jnp.float32)[None, :]
+        h0 = h0_at(f).astype(jnp.float32)
+        y1_bufs[slot] = jnp.maximum(h0 + z, 0.0).astype(y1_bufs.dtype)
+        pltpu.make_async_copy(
+            y1_bufs.at[slot], y1_ref.at[pl.ds(f * CHUNK, CHUNK), :], y1_wsems.at[slot]
+        ).start()
+
+    u0 = s * UNROLL
+
+    @pl.when(s == 0)
+    def _():
+        for f in range(UNROLL + lead):
+
+            @pl.when(f < n_chunks)
+            def _(f=f):
+                compute_y1(f)
+
+    @pl.when(s >= 1)
+    def _():
+        for j in range(UNROLL):
+            f = u0 + lead + j
+
+            @pl.when((f < n_chunks) & (f >= UNROLL + lead))
+            def _(f=f):
+                compute_y1(f)
+
+    def y1_at(k):
+        return y1_bufs[jax.lax.rem(k, yslots)]
+
+    for u in range(UNROLL):
+        c = s * UNROLL + u
+        acc = _window_product(
+            c, n_chunks, kw, row2d_ref, col2d_ref, revloc_ref, y1_at, d,
+            jnp.bfloat16, band=band,
+        )
+        z = jax.lax.dot(acc.astype(jnp.bfloat16), W, preferred_element_type=jnp.float32)
+        if has_bias:
+            z = z + b_ref[0, :].astype(jnp.float32)[None, :]
+        h0 = h0_at(c).astype(jnp.float32)
+        y2_ref[pl.ds(u * CHUNK, CHUNK), :] = jnp.maximum(h0 + z, 0.0).astype(y2_ref.dtype)
+
+    # drain: the last yslots y1 writebacks are never waited at slot reuse
+    n_steps = pl.num_programs(0)
+
+    @pl.when(s == n_steps - 1)
+    def _():
+        for t in range(yslots):
+            f = n_chunks - yslots + t
+            if f < 0:
+                continue
+            pltpu.make_async_copy(
+                y1_bufs.at[f % yslots],
+                y1_ref.at[pl.ds(0, CHUNK), :],
+                y1_wsems.at[f % yslots],
+            ).wait()
+
+
+def _iter2_impl(H0, W, b, row_ids, col_ids, rev, kw, band=CHUNK):
+    """(y1, y2): the first two depth iterations chained through VMEM."""
+    n, d = H0.shape
+    row2d, col2d, rev_local, n_chunks, n_steps, c_pad = _prep_tables(row_ids, col_ids, rev, kw)
+    has_bias = b is not None
+    b2d = b.reshape(1, d) if has_bias else jnp.zeros((1, d), H0.dtype)
+    lead = kw + UNROLL
+    yslots = lead + kw + UNROLL + 3  # lead + ±kw window + in flight + margin
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=_id_specs()
+        + [
+            pl.BlockSpec(memory_space=pl.ANY),  # H0 (ring-streamed once)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # y1 (explicit ring DMA)
+            _block_spec(d),  # y2
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_nslots(lead + kw), CHUNK, d), H0.dtype),  # raw-H0 ring
+            pltpu.VMEM((yslots, CHUNK, d), H0.dtype),  # y1 ring
+            pltpu.SemaphoreType.DMA((_nslots(lead + kw),)),
+            pltpu.SemaphoreType.DMA((yslots,)),
+        ],
+    )
+    y1, y2 = pl.pallas_call(
+        functools.partial(
+            _iter2_kernel, n_chunks=n_chunks, kw=kw, has_bias=has_bias, band=band
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks * CHUNK, d), H0.dtype),
+            jax.ShapeDtypeStruct((c_pad * CHUNK, d), H0.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(row2d, col2d, rev_local, H0, W, b2d)
+    return y1[:n], (y2[:n] if c_pad != n_chunks else y2)
+
+
+def iter2_usable(H0, W, kw: int) -> bool:
+    """Gate for the chained two-iteration kernel. DEFAULT OFF: measured on
+    the v5e chip it LOSES to the two separate iteration kernels (isolated
+    2.27-2.29 vs 2.04-2.06 ms incl. ~1 ms dispatch; full step 5.57 vs
+    5.39 ms) despite reading the edge table 3 HBM passes fewer — the
+    in-kernel y1 writeback stream + the doubled per-step MXU chain cost
+    more than the saved bandwidth, the same lesson as the rejected
+    all-in-one backward and depth-loop kernels (docs/performance.md). A
+    group-batched writeback variant measured worse still (2.39-2.87 ms:
+    dynamic sub-slot addressing in the window product). Re-enable with
+    CHEMPROP_TPU_ITER2=1."""
+    n, d = H0.shape
+    lead = kw + UNROLL
+    yslots = lead + kw + UNROLL + 3
+    vmem = (
+        _nslots(lead + kw) * CHUNK * d * 2  # raw-H0 bf16 ring
+        + yslots * CHUNK * d * 2  # y1 bf16 ring
+        + d * d * 2  # W tile
+        + 2 * CHUNK * d * 4  # f32 window accumulator + GEMM output
+        + 2 * 2 * UNROLL * CHUNK * d * 2  # double-buffered y2 blocks
+        + n * 12  # id tables
+    )
+    return (
+        ITER2
+        and _usable(H0, kw)
+        and H0.dtype == jnp.bfloat16
+        and W.shape == (d, d)
+        and W.dtype == jnp.bfloat16
+        and vmem <= MAX_VMEM_BYTES
+    )
+
+
 def _iter_bwd_kernel(
     row2d_ref,  # dst ids (transposed-message rows)
     col2d_ref,  # src ids (transposed-message cols)
@@ -1404,12 +1618,20 @@ def _loop_readout_fwd(H0, W, b, src, dst, rev, n_nodes, window, depth, nodes_ok,
     from chemprop_tpu.ops.segment import segment_sum
 
     usable = iter_usable(H0, W, window)
-    if usable:
+    if depth >= 3 and usable and iter2_usable(H0, W, window):
+        # the chained kernel: iterations 1+2 in one edge-table pass
+        y1, y = _iter2_impl(H0, W, b, src, dst, rev, window, band=band)
+        ys = [y1, y]
+        it0 = 3
+    elif usable:
         y = _iter_impl(H0, H0, W, b, src, dst, rev, window, relu_stream=True, band=band)
+        ys = [y]
+        it0 = 2
     else:
         y = _iter_composed(_relu(H0), H0, W, b, src, dst, rev, n_nodes, window)
-    ys = [y]
-    for _ in range(2, depth):
+        ys = [y]
+        it0 = 2
+    for _ in range(it0, depth):
         if usable:
             y = _iter_impl(y, H0, W, b, src, dst, rev, window, band=band)
         else:

@@ -102,6 +102,10 @@ class TestCoalescing:
         smis = ["CCO", "c1ccccc1", "CC(=O)O", "CCN"]
         solo = [_post(url + "/predict", {"smiles": [s]})[1]["preds"][0] for s in smis]
 
+        # widen the coalescing window so the burst lands in one dispatch
+        # even when the suite loads the CPU and staggers request arrival
+        linger_bak = service.coalesce_linger_s
+        service.coalesce_linger_s = 0.25
         req0, disp0 = service.requests, service.dispatches
         results = [None] * 16
         barrier = threading.Barrier(16)
@@ -112,10 +116,13 @@ class TestCoalescing:
             results[k] = (code, out)
 
         threads = [threading.Thread(target=worker, args=(k,)) for k in range(16)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+        try:
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            service.coalesce_linger_s = linger_bak
 
         assert all(code == 200 for code, _ in results)
         for k, (_, out) in enumerate(results):

@@ -389,3 +389,48 @@ class TestFusedDepthLoop:
                 np.asarray(a, np.float32), np.asarray(c, np.float32),
                 atol=0.6, rtol=0.1, err_msg=f"depth={depth} {name}",
             )
+
+
+class TestChainedIter2:
+    """The chained two-iteration kernel (``_iter2_impl``) vs the sequential
+    ``_iter_impl`` chain: BITWISE-identical y1/y2 on real edge rows (same
+    window products, GEMM shapes, and bf16 ring dtypes). The kernel is
+    measured-slower on the v5e chip and ships default-OFF behind
+    CHEMPROP_TPU_ITER2 (see ``iter2_usable``); this pin keeps it correct."""
+
+    @pytest.mark.parametrize("kw", [1, 2])
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_bitwise_matches_sequential(self, bmg, kw, with_bias):
+        from chemprop_tpu.ops.fused_message import _iter2_impl, _iter_impl
+
+        rng = np.random.default_rng(17)
+        n, d = bmg.E.shape[0], 128
+        H0 = jnp.asarray(rng.standard_normal((n, d)), jnp.bfloat16)
+        W = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.bfloat16) if with_bias else None
+
+        y1_s = _iter_impl(H0, H0, W, b, bmg.src, bmg.dst, bmg.rev, kw, relu_stream=True)
+        y2_s = _iter_impl(y1_s, H0, W, b, bmg.src, bmg.dst, bmg.rev, kw)
+        y1_f, y2_f = _iter2_impl(H0, W, b, bmg.src, bmg.dst, bmg.rev, kw)
+
+        mask = np.asarray(bmg.edge_mask)
+        for name, a, c in (("y1", y1_f, y1_s), ("y2", y2_f, y2_s)):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32)[mask], np.asarray(c, np.float32)[mask],
+                err_msg=f"kw={kw} bias={with_bias} {name}",
+            )
+
+    def test_loop_readout_routes_through_iter2_when_enabled(self, bmg, monkeypatch):
+        from chemprop_tpu.ops import fused_message as fm
+
+        rng = np.random.default_rng(3)
+        n, d = bmg.E.shape[0], 128
+        H0 = jnp.asarray(rng.standard_normal((n, d)), jnp.bfloat16)
+        W = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.bfloat16)
+        args = (bmg.src, bmg.dst, bmg.rev, bmg.V.shape[0], bmg.fused_window, 3)
+
+        ref = np.asarray(fm.fused_loop_readout(H0, W, None, *args), np.float32)
+        monkeypatch.setattr(fm, "ITER2", True)
+        assert fm.iter2_usable(H0, W, bmg.fused_window)
+        got = np.asarray(fm.fused_loop_readout(H0, W, None, *args), np.float32)
+        np.testing.assert_array_equal(got, ref)
