@@ -162,6 +162,57 @@ def bench_jax(batches, n_real_edges) -> float:
     return n_steps * n_real_edges / dt, dt / n_steps * 1e3
 
 
+def bench_jax_predict(batches, n_real_edges) -> tuple[float, float]:
+    """Forward-only (inference) throughput: the jitted fingerprint+head pass
+    over the same padded batches, scan-chained like the training bench. The
+    serving path (``chemprop-tpu serve``/``predict``) dispatches exactly this
+    computation per coalesced request batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from chemprop_tpu.models import MPNN
+    from chemprop_tpu.nn import BondMessagePassing, MeanAggregation, RegressionFFN
+
+    dtype = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
+    model = MPNN(
+        message_passing=BondMessagePassing(compute_dtype=dtype),
+        agg=MeanAggregation(),
+        predictor=RegressionFFN(),
+        batch_norm=False,
+    )
+    variables = model.init(jax.random.PRNGKey(0), batches[0].bmg, None, None)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[b.bmg for b in batches])
+    stacked = jax.device_put(stacked)
+
+    @jax.jit
+    def run_all(variables, xs):
+        def body(acc, bmg):
+            preds = model.apply(variables, bmg, None, None, is_training=False)
+            return acc + preds.astype(jnp.float32).sum(), None
+
+        return jax.lax.scan(body, jnp.float32(0), xs)
+
+    n_calls = max(1, TIMED_STEPS // len(batches))
+    acc, _ = run_all(variables, stacked)
+    float(acc)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        acc, _ = run_all(variables, stacked)
+    float(acc)
+    dt = time.perf_counter() - t0
+    n_steps = n_calls * len(batches)
+    return n_steps * n_real_edges / dt, dt / n_steps * 1e3
+
+
+def roofline_predict_ms(e_pad: int, d: int = 384, depth: int = 3) -> float:
+    """Bytes-bound minimum inference time (forward edge-table passes only:
+    H0 write + 3/iteration + finalize read; cf. :func:`roofline_step_ms`)."""
+    bw_gbps = float(os.environ.get("CHEMPROP_TPU_HBM_GBPS", 819))
+    bytes_per_pass = e_pad * d * 2
+    passes = 1 + 3 * depth + 1
+    return passes * bytes_per_pass / (bw_gbps * 1e9) * 1e3
+
+
 def a100_reference_model_eps(d: int = 300, depth: int = 3) -> float:
     """Bandwidth-model UPPER BOUND on the reference's A100 training
     throughput (edges/s): its eager-torch op stream (f32, unfused — every
@@ -256,6 +307,20 @@ def main():
     enable_compile_cache()
     n_body = int(os.environ.get("BENCH_BODY_BATCHES", 10))
     batches, n_real_edges = build_batches(n_body)
+    if os.environ.get("BENCH_MODE", "train") == "predict":
+        eps, ms = bench_jax_predict(batches, n_real_edges)
+        e_pad = int(batches[0].bmg.edge_index.shape[1])
+        roof = roofline_predict_ms(e_pad)
+        print(json.dumps({
+            "metric": "dmpnn_infer_edges_per_s_per_chip",
+            "value": round(eps, 1),
+            "unit": "edges/s",
+            "vs_baseline": None,
+            "step_ms": round(ms, 3),
+            "roofline_ms": round(roof, 3),
+            "sol_frac": round(roof / ms, 3) if ms > 0 else None,
+        }))
+        return
     jax_eps, step_ms = bench_jax(batches, n_real_edges)
     e_pad = int(batches[0].bmg.edge_index.shape[1])
     roof_ms = roofline_step_ms(e_pad)

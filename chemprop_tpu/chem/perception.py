@@ -524,6 +524,70 @@ def _cip_branch_gt(mol: Mol, root: int, x: int, y: int, max_depth: int = 8) -> b
     return None
 
 
+def legacy_cip_ranks(mol: Mol) -> list[int]:
+    """RDKit's LEGACY CIP ranks (``Chirality.cpp:assignAtomCIPRanks`` —
+    what legacy ``assignStereochemistry`` uses for stereo-bond reference
+    atoms and ``_CIPCode``). NOT true CIP: the seed invariant packs
+    ``(atomic number << 10 | isotope-delta field) << 10 | map-number
+    field`` — so the ATOM MAP NUMBER breaks ties between structurally
+    equivalent substituents — and refinement iterates sorted neighbor-rank
+    lists (each neighbor repeated at twice its bond order, implicit Hs as
+    0s, descending, accumulated across rounds, -1-padded, re-ranked
+    lexicographically) until the classes stop splitting.
+
+    For a fully atom-mapped molecule (the MAB corpus convention:
+    ``tests/data/mol_atom_bond/atomic_regression_atom_mapped.csv``) every
+    seed invariant is distinct, the refinement loop never runs, and this
+    reproduction is EXACT by construction: rank order = (atomic number,
+    isotope delta, map number)."""
+    n = mol.num_atoms
+    if n == 0:
+        return []
+    invars: list[int] = []
+    for a in mol.atoms:
+        num = a.atomic_num % 10000
+        mass = 0
+        if a.isotope:
+            from chemprop_tpu.chem.periodic_table import MASSES
+
+            mass = a.isotope - int(round(MASSES[a.atomic_num]))
+            if mass > 0:
+                mass += 1
+        mass += 512
+        mass = 0 if mass < 0 else mass % 1024
+        mapf = ((a.atom_map_num + 1) % 1024) if a.atom_map_num else 0
+        invars.append(((num << 10) | mass) << 10 | mapf)
+
+    def dense_rank(keys: list) -> list[int]:
+        order = {k: i for i, k in enumerate(sorted(set(keys)))}
+        return [order[k] for k in keys]
+
+    ranks = dense_rank(invars)
+    entries: list[list[int]] = [[] for _ in range(n)]
+    num_ranks = len(set(ranks))
+    last = -1
+    its = 0
+    while num_ranks < n and num_ranks != last and its < n:
+        longest = 0
+        for i in range(n):
+            local: list[int] = []
+            for b in mol.atom_bonds(i):
+                count = int(2.0 * (b.bond_type.order or 1.0) + 0.1)
+                local.extend([ranks[b.other_atom_idx(i)] + 1] * count)
+            local.extend([0] * mol.atoms[i].total_num_hs)
+            local.sort(reverse=True)
+            entries[i].append(ranks[i])
+            entries[i].extend(local)
+            longest = max(longest, len(entries[i]))
+        for i in range(n):
+            entries[i].extend([-1] * (longest - len(entries[i])))
+        last = num_ranks
+        ranks = dense_rank([tuple(e) for e in entries])
+        num_ranks = len(set(ranks))
+        its += 1
+    return ranks
+
+
 def atom_cip_code(mol: Mol, idx: int) -> str | None:
     """CIP ``R``/``S`` code of a tagged tetrahedral stereocenter, or None
     when the atom carries no tag or its four substituents cannot be strictly
@@ -608,7 +672,19 @@ def assign_bond_stereo(mol: Mol) -> None:
     bonds (``/`` ``\\``). RDKit semantics: the Z/E label refers to the
     HIGHER-CIP-PRIORITY substituent on each end (legacy assignStereochemistry
     CIP-ranked labels), not to the directional atoms themselves — Z = the two
-    high-priority substituents on the same side."""
+    high-priority substituents on the same side.
+
+    Priority: on an ATOM-MAPPED molecule RDKit's legacy ranks are exactly
+    reconstructible (:func:`legacy_cip_ranks` — map numbers break all
+    structural ties and the refinement loop never runs), so they are used
+    verbatim; unmapped molecules keep the hierarchical-digraph rule-1a
+    comparison (:func:`_cip_branch_gt`), corpus-validated. This closed the
+    last stereo divergence of the atom-mapped golden corpus (molecule 461:
+    RDKit picked the C6=C7 reference substituent by map number, not true
+    CIP)."""
+    lranks = (
+        legacy_cip_ranks(mol) if any(a.atom_map_num for a in mol.atoms) else None
+    )
     for b in mol.bonds:
         if b.bond_type != BondType.DOUBLE:
             continue
@@ -642,9 +718,14 @@ def assign_bond_stereo(mol: Mol) -> None:
                 for nb in mol.atom_bonds(end)
                 if nb.idx != b.idx and nb.other_atom_idx(end) != refs[k]
             ]
-            if others and _cip_branch_gt(mol, end, others[0], refs[k]) is True:
-                refs[k] = others[0]
-                signs[k] = -signs[k]
+            if others:
+                if lranks is not None:
+                    outranked = lranks[others[0]] > lranks[refs[k]]
+                else:
+                    outranked = _cip_branch_gt(mol, end, others[0], refs[k]) is True
+                if outranked:
+                    refs[k] = others[0]
+                    signs[k] = -signs[k]
         b.stereo_atoms = (refs[0], refs[1])
         # equal signs => both reference neighbors on the same side => cis (Z);
         # e.g. F/C=C/F gives signs (-1, +1) => E (trans)

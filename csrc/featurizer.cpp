@@ -747,7 +747,81 @@ int cip_branch_cmp(const Mol& mol, int root, int x, int y, int max_depth = 8) {
   return 0;
 }
 
+// RDKit LEGACY CIP ranks (mirrors chem/perception.py:legacy_cip_ranks).
+// The seed invariant packs ((z % 10000) << 10 | isotope-delta field) << 10
+// | MAP-NUMBER field — so on a fully atom-mapped molecule every invariant
+// is distinct, the refinement loop never runs, and the reproduction of
+// RDKit's legacy assignStereochemistry ranking is exact by construction.
+// Refinement (partially-mapped/unmapped inputs): per round, each atom
+// appends its rank + the descending list of neighbor ranks+1 (each
+// neighbor repeated at twice its bond order; implicit Hs as 0s), entries
+// are -1-padded to equal length and re-ranked lexicographically until the
+// classes stop splitting.
+std::vector<int> legacy_cip_ranks(const Mol& mol) {
+  int n = (int)mol.atoms.size();
+  std::vector<long long> invars(n);
+  for (int i = 0; i < n; i++) {
+    const Atom& a = mol.atoms[i];
+    long long num = a.z % 10000;
+    long long mass = 0;
+    if (a.isotope) {
+      mass = a.isotope - (long long)std::llround(MASSES[a.z]);
+      if (mass > 0) mass += 1;
+    }
+    mass += 512;
+    if (mass < 0) mass = 0; else mass %= 1024;
+    long long mapf = a.map_num ? ((a.map_num + 1) % 1024) : 0;
+    invars[i] = ((num << 10) | mass) << 10 | mapf;
+  }
+  std::vector<long long> uniq(invars);
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+  std::vector<int> ranks(n);
+  for (int i = 0; i < n; i++)
+    ranks[i] = (int)(std::lower_bound(uniq.begin(), uniq.end(), invars[i]) - uniq.begin());
+  int num_ranks = (int)uniq.size(), last = -1, its = 0;
+  std::vector<std::vector<int>> entries(n);
+  while (num_ranks < n && num_ranks != last && its < n) {
+    size_t longest = 0;
+    for (int i = 0; i < n; i++) {
+      std::vector<int> local;
+      for (int bi : mol.adj[i]) {
+        int o = mol.bonds[bi].order;
+        int twice = o == AROMATIC ? 3 : 2 * (o == QUAD ? 4 : o);
+        int rr = ranks[mol.other(bi, i)] + 1;
+        local.insert(local.end(), twice, rr);
+      }
+      local.insert(local.end(), mol.total_hs(i), 0);
+      std::sort(local.rbegin(), local.rend());
+      entries[i].push_back(ranks[i]);
+      entries[i].insert(entries[i].end(), local.begin(), local.end());
+      longest = std::max(longest, entries[i].size());
+    }
+    for (int i = 0; i < n; i++) entries[i].resize(longest, -1);
+    last = num_ranks;
+    std::vector<int> idx(n);
+    for (int i = 0; i < n; i++) idx[i] = i;
+    std::sort(idx.begin(), idx.end(),
+              [&](int x, int y) { return entries[x] < entries[y]; });
+    int r = 0;
+    std::vector<int> nr(n);
+    for (int k = 0; k < n; k++) {
+      if (k && entries[idx[k]] != entries[idx[k - 1]]) r++;
+      nr[idx[k]] = r;
+    }
+    ranks = nr;
+    num_ranks = r + 1;
+    its++;
+  }
+  return ranks;
+}
+
 void assign_stereo(Mol& mol) {
+  bool mapped = false;
+  for (const Atom& a : mol.atoms)
+    if (a.map_num > 0) { mapped = true; break; }
+  std::vector<int> lranks;
+  if (mapped) lranks = legacy_cip_ranks(mol);
   for (size_t bidx = 0; bidx < mol.bonds.size(); bidx++) {
     Bond& b = mol.bonds[bidx];
     if (b.order != DOUBLE) continue;
@@ -775,7 +849,12 @@ void assign_stereo(Mol& mol) {
         if (nbi == (int)bidx) continue;
         int o = mol.other(nbi, end);
         if (o == refs[which]) continue;
-        if (cip_branch_cmp(mol, end, o, refs[which]) == 1) {
+        // atom-mapped molecules: exact RDKit legacy ranks (map numbers
+        // break ties); unmapped: rule-1a digraph comparison — mirrors
+        // chem/perception.py:assign_bond_stereo
+        bool outranked = mapped ? lranks[o] > lranks[refs[which]]
+                                : cip_branch_cmp(mol, end, o, refs[which]) == 1;
+        if (outranked) {
           refs[which] = o;
           signs[which] = -signs[which];
         }

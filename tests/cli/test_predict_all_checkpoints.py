@@ -228,13 +228,14 @@ class TestMABFamily:
         want_rows = list(csv.DictReader(open(mab / "atomic_regression_atom_mapped_preds.csv")))
         assert len(got_rows) == len(want_rows)
         got_col = [c for c in got_rows[0] if c.startswith("charges")][0]
-        # Two corpus molecules diverge from RDKit perception in ways traced to
-        # RDKit's LEGACY CIP-rank tie-breaking (not true-CIP) for stereo-bond
-        # reference atoms (mol 461 bond C6=C7) and a lowercase-written
-        # 2-imino-benzimidazoline aromaticity edge (mol 391); both are
-        # documented in docs/chemistry_divergences.md. Everything else must
-        # match the reference's own predictions numerically.
-        KNOWN_DIVERGENT = {391, 461}
+        # One corpus molecule diverges from RDKit perception: a
+        # lowercase-written 2-imino-benzimidazoline aromaticity edge
+        # (mol 391), documented in docs/chemistry_divergences.md. (Mol 461
+        # was fixed in r4 by reproducing RDKit's LEGACY CIP ranks — atom map
+        # numbers break substituent ties on this atom-mapped corpus;
+        # chem/perception.py:legacy_cip_ranks.) Everything else must match
+        # the reference's own predictions numerically.
+        KNOWN_DIVERGENT = {391}
         for i, (got, want) in enumerate(zip(got_rows, want_rows)):
             if i in KNOWN_DIVERGENT:
                 continue

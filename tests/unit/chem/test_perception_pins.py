@@ -79,3 +79,48 @@ class TestHybridizationPins:
             smi,
             m.atoms[idx].hybridization,
         )
+
+
+class TestLegacyCipRanks:
+    """RDKit legacy-CIP-rank reproduction (``legacy_cip_ranks``): on a fully
+    atom-mapped molecule the seed invariants are all distinct (map numbers
+    dominate structural ties) so the rank order is exactly
+    (atomic number, isotope delta, map number) — the property that closed
+    golden-corpus molecule 461 (the stereo-bond reference substituent at
+    C6=C7 is picked by MAP NUMBER in RDKit's legacy assignStereochemistry,
+    not by true-CIP branch comparison)."""
+
+    def test_fully_mapped_ranks_are_element_then_map(self):
+        from chemprop_tpu.chem import make_mol
+        from chemprop_tpu.chem.perception import legacy_cip_ranks
+
+        mol = make_mol("[C:3]([O:1])([N:2])[C:4]", keep_h=True)
+        ranks = legacy_cip_ranks(mol)
+        # order: C:3 < C:4 < N:2 < O:1 (element first, then map number)
+        by_map = {a.atom_map_num: ranks[i] for i, a in enumerate(mol.atoms)}
+        assert by_map[3] < by_map[4] < by_map[2] < by_map[1]
+
+    def test_unmapped_refinement_separates_environments(self):
+        from chemprop_tpu.chem import make_mol
+        from chemprop_tpu.chem.perception import legacy_cip_ranks
+
+        # propanol: C(0)-C(1)-C(2)-O(3); the three carbons start tied and
+        # the neighbor-rank refinement must separate all of them
+        mol = make_mol("CCCO")
+        ranks = legacy_cip_ranks(mol)
+        assert len(set(ranks)) == 4
+        assert ranks[3] == max(ranks)  # O outranks every C
+
+    def test_mapped_stereo_bond_reference_uses_map_number(self):
+        from chemprop_tpu.chem import make_mol
+        from chemprop_tpu.chem.mol import BondStereo, BondType
+
+        # 2-butene with both methyls distinguished ONLY by map number: the
+        # legacy rank picks the higher-mapped substituent as reference on
+        # the doubly-substituted end
+        for hi, lo, want in ((9, 1, BondStereo.STEREOZ), (1, 9, BondStereo.STEREOE)):
+            smi = f"[CH3:{hi}]/[C:2](=[C:3](/[H:5])[CH3:4])[CH3:{lo}]"
+            mol = make_mol(smi, keep_h=True)
+            dbl = [b for b in mol.bonds if b.bond_type == BondType.DOUBLE][0]
+            assert dbl.stereo in (BondStereo.STEREOZ, BondStereo.STEREOE)
+            assert dbl.stereo == want, smi
