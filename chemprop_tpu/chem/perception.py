@@ -327,6 +327,39 @@ def perceive_kekule_aromaticity(mol: Mol) -> None:
     for b in mol.bonds:
         if b.bond_type == BondType.AROMATIC:
             b.is_aromatic = True
+    # RDKit normalization: an EXPLICITLY-written single bond (``-``, ``/``,
+    # ``\``) inside an aromatic ring becomes an AROMATIC bond — RDKit's
+    # setAromaticity retypes every bond of an aromatic ring, so the written
+    # form does not demote it (golden-corpus molecule 391: the n-c ring bond
+    # of a lowercase 2-imino-benzimidazoline written ``/`` for the exocyclic
+    # C=N stereo). Promote only when the ring is an aromatic system in its
+    # OWN right: all atoms aromatic, every other ring bond aromatic, and at
+    # least one atom exclusive to this ring (so its aromatic flag can only
+    # come from this ring) — fusion-bond-only rings like biphenylene's
+    # 4-ring or triazolam's 7-ring linker keep their single bonds.
+    ring_membership: dict[int, int] = {}
+    for ring in getattr(mol, "rings", []):
+        for i in ring:
+            ring_membership[i] = ring_membership.get(i, 0) + 1
+    for ring in getattr(mol, "rings", []):
+        if not all(mol.atoms[i].is_aromatic for i in ring):
+            continue
+        if not any(ring_membership.get(i, 0) == 1 for i in ring):
+            continue
+        ring_set = set(ring)
+        bonds = [
+            b
+            for i in ring
+            for b in mol.atom_bonds(i)
+            if b.other_atom_idx(i) in ring_set and b.is_in_ring and b.begin_atom_idx == i
+        ]
+        singles = [b for b in bonds if b.bond_type == BondType.SINGLE]
+        if singles and all(
+            b.bond_type in (BondType.AROMATIC, BondType.SINGLE) for b in bonds
+        ) and any(b.bond_type == BondType.AROMATIC for b in bonds):
+            for b in singles:
+                b.bond_type = BondType.AROMATIC
+                b.is_aromatic = True
 
 
 def _ring_pi_electrons(mol: Mol, ring: list[int]) -> int | None:
@@ -692,6 +725,11 @@ def assign_bond_stereo(mol: Mol) -> None:
         for end in (b.begin_atom_idx, b.end_atom_idx):
             found = None
             for nb in mol.atom_bonds(end):
+                # direction markers are honored regardless of the bond's
+                # final perceived type: a ``/`` ring bond that aromaticity
+                # normalization retypes AROMATIC still orients the exocyclic
+                # double bond (verified against the reference's own
+                # predictions on golden-corpus molecule 391)
                 if nb.direction != BondDir.NONE and nb.idx != b.idx:
                     # sign: +1 if the far atom is "up" relative to this end
                     sign = 1 if nb.direction == BondDir.ENDUPRIGHT else -1

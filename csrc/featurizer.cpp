@@ -637,6 +637,41 @@ void aromatize(Mol& mol, const std::vector<std::vector<int>>& rings) {
     }
   for (auto& b : mol.bonds)
     if (b.order == AROMATIC) b.aromatic = true;
+  // RDKit normalization (mirrors chem/perception.py): an explicitly-written
+  // single bond (-, /, \) inside an aromatic ring is retyped AROMATIC —
+  // only when the ring is an aromatic system in its own right: all atoms
+  // aromatic, every other ring bond aromatic, and at least one atom
+  // exclusive to this ring (biphenylene/triazolam fusion-only rings keep
+  // their single linkers).
+  std::map<int, int> ring_membership;
+  for (auto& ring : rings)
+    for (int a : ring) ring_membership[a]++;
+  for (auto& ring : rings) {
+    bool all_arom = true, has_excl = false;
+    for (int a : ring) {
+      all_arom &= mol.atoms[a].aromatic;
+      has_excl |= ring_membership[a] == 1;
+    }
+    if (!all_arom || !has_excl) continue;
+    std::set<int> rs(ring.begin(), ring.end());
+    std::vector<int> singles;
+    bool any_arom = false, only_arom_single = true;
+    for (int a : ring)
+      for (int bi : mol.adj[a]) {
+        const Bond& b = mol.bonds[bi];
+        int o = mol.other(bi, a);
+        if (o > a && rs.count(o) && b.in_ring) {
+          if (b.order == AROMATIC) any_arom = true;
+          else if (b.order == SINGLE) singles.push_back(bi);
+          else only_arom_single = false;
+        }
+      }
+    if (any_arom && only_arom_single)
+      for (int bi : singles) {
+        mol.bonds[bi].order = AROMATIC;
+        mol.bonds[bi].aromatic = true;
+      }
+  }
 }
 
 int lone_pairs(const Mol& mol, int a) {

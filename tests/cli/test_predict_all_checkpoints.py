@@ -228,17 +228,15 @@ class TestMABFamily:
         want_rows = list(csv.DictReader(open(mab / "atomic_regression_atom_mapped_preds.csv")))
         assert len(got_rows) == len(want_rows)
         got_col = [c for c in got_rows[0] if c.startswith("charges")][0]
-        # One corpus molecule diverges from RDKit perception: a
-        # lowercase-written 2-imino-benzimidazoline aromaticity edge
-        # (mol 391), documented in docs/chemistry_divergences.md. (Mol 461
-        # was fixed in r4 by reproducing RDKit's LEGACY CIP ranks — atom map
-        # numbers break substituent ties on this atom-mapped corpus;
-        # chem/perception.py:legacy_cip_ranks.) Everything else must match
-        # the reference's own predictions numerically.
-        KNOWN_DIVERGENT = {391}
+        # ALL 500 corpus molecules must match the reference's own committed
+        # predictions (500/500 as of r4). The two historical divergences
+        # were closed by: (a) reproducing RDKit's LEGACY CIP ranks — atom
+        # map numbers break substituent ties on this fully-mapped corpus
+        # (mol 461; chem/perception.py:legacy_cip_ranks), and (b) RDKit's
+        # aromatic-ring bond normalization — a ``/``-written ring bond in an
+        # aromatic ring is retyped AROMATIC while its direction marker still
+        # orients the exocyclic C=N (mol 391, 2-imino-benzimidazoline).
         for i, (got, want) in enumerate(zip(got_rows, want_rows)):
-            if i in KNOWN_DIVERGENT:
-                continue
             g = np.array(ast.literal_eval(got[got_col]), dtype=float)
             w = np.array(ast.literal_eval(want["charges"]), dtype=float)
             np.testing.assert_allclose(g, w, rtol=1e-3, atol=3e-4, err_msg=f"molecule {i}")

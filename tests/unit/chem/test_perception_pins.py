@@ -124,3 +124,39 @@ class TestLegacyCipRanks:
             dbl = [b for b in mol.bonds if b.bond_type == BondType.DOUBLE][0]
             assert dbl.stereo in (BondStereo.STEREOZ, BondStereo.STEREOE)
             assert dbl.stereo == want, smi
+
+    def test_aromatic_ring_bond_promotion_and_stereo(self):
+        """RDKit normalization (golden mol 391, verified against the
+        reference's own predictions): a ``/``-written ring bond inside a
+        fiat-aromatic ring is retyped AROMATIC, and its direction marker
+        still orients the exocyclic C=N — whose Z/E label re-references to
+        the higher-LEGACY-rank ring nitrogen (map number tie-break)."""
+        from chemprop_tpu.chem import make_mol
+        from chemprop_tpu.chem.mol import BondStereo, BondType
+
+        smi = ("[c:5]1[c:6]([H:25])[c:7]([H:26])[c:8]([H:27])[c:9]2[n:10]"
+               "([H:28])/[c:11](=[N:12]/[C:13]([H:29])([H:30])[H:31])"
+               "[n:20]([H:38])[c:21]12")
+        mol = make_mol(smi, keep_h=True)
+        bmap = {}
+        for b in mol.bonds:
+            key = frozenset((mol.atoms[b.begin_atom_idx].atom_map_num,
+                             mol.atoms[b.end_atom_idx].atom_map_num))
+            bmap[key] = b
+        ring_bond = bmap[frozenset((10, 11))]
+        assert ring_bond.bond_type == BondType.AROMATIC
+        assert ring_bond.is_aromatic
+        dbl = bmap[frozenset((11, 12))]
+        assert dbl.stereo == BondStereo.STEREOZ  # n20 (higher map) is the ref
+
+    def test_fusion_linker_single_bond_not_promoted(self):
+        """The promotion must NOT touch explicit single ring bonds of rings
+        that are only aromatic because every atom is shared with other
+        aromatic rings (biphenylene's 4-ring)."""
+        from chemprop_tpu.chem import make_mol
+        from chemprop_tpu.chem.mol import BondType
+
+        mol = make_mol("c1ccc2-c3ccccc3-c2c1")  # biphenylene
+        singles = [b for b in mol.bonds if b.bond_type == BondType.SINGLE and b.is_in_ring]
+        assert len(singles) == 2  # the two linker bonds stay single
+        assert not any(b.is_aromatic for b in singles)
