@@ -1147,13 +1147,16 @@ def num_radical_electrons(mol: Mol) -> float:
 
 
 def fp_density_morgan(mol: Mol, radius: int) -> float:
-    """Distinct Morgan environment identifiers per heavy atom (cf. RDKit
-    ``FpDensityMorgan1/2/3``; identifiers are the in-repo hash vocabulary)."""
-    from chemprop_tpu.chem.morgan import morgan_identifiers
+    """Distinct Morgan environment identifiers per heavy atom (RDKit
+    ``FpDensityMorgan1/2/3`` = nonzero entries of the sparse count Morgan
+    fingerprint / heavy atoms). Uses the RDKit-bit-exact environment
+    invariants (`chem/morgan_rdkit`), so values match RDKit exactly
+    (pinned by the reference's own fixture: 0.8966/1.6897/2.5517)."""
+    from chemprop_tpu.chem.morgan_rdkit import morgan_environment_invariants
 
     if mol.num_atoms == 0:
         return 0.0
-    return len(set(morgan_identifiers(mol, radius))) / mol.num_atoms
+    return len(set(morgan_environment_invariants(mol, radius))) / mol.num_atoms
 
 
 def ipc(mol: Mol, avg: bool = False) -> float:
@@ -1176,49 +1179,98 @@ def ipc(mol: Mol, avg: bool = False) -> float:
     return entropy if avg else entropy * float(total)
 
 
-def bertz_ct(mol: Mol) -> float:
-    """Bertz complexity index: information content of bond-connection
-    equivalence classes plus element-distribution information (Bertz, JACS
-    1981, 103, 3599). Connection classes here are keyed by WL-refined atom
-    environments — a documented variant of RDKit's canonical-rank classes."""
-    from chemprop_tpu.chem.morgan import morgan_identifiers
+def _bo_distance_matrix(mol: Mol) -> np.ndarray:
+    """All-pairs shortest paths with bond-order edge weights (1/order,
+    aromatic 2/3 — RDKit ``GetDistanceMatrix(useBO=1)``, the "Balaban"
+    matrix BertzCT's symmetry classes are built from)."""
+    import heapq
 
     n = mol.num_atoms
-    if n == 0 or mol.num_bonds == 0:
+    wadj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    for b in mol.bonds:
+        w = 1.0 / (b.bond_type.order or 1.0)
+        wadj[b.begin_atom_idx].append((b.end_atom_idx, w))
+        wadj[b.end_atom_idx].append((b.begin_atom_idx, w))
+    out = np.zeros((n, n))
+    for s in range(n):
+        dist = np.full(n, np.inf)
+        dist[s] = 0.0
+        heap = [(0.0, s)]
+        while heap:
+            du, u = heapq.heappop(heap)
+            if du > dist[u]:
+                continue
+            for v, w in wadj[u]:
+                nd = du + w
+                if nd < dist[v]:
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        dist[~np.isfinite(dist)] = 0.0
+        out[s] = dist
+    return out
+
+
+def bertz_ct(mol: Mol) -> float:
+    """Bertz complexity index, RDKit's formulation
+    (``rdkit.Chem.GraphDescriptors.BertzCT``; Bertz, JACS 1981, 103, 3599):
+
+    * symmetry classes: atoms share a class iff their SORTED rows of the
+      bond-order-weighted distance matrix are identical (rounded to 4
+      decimals, first ``cutoff=100`` entries);
+    * connections: for every hinge atom, each unordered pair of its bonds
+      contributes ``order_i * order_j`` to the class
+      ``(minNbrClass, hingeClass, maxNbrClass)``; each multiple bond
+      additionally contributes ``order*(order-1)/2`` to the pair class of
+      its endpoints;
+    * CT = T*(H(connections) + log2 T) + N*H(element counts) with T the
+      total connection count and H the Shannon entropy of the class
+      distribution.
+
+    Pinned by the reference's own RDKit-generated fixture (1143.0568)."""
+    n = mol.num_atoms
+    if n < 2:
         return 0.0
-    # WL-refined class per atom (radius-2 environment id)
-    ids = morgan_identifiers(mol, 2)[-n:]
+    bd = _bo_distance_matrix(mol)
+    classes: list[int] = []
+    seen: dict[tuple, int] = {}
+    for i in range(n):
+        key = tuple(round(x, 4) for x in sorted(bd[i].tolist())[:100])
+        classes.append(seen.setdefault(key, len(seen) + 1))
 
-    def _info(counts: list[int]) -> float:
-        tot = sum(counts)
-        if tot <= 0:
-            return 0.0
-        return tot * np.log2(tot) - sum(c * np.log2(c) for c in counts if c)
-
-    # connections: unordered pairs of bonds sharing an atom, weighted by
-    # bond order; classed by (center env, sorted endpoint envs, orders)
     conn: dict[tuple, float] = {}
     for i in range(n):
         bonds = mol.atom_bonds(i)
+        ci = classes[i]
         for x in range(len(bonds)):
+            bx = bonds[x]
+            jx = bx.other_atom_idx(i)
+            ox = bx.bond_type.order or 1.0
+            if ox > 1 and jx > i:
+                key2 = (min(ci, classes[jx]), max(ci, classes[jx]))
+                conn[key2] = conn.get(key2, 0.0) + ox * (ox - 1) / 2.0
             for y in range(x + 1, len(bonds)):
-                bx, by = bonds[x], bonds[y]
-                jx, jy = bx.other_atom_idx(i), by.other_atom_idx(i)
-                ox, oy = bx.bond_type.order or 1.0, by.bond_type.order or 1.0
-                key = (ids[i], tuple(sorted((ids[jx], ids[jy]))), tuple(sorted((ox, oy))))
-                conn[key] = conn.get(key, 0.0) + (ox * oy) ** 0.5
-    # double bonds etc. add "parallel" connections: a bond of order m
-    # contributes C(m,2) self-pairs (Bertz counts multiple bonds as
-    # multi-edges)
-    for b in mol.bonds:
-        m = int(round(b.bond_type.order or 1.0))
-        if m >= 2:
-            key = ("multi", tuple(sorted((ids[b.begin_atom_idx], ids[b.end_atom_idx]))))
-            conn[key] = conn.get(key, 0.0) + m * (m - 1) / 2.0
+                by = bonds[y]
+                jy = by.other_atom_idx(i)
+                oy = by.bond_type.order or 1.0
+                lo, hi = sorted((classes[jx], classes[jy]))
+                key3 = (lo, ci, hi)
+                conn[key3] = conn.get(key3, 0.0) + ox * oy
+
+    def shannon(counts: list[float]) -> float:
+        arr = np.asarray([c for c in counts if c > 0], dtype=float)
+        if arr.size == 0:
+            return 0.0
+        p = arr / arr.sum()
+        return float(-(p * np.log2(p)).sum())
+
+    conn_counts = list(conn.values())
+    tot = sum(conn_counts)
+    connection_ie = tot * (shannon(conn_counts) + np.log2(tot)) if tot > 0 else 0.0
     elem_counts: dict[int, int] = {}
     for a in mol.atoms:
         elem_counts[a.atomic_num] = elem_counts.get(a.atomic_num, 0) + 1
-    return float(_info([int(round(v)) or 1 for v in conn.values()]) + _info(list(elem_counts.values())))
+    atom_type_ie = n * shannon(list(elem_counts.values()))
+    return float(connection_ie + atom_type_ie)
 
 
 # ----------------------------------------------------------------- E-State
@@ -1406,8 +1458,13 @@ def compute_rdkit2d(mol: Mol) -> np.ndarray:
     vals["MinAbsEStateIndex"] = float(np.abs(es).min()) if es.size else 0.0
     vals["MaxPartialCharge"] = float(charges.max()) if charges.size else 0.0
     vals["MinPartialCharge"] = float(charges.min()) if charges.size else 0.0
-    vals["MaxAbsPartialCharge"] = float(np.abs(charges).max()) if charges.size else 0.0
-    vals["MinAbsPartialCharge"] = float(np.abs(charges).min()) if charges.size else 0.0
+    # RDKit defines the Abs variants over the (max, min) charge PAIR, not
+    # over all atoms: MaxAbs = max(|maxq|, |minq|), MinAbs = min(|maxq|, |minq|)
+    # (rdkit.Chem.Descriptors MaxAbsPartialCharge/MinAbsPartialCharge; pinned
+    # by the reference's own RDKit-generated fixture)
+    _qpair = (abs(float(charges.max())), abs(float(charges.min()))) if charges.size else (0.0, 0.0)
+    vals["MaxAbsPartialCharge"] = max(_qpair)
+    vals["MinAbsPartialCharge"] = min(_qpair)
     vals["MolLogP"] = float(logp_c.sum())
     vals["MolMR"] = float(mr_c.sum())
 

@@ -62,7 +62,7 @@ FRAGMENT_SMARTS: dict[str, str] = {
     "fr_barbitur": "C1C(=O)NC(=O)NC1=O",
     "fr_benzene": "c1ccccc1",
     "fr_benzodiazepine": "O=C1CN=Cc2ccccc2N1",
-    "fr_bicyclic": "[R2]",
+    "fr_bicyclic": "[R2][R2]",  # fused-ring bond (RDKit Fragments: Bicyclic)
     "fr_diazo": "[$([#6]=[NX2+]=[NX1-]),$([#6]-[NX2+]#[NX1])]",
     "fr_dihydropyridine": "N1C=CCC=C1",
     "fr_epoxide": "[OX2r3]1[#6r3][#6r3]1",
@@ -90,7 +90,7 @@ FRAGMENT_SMARTS: dict[str, str] = {
     "fr_nitroso": "[NX2]=[OX1]",
     "fr_oxazole": "c1ocnc1",
     "fr_oxime": "[CX3]=[NX2]-[OX2H1]",
-    "fr_para_hydroxylation": "[cH]1ccc(-[A;!#1])cc1",
+    "fr_para_hydroxylation": "[$([cH]1[cH]cc(c[cH]1)~[$([#8,$([#8]~[#6;!$([#6]=[!#6])])])]),$([cH]1[cH]cc(c[cH]1)~[$([#7X3])]),$([cH]1[cH]cc(c[cH]1)~[$([#6]=[#6])])]",  # para-CH to O/N/vinyl (RDKit)
     "fr_phenol": "[OX2H1]-c1ccccc1",
     "fr_phenol_noOrthoHbond": (
         "[$([OX2H1]-c1ccccc1);"

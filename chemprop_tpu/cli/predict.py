@@ -196,11 +196,14 @@ def _build_loader(args, path, with_targets: bool = False, variables: dict | None
     approx = {"rdkit_2d", "v1_rdkit_2d", "v1_rdkit_2d_normalized"}
     if approx & set(args.molecule_featurizers or []):
         logger.warning(
-            "rdkit_2d descriptor families VSA/BertzCT/fr_*/QED are documented "
-            "approximations of descriptastorus values "
-            "(docs/chemistry_divergences.md): predictions through a REFERENCE-"
-            "trained checkpoint that consumed these descriptors may shift "
-            "slightly; models trained with this framework are unaffected"
+            "the 47 VSA surface-area descriptors (LabuteASA + "
+            "SlogP/SMR/PEOE/EState_VSA + VSA_EState) are documented "
+            "approximations of RDKit's values — every other rdkit_2d family "
+            "is pinned exact against the reference's own RDKit-generated "
+            "fixture (docs/chemistry_divergences.md): predictions through a "
+            "REFERENCE-trained checkpoint that consumed these descriptors "
+            "may shift slightly; models trained with this framework are "
+            "unaffected"
         )
     mol_featurizers = [
         MoleculeFeaturizerRegistry[name]() for name in (args.molecule_featurizers or [])
