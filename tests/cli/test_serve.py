@@ -43,12 +43,12 @@ def served(tmp_path_factory, data_dir):
     server.server_close()
 
 
-def _post(url, payload):
+def _post(url, payload, timeout=300):
     req = urllib.request.Request(
         url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
     )
     try:
-        with urllib.request.urlopen(req, timeout=60) as r:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
             return r.status, json.loads(r.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
@@ -101,18 +101,30 @@ class TestCoalescing:
         url, service = served
         smis = ["CCO", "c1ccccc1", "CC(=O)O", "CCN"]
         solo = [_post(url + "/predict", {"smiles": [s]})[1]["preds"][0] for s in smis]
+        # pre-warm the 16-molecule bucket so the burst measures coalescing,
+        # not XLA compile latency (a cold compile on a loaded CPU can push
+        # the slowest client past any socket timeout)
+        _post(url + "/predict", {"smiles": ["CCO"] * 16})
 
-        # widen the coalescing window so the burst lands in one dispatch
-        # even when the suite loads the CPU and staggers request arrival
+        # make coalescing deterministic under arbitrary CPU load: cap the
+        # batch at exactly the burst size and widen the linger ceiling, so
+        # the dispatcher's first batch WAITS for all 16 requests (however
+        # staggered the GIL makes their arrival) and max_coalesce cuts the
+        # wait the moment the last one lands
         linger_bak = service.coalesce_linger_s
-        service.coalesce_linger_s = 0.25
+        coalesce_bak = service.max_coalesce
+        service.coalesce_linger_s = 30.0
+        service.max_coalesce = 16
         req0, disp0 = service.requests, service.dispatches
         results = [None] * 16
         barrier = threading.Barrier(16)
 
         def worker(k):
             barrier.wait()
-            code, out = _post(url + "/predict", {"smiles": [smis[k % 4]]})
+            try:
+                code, out = _post(url + "/predict", {"smiles": [smis[k % 4]]})
+            except Exception as e:  # noqa: BLE001 — keep the failure readable
+                code, out = -1, {"error": repr(e)}
             results[k] = (code, out)
 
         threads = [threading.Thread(target=worker, args=(k,)) for k in range(16)]
@@ -123,6 +135,7 @@ class TestCoalescing:
                 t.join()
         finally:
             service.coalesce_linger_s = linger_bak
+            service.max_coalesce = coalesce_bak
 
         assert all(code == 200 for code, _ in results)
         for k, (_, out) in enumerate(results):
