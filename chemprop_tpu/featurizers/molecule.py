@@ -80,15 +80,25 @@ class ChargeFeaturizer:
 @MoleculeFeaturizerRegistry.register("rdkit_2d")
 class RDKit2DFeaturizer:
     """The 200-descriptor 2D physicochemical/topological vector, name- and
-    order-compatible with the descriptastorus RDKit2D set the reference uses
-    (cf. reference ``chemprop/featurizers/molecule.py:53-86``; its
-    ``V1RDKit2DFeaturizerMixin.__len__`` returns 200).
+    order-compatible with the descriptastorus RDKit2D set (reference
+    ``chemprop/featurizers/molecule.py:76-92``, the ``v1_rdkit_2d``
+    featurizers).
 
-    Values come from the in-repo :mod:`chemprop_tpu.chem.descriptors` suite
-    (Wildman-Crippen LogP/MR, Ertl TPSA, Kier-Hall chi/kappa/E-State,
-    Gasteiger charges, Labute VSA families, 85 SMARTS fragment counts, QED)
-    computed from the primary literature — dimension/order compatible with
-    reference checkpoints, close but not bit-identical to RDKit numerics."""
+    KNOWN DEVIATION: the reference's ``rdkit_2d`` registry entry
+    (``chemprop/featurizers/molecule.py:52-73``) returns RDKit's FULL
+    ``Descriptors.descList`` — 217 values in the reference's pinned RDKit
+    version, in descList (unsorted) order — while this framework returns the
+    200-value descriptastorus vector under both names. A reference
+    checkpoint trained with ``rdkit_2d`` conditioning therefore expects
+    217-wide descriptor inputs and will fail shape-checking here
+    (docs/chemistry_divergences.md). The 17 descList-only descriptors
+    (SPS, BCUT2D_*, AvgIpc, amide/stereocenter/bridgehead/spiro counts,
+    Phi, ...) are not yet implemented.
+
+    Values come from the in-repo :mod:`chemprop_tpu.chem.descriptors` suite;
+    142 of 200 are pinned EXACT against the reference's own RDKit-generated
+    fixture (``tests/unit/chem/test_rdkit2d_200.py``) — the 47 VSA
+    surface-area descriptors remain documented approximations."""
 
     def __init__(self):
         from chemprop_tpu.chem.descriptors import RDKIT2D_NAMES

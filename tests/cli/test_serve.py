@@ -137,7 +137,9 @@ class TestCoalescing:
             service.coalesce_linger_s = linger_bak
             service.max_coalesce = coalesce_bak
 
-        assert all(code == 200 for code, _ in results)
+        assert all(code == 200 for code, _ in results), [
+            r for r in results if r[0] != 200
+        ]
         for k, (_, out) in enumerate(results):
             np.testing.assert_allclose(out["preds"][0], solo[k % 4], rtol=1e-5, atol=1e-6)
         reqs = service.requests - req0
