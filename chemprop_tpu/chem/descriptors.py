@@ -1205,7 +1205,11 @@ def _bo_distance_matrix(mol: Mol) -> np.ndarray:
                 if nd < dist[v]:
                     dist[v] = nd
                     heapq.heappush(heap, (nd, v))
-        dist[~np.isfinite(dist)] = 0.0
+        # unreachable (cross-fragment) pairs: RDKit's GetDistanceMatrix uses a
+        # 1e8 sentinel, and BertzCT's sorted-row cutoff (first 100 entries)
+        # relies on sentinels sorting to the BACK so they are cut first; a 0.0
+        # placeholder would sort to the front and evict real distances.
+        dist[~np.isfinite(dist)] = 1e8
         out[s] = dist
     return out
 

@@ -715,8 +715,12 @@ def assign_bond_stereo(mol: Mol) -> None:
     last stereo divergence of the atom-mapped golden corpus (molecule 461:
     RDKit picked the C6=C7 reference substituent by map number, not true
     CIP)."""
+    # the exactness argument (map numbers break all ties, refinement loop
+    # never runs) and the corpus validation cover FULLY-mapped molecules
+    # only; on partially-mapped inputs the refinement loop would run over
+    # unverified invariant packing, so fall back to the digraph comparison.
     lranks = (
-        legacy_cip_ranks(mol) if any(a.atom_map_num for a in mol.atoms) else None
+        legacy_cip_ranks(mol) if all(a.atom_map_num for a in mol.atoms) else None
     )
     for b in mol.bonds:
         if b.bond_type != BondType.DOUBLE:

@@ -261,7 +261,14 @@ def make_server(args) -> tuple[ThreadingHTTPServer, ModelService]:
     ]
     for n in args.warmup_buckets:
         service.predict((warm * ((n // len(warm)) + 1))[:n])
-    server = ThreadingHTTPServer((args.host, args.port), _make_handler(service, args.max_batch))
+    # socketserver's default accept backlog (request_queue_size=5) resets
+    # connections under bursts of >5 concurrent clients — exactly the load
+    # the coalescing linger invites. Deepen the listen queue so bursts wait
+    # instead of getting ECONNRESET.
+    class _Server(ThreadingHTTPServer):
+        request_queue_size = 128
+
+    server = _Server((args.host, args.port), _make_handler(service, args.max_batch))
     return server, service
 
 

@@ -852,9 +852,12 @@ std::vector<int> legacy_cip_ranks(const Mol& mol) {
 }
 
 void assign_stereo(Mol& mol) {
-  bool mapped = false;
+  // legacy ranks only when FULLY mapped: the no-refinement exactness
+  // argument (map numbers break all ties) does not cover partial mapping
+  // (mirrors chem/perception.py:assign_bond_stereo).
+  bool mapped = !mol.atoms.empty();
   for (const Atom& a : mol.atoms)
-    if (a.map_num > 0) { mapped = true; break; }
+    if (a.map_num <= 0) { mapped = false; break; }
   std::vector<int> lranks;
   if (mapped) lranks = legacy_cip_ranks(mol);
   for (size_t bidx = 0; bidx < mol.bonds.size(); bidx++) {
