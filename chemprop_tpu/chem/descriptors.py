@@ -1381,6 +1381,223 @@ def qed(mol: Mol) -> float:
     return float(np.exp(num / den))
 
 
+# --------------------------------------------------------------------------
+# descList-only descriptors: the 17 beyond the descriptastorus 200-set
+# (RDKit's full ``Descriptors.descList`` — the reference's ``rdkit_2d``
+# registry entry, ``chemprop/featurizers/molecule.py:53-73`` — is 217 wide)
+# --------------------------------------------------------------------------
+
+
+def _ring_bond_idxs(mol: Mol, ring: list[int]) -> set[int]:
+    """Bond indices around an ORDERED ring cycle (consecutive pairs + the
+    closing pair)."""
+    out: set[int] = set()
+    k = len(ring)
+    for t in range(k):
+        u, v = ring[t], ring[(t + 1) % k]
+        for b in mol.atom_bonds(u):
+            if b.other_atom_idx(u) == v:
+                out.add(b.idx)
+                break
+    return out
+
+
+def num_heterocycles(mol: Mol) -> float:
+    """Rings containing at least one non-carbon atom (RDKit
+    ``NumHeterocycles``; fixture-pinned: 2 on the reference molecule)."""
+    return float(sum(_ring_has_hetero(mol, r) for r in getattr(mol, "rings", [])))
+
+
+def num_spiro_atoms(mol: Mol) -> float:
+    """Atoms shared between ring pairs that share EXACTLY one atom (RDKit
+    ``CalcNumSpiroAtoms`` semantics over the smallest-ring set)."""
+    rings = [set(r) for r in getattr(mol, "rings", [])]
+    spiro: set[int] = set()
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            shared = rings[i] & rings[j]
+            if len(shared) == 1:
+                spiro.update(shared)
+    return float(len(spiro))
+
+
+def num_bridgehead_atoms(mol: Mol) -> float:
+    """Atoms shared between ring pairs that share at least TWO bonds (RDKit
+    ``CalcNumBridgeheadAtoms``): for each such pair, the endpoints of the
+    shared bond path — atoms incident to exactly one shared bond — are
+    bridgeheads (norbornane: C1/C4, not the bridge carbon)."""
+    rings = getattr(mol, "rings", [])
+    bond_rings = [_ring_bond_idxs(mol, r) for r in rings]
+    heads: set[int] = set()
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            shared = bond_rings[i] & bond_rings[j]
+            if len(shared) < 2:
+                continue
+            incidence: dict[int, int] = {}
+            for bi in shared:
+                b = mol.bonds[bi]
+                for a in (b.begin_atom_idx, b.end_atom_idx):
+                    incidence[a] = incidence.get(a, 0) + 1
+            heads.update(a for a, c in incidence.items() if c == 1)
+    return float(len(heads))
+
+
+def num_amide_bonds(mol: Mol) -> float:
+    """Count of C(=O)-N amide bonds (RDKit ``CalcNumAmideBonds``, SMARTS
+    ``C(=[OX1])N``). The reference fixture molecule has none, so the exact
+    SMARTS nuance (N connectivity constraints) is pinned by self-tests on
+    classic amides/ureas only (docs/chemistry_divergences.md)."""
+    from chemprop_tpu.chem.smarts import smarts
+
+    return float(smarts("C(=[OX1])N").count_matches(mol))
+
+
+def find_potential_stereocenters(mol: Mol) -> tuple[list[int], list[int]]:
+    """Tetrahedral stereocenter detection with RDKit LEGACY
+    ``assignStereochemistry(flagPossible=True)`` semantics: candidates are
+    4-coordinate atoms (counting one implicit H) or 3-coordinate lone-pair
+    centers (N only in a 3-ring; P/As/S/Se generally), whose bonded
+    neighbors all land in DISTINCT legacy CIP rank classes
+    (:func:`~chemprop_tpu.chem.perception.legacy_cip_ranks` — the same rank
+    function legacy RDKit uses, including its map-number seeding). Returns
+    ``(specified, unspecified)`` index lists: specified = carries a
+    tetrahedral chiral tag (RDKit's ``_CIPCode`` atoms), unspecified =
+    potential but untagged (``_ChiralityPossible``)."""
+    from chemprop_tpu.chem.mol import ChiralType
+    from chemprop_tpu.chem.perception import legacy_cip_ranks
+
+    ranks = legacy_cip_ranks(mol)
+    in_3ring = set()
+    for ring in getattr(mol, "rings", []):
+        if len(ring) == 3:
+            in_3ring.update(ring)
+    specified: list[int] = []
+    unspecified: list[int] = []
+    for a in mol.atoms:
+        nbrs = [b.other_atom_idx(a.idx) for b in mol.atom_bonds(a.idx)]
+        deg = len(nbrs)
+        nH = a.total_num_hs
+        if deg < 3 or deg + nH > 4 or nH > 1:
+            continue
+        if deg + nH == 3:
+            # lone-pair center: N only in a 3-membered ring (aziridine);
+            # P/As/S/Se invert too slowly (RDKit legacy's element list)
+            z = a.atomic_num
+            if z == 7 and a.idx not in in_3ring:
+                continue
+            if z not in (7, 15, 16, 33, 34):
+                continue
+        if len({ranks[j] for j in nbrs}) != deg:
+            continue
+        if a.chiral_tag in (ChiralType.CHI_TETRAHEDRAL_CW, ChiralType.CHI_TETRAHEDRAL_CCW):
+            specified.append(a.idx)
+        else:
+            unspecified.append(a.idx)
+    return specified, unspecified
+
+
+def num_atom_stereo_centers(mol: Mol) -> float:
+    return float(len(find_potential_stereocenters(mol)[0]))
+
+
+def num_unspecified_atom_stereo_centers(mol: Mol) -> float:
+    return float(len(find_potential_stereocenters(mol)[1]))
+
+
+def phi(mol: Mol) -> float:
+    """Kier flexibility index Phi = Kappa1*Kappa2 / heavy atoms (RDKit
+    ``CalcPhi``; fixture-pinned 4.601)."""
+    n = mol.num_atoms
+    if n == 0:
+        return 0.0
+    return kappa1(mol) * kappa2(mol) / n
+
+
+def sps(mol: Mol, normalize: bool = True) -> float:
+    """Spacial score (Krzyzanowski et al., J. Med. Chem. 2023; RDKit
+    ``SPS``): per heavy atom ``h*s*r*n^2`` with h = hybridization term
+    (sp 1, sp2 2, sp3 3, other 4), s = 2 for stereocenter atoms (tagged or
+    potential) and atoms of stereo-labeled double bonds else 1, r = 2 for
+    NON-AROMATIC ring atoms else 1 (aromatic rings count as flat), n =
+    graph degree. ``normalize=True`` (the descList entry) divides by heavy
+    atom count. Constants fixture-pinned: 469/29 = 16.1724 on the reference
+    molecule; the stereo term is self-tested (the fixture is achiral)."""
+    n_atoms = mol.num_atoms
+    if n_atoms == 0:
+        return 0.0
+    from chemprop_tpu.chem.mol import BondStereo
+
+    spec, unspec = find_potential_stereocenters(mol)
+    stereo_atoms = set(spec) | set(unspec)
+    for b in mol.bonds:
+        if b.bond_type == BondType.DOUBLE and b.stereo != BondStereo.STEREONONE:
+            stereo_atoms.update((b.begin_atom_idx, b.end_atom_idx))
+    hyb_term = {
+        HybridizationType.SP: 1,
+        HybridizationType.SP2: 2,
+        HybridizationType.SP3: 3,
+    }
+    total = 0
+    for a in mol.atoms:
+        h = hyb_term.get(a.hybridization, 4)
+        s = 2 if a.idx in stereo_atoms else 1
+        r = 1 if (a.is_aromatic or not a.is_in_ring) else 2
+        deg = len(mol.atom_bonds(a.idx))
+        total += h * s * r * deg * deg
+    return total / n_atoms if normalize else float(total)
+
+
+_BCUT_KEYS = (
+    "BCUT2D_MWHI", "BCUT2D_MWLOW", "BCUT2D_CHGHI", "BCUT2D_CHGLO",
+    "BCUT2D_LOGPHI", "BCUT2D_LOGPLOW", "BCUT2D_MRHI", "BCUT2D_MRLOW",
+)
+
+
+def bcut2d(mol: Mol) -> dict[str, float]:
+    """Burden eigenvalue descriptors (Pearlman & Smith BCUT; RDKit
+    ``BCUT2D_*``): symmetric Burden matrix with diagonal = per-atom
+    property, off-diagonal = ``1/sqrt(bond order)`` for bonded pairs
+    (aromatic order 1.5) and 0.001 for every non-bonded pair; HI/LOW = the
+    extreme eigenvalues. Atom properties: average atomic mass, Gasteiger
+    charge, and the Crippen logP/MR OWN-TYPE contribution (implicit-H
+    contributions NOT folded in — unlike the VSA binning convention). All
+    8 values + both conventions pinned EXACT (4 decimals) against the
+    reference's own RDKit fixture; non-finite Gasteiger charges (exotic
+    elements) are zeroed where RDKit would raise."""
+    n = mol.num_atoms
+    if n == 0:
+        return {k: 0.0 for k in _BCUT_KEYS}
+    from chemprop_tpu.chem.charges import gasteiger_charges
+
+    masses = np.array([MASSES[a.atomic_num] for a in mol.atoms])
+    q = gasteiger_charges(mol)
+    q = np.where(np.isfinite(q), q, 0.0)
+    logp = np.zeros(n)
+    mr = np.zeros(n)
+    for a in mol.atoms:
+        logp[a.idx], mr[a.idx] = _CRIPPEN[_crippen_type(mol, a)]
+
+    coupling = np.full((n, n), 0.001)
+    np.fill_diagonal(coupling, 0.0)
+    for b in mol.bonds:
+        i, j = b.begin_atom_idx, b.end_atom_idx
+        coupling[i, j] = coupling[j, i] = (b.bond_type.order or 1.0) ** -0.5
+    out: dict[str, float] = {}
+    # RDKit's own (inconsistent) suffixes: CHGLO but MWLOW/LOGPLOW/MRLOW
+    for name, lo_name, diag in (
+        ("MWHI", "MWLOW", masses),
+        ("CHGHI", "CHGLO", q),
+        ("LOGPHI", "LOGPLOW", logp),
+        ("MRHI", "MRLOW", mr),
+    ):
+        B = coupling + np.diag(diag)
+        ev = np.linalg.eigvalsh(B)
+        out[f"BCUT2D_{name}"] = float(ev[-1])
+        out[f"BCUT2D_{lo_name}"] = float(ev[0])
+    return out
+
+
 # ------------------------------------------------------- vector assembly
 RDKIT2D_NAMES: list[str] = (
     [
@@ -1426,9 +1643,9 @@ def _finalize_names() -> None:
 _finalize_names()
 
 
-def compute_rdkit2d(mol: Mol) -> np.ndarray:
-    """The 200-descriptor vector, name/order-compatible with descriptastorus
-    RDKit2D (reference ``chemprop/featurizers/molecule.py:79`` returns 200).
+def _rdkit2d_vals(mol: Mol) -> dict[str, float]:
+    """Name -> value dict of the descriptastorus 200-set (the shared core of
+    both the ``v1_rdkit_2d`` 200-vector and the descList 217-vector).
 
     Shared intermediates (VSA contributions, E-State, Gasteiger charges,
     Crippen contributions) are computed once and reused across families.
@@ -1511,4 +1728,90 @@ def compute_rdkit2d(mol: Mol) -> np.ndarray:
     for name, v in zip(FRAGMENT_NAMES, frags):
         vals[name] = float(v)
 
+    return vals
+
+
+def compute_rdkit2d(mol: Mol) -> np.ndarray:
+    """The 200-descriptor vector, name/order-compatible with descriptastorus
+    RDKit2D (reference ``chemprop/featurizers/molecule.py:79`` returns 200)."""
+    vals = _rdkit2d_vals(mol)
     return np.array([vals[n] for n in RDKIT2D_NAMES], dtype=np.float64)
+
+
+# RDKit ``Descriptors.descList`` in registration (NOT sorted) order — the
+# reference's ``rdkit_2d`` vector layout, 217 values in its pinned RDKit
+# version. Order decoded from (and pinned against) the reference's own
+# RDKit-generated fixture
+# (``/root/reference/tests/unit/featurizers/test_molecule.py:50-106``):
+# the 132 non-fragment descriptors below, then the 85 ``fr_*`` fragments in
+# sorted order. Shared names carry the same values as the 200-set.
+DESCLIST_NAMES: list[str] = (
+    [
+        "MaxAbsEStateIndex", "MaxEStateIndex", "MinAbsEStateIndex",
+        "MinEStateIndex", "qed", "SPS", "MolWt", "HeavyAtomMolWt",
+        "ExactMolWt", "NumValenceElectrons", "NumRadicalElectrons",
+        "MaxPartialCharge", "MinPartialCharge", "MaxAbsPartialCharge",
+        "MinAbsPartialCharge", "FpDensityMorgan1", "FpDensityMorgan2",
+        "FpDensityMorgan3",
+        "BCUT2D_MWHI", "BCUT2D_MWLOW", "BCUT2D_CHGHI", "BCUT2D_CHGLO",
+        "BCUT2D_LOGPHI", "BCUT2D_LOGPLOW", "BCUT2D_MRHI", "BCUT2D_MRLOW",
+        "AvgIpc", "BalabanJ", "BertzCT",
+        "Chi0", "Chi0n", "Chi0v", "Chi1", "Chi1n", "Chi1v",
+        "Chi2n", "Chi2v", "Chi3n", "Chi3v", "Chi4n", "Chi4v",
+        "HallKierAlpha", "Ipc", "Kappa1", "Kappa2", "Kappa3", "LabuteASA",
+    ]
+    + [f"PEOE_VSA{i}" for i in range(1, 15)]
+    + [f"SMR_VSA{i}" for i in range(1, 11)]
+    + [f"SlogP_VSA{i}" for i in range(1, 13)]
+    + ["TPSA"]
+    + [f"EState_VSA{i}" for i in range(1, 12)]
+    + [f"VSA_EState{i}" for i in range(1, 11)]
+    + [
+        "FractionCSP3", "HeavyAtomCount", "NHOHCount", "NOCount",
+        "NumAliphaticCarbocycles", "NumAliphaticHeterocycles",
+        "NumAliphaticRings", "NumAmideBonds", "NumAromaticCarbocycles",
+        "NumAromaticHeterocycles", "NumAromaticRings",
+        "NumAtomStereoCenters", "NumBridgeheadAtoms", "NumHAcceptors",
+        "NumHDonors", "NumHeteroatoms", "NumHeterocycles",
+        "NumRotatableBonds", "NumSaturatedCarbocycles",
+        "NumSaturatedHeterocycles", "NumSaturatedRings", "NumSpiroAtoms",
+        "NumUnspecifiedAtomStereoCenters", "Phi", "RingCount",
+        "MolLogP", "MolMR",
+    ]
+    + []  # fragment names appended just below
+)
+
+
+def _finalize_desclist_names() -> None:
+    # descList appends the fragments AFTER the scalar block, in the same
+    # sorted order (ASCII sort puts fr_A* before fr_a*, matching RDKit's
+    # registration order — verified against the reference fixture layout)
+    from chemprop_tpu.chem.fragments import FRAGMENT_NAMES
+
+    DESCLIST_NAMES.extend(FRAGMENT_NAMES)
+    assert len(DESCLIST_NAMES) == 217, len(DESCLIST_NAMES)
+    assert set(RDKIT2D_NAMES) - set(DESCLIST_NAMES) == set()
+
+
+_finalize_desclist_names()
+
+
+def compute_desclist(mol: Mol) -> np.ndarray:
+    """The full 217-descriptor ``Descriptors.descList`` vector in descList
+    order — what the reference's ``rdkit_2d`` registry entry returns
+    (``chemprop/featurizers/molecule.py:53-73``). The 200 shared names reuse
+    :func:`_rdkit2d_vals`; the 17 descList-only descriptors (SPS, BCUT2D x8,
+    AvgIpc, NumAmideBonds, stereocenter/bridgehead/spiro/heterocycle counts,
+    Phi) are fixture-pinned where the fixture discriminates."""
+    vals = _rdkit2d_vals(mol)
+    vals["SPS"] = sps(mol)
+    vals.update(bcut2d(mol))
+    vals["AvgIpc"] = ipc(mol, avg=True)
+    vals["NumAmideBonds"] = num_amide_bonds(mol)
+    vals["NumAtomStereoCenters"] = num_atom_stereo_centers(mol)
+    vals["NumUnspecifiedAtomStereoCenters"] = num_unspecified_atom_stereo_centers(mol)
+    vals["NumBridgeheadAtoms"] = num_bridgehead_atoms(mol)
+    vals["NumSpiroAtoms"] = num_spiro_atoms(mol)
+    vals["NumHeterocycles"] = num_heterocycles(mol)
+    vals["Phi"] = phi(mol)
+    return np.array([vals[n] for n in DESCLIST_NAMES], dtype=np.float64)

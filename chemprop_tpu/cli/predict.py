@@ -193,8 +193,8 @@ def _build_loader(args, path, with_targets: bool = False, variables: dict | None
         ignore_cols=descriptors_cols if with_targets else None,
         no_header_row=args.no_header_row,
     )
-    approx = {"rdkit_2d", "v1_rdkit_2d", "v1_rdkit_2d_normalized"}
-    if approx & set(args.molecule_featurizers or []):
+    requested = set(args.molecule_featurizers or [])
+    if {"rdkit_2d", "v1_rdkit_2d"} & requested:
         logger.warning(
             "the 47 VSA surface-area descriptors (LabuteASA + "
             "SlogP/SMR/PEOE/EState_VSA + VSA_EState) are documented "
@@ -204,6 +204,17 @@ def _build_loader(args, path, with_targets: bool = False, variables: dict | None
             "REFERENCE-trained checkpoint that consumed these descriptors "
             "may shift slightly; models trained with this framework are "
             "unaffected"
+        )
+    if "v1_rdkit_2d_normalized" in requested:
+        logger.warning(
+            "v1_rdkit_2d_normalized: the reference applies per-descriptor "
+            "descriptastorus CDFs fit on a proprietary corpus; this "
+            "framework substitutes x/(1+|x|), so EVERY input dimension "
+            "differs from the reference's. A reference checkpoint trained "
+            "on normalized descriptors is NOT zero-shot transferable here — "
+            "expect shifted predictions; re-train or fine-tune with this "
+            "framework's normalization instead "
+            "(docs/chemistry_divergences.md)"
         )
     mol_featurizers = [
         MoleculeFeaturizerRegistry[name]() for name in (args.molecule_featurizers or [])

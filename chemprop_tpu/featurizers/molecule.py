@@ -79,26 +79,41 @@ class ChargeFeaturizer:
 
 @MoleculeFeaturizerRegistry.register("rdkit_2d")
 class RDKit2DFeaturizer:
-    """The 200-descriptor 2D physicochemical/topological vector, name- and
-    order-compatible with the descriptastorus RDKit2D set (reference
-    ``chemprop/featurizers/molecule.py:76-92``, the ``v1_rdkit_2d``
-    featurizers).
+    """RDKit's full ``Descriptors.descList`` vector — 217 values in the
+    reference's pinned RDKit version, in descList (registration) order —
+    matching the reference's ``rdkit_2d`` registry entry
+    (``chemprop/featurizers/molecule.py:52-73``), so reference checkpoints
+    trained with ``rdkit_2d`` conditioning shape-check and predict here.
 
-    KNOWN DEVIATION: the reference's ``rdkit_2d`` registry entry
-    (``chemprop/featurizers/molecule.py:52-73``) returns RDKit's FULL
-    ``Descriptors.descList`` — 217 values in the reference's pinned RDKit
-    version, in descList (unsorted) order — while this framework returns the
-    200-value descriptastorus vector under both names. A reference
-    checkpoint trained with ``rdkit_2d`` conditioning therefore expects
-    217-wide descriptor inputs and will fail shape-checking here
-    (docs/chemistry_divergences.md). The 17 descList-only descriptors
-    (SPS, BCUT2D_*, AvgIpc, amide/stereocenter/bridgehead/spiro counts,
-    Phi, ...) are not yet implemented.
+    Values come from the in-repo :mod:`chemprop_tpu.chem.descriptors`
+    suite. All 17 descList-only descriptors (SPS, BCUT2D x8, AvgIpc,
+    NumAmideBonds, stereocenter/bridgehead/spiro/heterocycle counts, Phi)
+    plus 142 of the shared 200 are pinned EXACT against the reference's own
+    RDKit-generated fixture (``tests/unit/chem/test_desclist_217.py``,
+    ``test_rdkit2d_200.py``) — the 47 VSA surface-area descriptors remain
+    documented approximations (docs/chemistry_divergences.md)."""
 
-    Values come from the in-repo :mod:`chemprop_tpu.chem.descriptors` suite;
-    142 of 200 are pinned EXACT against the reference's own RDKit-generated
-    fixture (``tests/unit/chem/test_rdkit2d_200.py``) — the 47 VSA
-    surface-area descriptors remain documented approximations."""
+    def __init__(self):
+        from chemprop_tpu.chem.descriptors import DESCLIST_NAMES
+
+        self.names = list(DESCLIST_NAMES)
+
+    def __call__(self, mol: Mol) -> np.ndarray:
+        from chemprop_tpu.chem.descriptors import compute_desclist
+
+        return compute_desclist(mol)
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+
+@MoleculeFeaturizerRegistry.register("v1_rdkit_2d")
+class V1RDKit2DFeaturizer:
+    """The 200-descriptor descriptastorus RDKit2D vector in string-sorted
+    order (reference ``chemprop/featurizers/molecule.py:76-92``). 142 of
+    200 pinned EXACT against the reference's own RDKit fixture
+    (``tests/unit/chem/test_rdkit2d_200.py``); the 47 VSA surface-area
+    descriptors are documented approximations."""
 
     def __init__(self):
         from chemprop_tpu.chem.descriptors import RDKIT2D_NAMES
@@ -114,20 +129,16 @@ class RDKit2DFeaturizer:
         return len(self.names)
 
 
-@MoleculeFeaturizerRegistry.register("v1_rdkit_2d")
-class V1RDKit2DFeaturizer(RDKit2DFeaturizer):
-    """v1-flavored alias of :class:`RDKit2DFeaturizer` (the reference's v1
-    set is the same 200-descriptor descriptastorus vector, reference
-    ``chemprop/featurizers/molecule.py:88-92``)."""
-
-
 @MoleculeFeaturizerRegistry.register("v1_rdkit_2d_normalized")
-class V1RDKit2DNormalizedFeaturizer(RDKit2DFeaturizer):
+class V1RDKit2DNormalizedFeaturizer(V1RDKit2DFeaturizer):
     """The 200 descriptors squashed to (-1, 1) via x/(1+|x|) per dimension.
 
     The reference's normalized variant applies descriptastorus CDFs fit on a
     proprietary corpus; without that corpus a bounded monotone transform is
-    used instead (documented deviation — dimensionality matches)."""
+    used instead (documented deviation — dimensionality matches). Reference
+    checkpoints conditioned on the NORMALIZED variant are therefore NOT
+    zero-shot transferable (every input dimension shifts); the convert path
+    flags them (models/torch_convert.py)."""
 
     def __call__(self, mol: Mol) -> np.ndarray:
         x = super().__call__(mol)

@@ -126,6 +126,39 @@ class TestClassificationTrain:
         assert 0.0 <= list(scores[-1].values())[0] <= 1.0
 
 
+class TestDescListConditioning:
+    def test_train_predict_with_rdkit_2d(self, monkeypatch, mol_csv, tmp_path):
+        """A model conditioned on the 217-value descList ``rdkit_2d``
+        descriptor vector trains and predicts end-to-end (the reference's
+        ``rdkit_2d`` registry entry is RDKit's full ``Descriptors.descList``,
+        ``chemprop/featurizers/molecule.py:52-73``)."""
+        out = tmp_path / "desc"
+        run_cli(
+            monkeypatch,
+            [
+                "train", "-i", str(mol_csv), "--epochs", "1", "--batch-size", "16",
+                "--molecule-featurizers", "rdkit_2d", "-o", str(out),
+            ],
+        )
+        from chemprop_tpu.models.serialize import load_model
+
+        model, variables, _ = load_model(next(out.rglob("best.ckpt")))
+        # the FFN input widens by exactly the 217 descList descriptors
+        ffn_in = variables["params"]["predictor"]["ffn"]["block0"]["kernel"].shape[0]
+        assert ffn_in == 300 + 217, ffn_in
+        preds = tmp_path / "desc_preds.csv"
+        run_cli(
+            monkeypatch,
+            [
+                "predict", "-i", str(mol_csv), "--model-paths", str(out),
+                "--molecule-featurizers", "rdkit_2d", "-o", str(preds),
+            ],
+        )
+        rows = list(csv.DictReader(open(preds)))
+        assert len(rows) == 24
+        assert np.isfinite([float(r["lipo"]) for r in rows]).all()
+
+
 class TestTensorBoardFlag:
     def test_train_writes_tfevents(self, monkeypatch, mol_csv, tmp_path):
         """--tensorboard adds per-epoch scalar tfevents next to the CSV/JSON

@@ -1,0 +1,280 @@
+"""The full-``Descriptors.descList`` 217-value ``rdkit_2d`` vector.
+
+Reference parity target: ``chemprop/featurizers/molecule.py:52-73`` — the
+reference's ``rdkit_2d`` registry entry iterates RDKit's complete
+``Descriptors.descList`` (217 descriptors in its pinned RDKit version, in
+registration order). These tests pin the vector against the reference's own
+RDKit-generated fixture
+(reference ``tests/unit/featurizers/test_molecule.py::rdkit_2d_values``,
+molecule ``Fc1cccc(C2(c3nnc(Cc4cccc5ccccc45)o3)CCOCC2)c1``) and self-test
+the 17 descList-only descriptors the fixture leaves at zero.
+"""
+
+import numpy as np
+import pytest
+
+from chemprop_tpu.chem import make_mol
+from chemprop_tpu.chem.descriptors import (
+    DESCLIST_NAMES,
+    RDKIT2D_NAMES,
+    bcut2d,
+    compute_desclist,
+    find_potential_stereocenters,
+    num_amide_bonds,
+    num_bridgehead_atoms,
+    num_heterocycles,
+    num_spiro_atoms,
+    phi,
+    sps,
+)
+
+FIXTURE_SMI = "Fc1cccc(C2(c3nnc(Cc4cccc5ccccc45)o3)CCOCC2)c1"
+
+
+def M(smi):
+    return make_mol(smi, keep_h=False, add_h=False)
+
+
+# fmt: off
+# Parity-fixture copy of the reference's RDKit-generated descList golden
+# (reference tests/unit/featurizers/test_molecule.py:50-106), descList order.
+DESCLIST_GOLDEN = [
+      13.9511,      13.9511,       0.2603,      -0.5096,
+       0.4909,      16.1724,     388.442 ,     367.274 ,
+     388.1587,     146.    ,       0.    ,       0.2267,
+      -0.4239,       0.4239,       0.2267,       0.8966,
+       1.6897,       2.5517,      19.1421,       9.7377,
+       2.4117,      -2.34  ,       2.4051,      -2.3511,
+       5.8532,       0.054 ,       3.2361,       1.5168,
+    1143.0568,      19.6836,      15.9753,      15.9753,
+      14.244 ,       9.8787,       9.8787,       7.5208,
+       7.5208,       5.8214,       5.8214,       4.26  ,
+       4.26  ,      -3.05  , 9626644.372 ,      18.0088,
+       7.4091,       3.3162,     167.8922,       9.154 ,
+       5.8172,       0.    ,      11.7814,       0.    ,
+       0.    ,       0.    ,       4.3904,       0.    ,
+      10.1974,      54.5973,      46.8737,      13.2138,
+      11.8358,      13.5444,      10.7724,       0.    ,
+      10.1974,       0.    ,      24.6775,      13.2138,
+      95.4556,       0.    ,       0.    ,       0.    ,
+       4.3904,       0.    ,       0.    ,      23.4111,
+      16.5727,       5.8172,      35.75  ,      71.1472,
+       0.    ,      10.7724,       0.    ,      48.15  ,
+       5.415 ,       4.3904,       0.    ,       5.8172,
+      44.2577,      11.1269,      16.8388,      12.1327,
+      24.2655,      34.4628,       9.154 ,      25.6895,
+       0.    ,       0.    ,      11.1016,       1.4962,
+       0.851 ,      21.1832,       1.9333,       1.1618,
+       0.    ,       0.25  ,      29.    ,       0.    ,
+       4.    ,       0.    ,       1.    ,       1.    ,
+       0.    ,       3.    ,       1.    ,       4.    ,
+       0.    ,       0.    ,       4.    ,       0.    ,
+       5.    ,       2.    ,       4.    ,       0.    ,
+       1.    ,       1.    ,       0.    ,       0.    ,
+       4.601 ,       5.    ,       5.0492,     108.285 ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       2.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       2.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       3.    ,       0.    ,
+       1.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       1.    ,       0.    ,       0.    ,
+       1.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,       0.    ,       0.    ,       0.    ,
+       0.    ,
+]
+# fmt: on
+
+VSA_FAMILY_PREFIXES = (
+    "LabuteASA", "SlogP_VSA", "SMR_VSA", "PEOE_VSA", "EState_VSA", "VSA_EState",
+)
+
+
+class TestNamesAndOrder:
+    def test_layout(self):
+        assert len(DESCLIST_NAMES) == 217
+        assert len(set(DESCLIST_NAMES)) == 217
+        assert DESCLIST_NAMES[0] == "MaxAbsEStateIndex"
+        assert DESCLIST_NAMES[5] == "SPS"
+        assert DESCLIST_NAMES[18:26] == [
+            "BCUT2D_MWHI", "BCUT2D_MWLOW", "BCUT2D_CHGHI", "BCUT2D_CHGLO",
+            "BCUT2D_LOGPHI", "BCUT2D_LOGPLOW", "BCUT2D_MRHI", "BCUT2D_MRLOW",
+        ]
+        assert DESCLIST_NAMES[131] == "MolMR"
+        assert DESCLIST_NAMES[132] == "fr_Al_COO"
+        assert DESCLIST_NAMES[216] == "fr_urea"
+        # the 200-set is a strict subset; the 17 extras are the known list
+        extras = sorted(set(DESCLIST_NAMES) - set(RDKIT2D_NAMES))
+        assert extras == sorted(
+            ["SPS", "AvgIpc", "NumAmideBonds", "NumAtomStereoCenters",
+             "NumUnspecifiedAtomStereoCenters", "NumBridgeheadAtoms",
+             "NumSpiroAtoms", "NumHeterocycles", "Phi"]
+            + [f"BCUT2D_{s}" for s in
+               ("MWHI", "MWLOW", "CHGHI", "CHGLO", "LOGPHI", "LOGPLOW", "MRHI", "MRLOW")]
+        )
+
+
+class TestReferenceDescListFixture:
+    """159 of the 217 descriptors must match the reference's RDKit-generated
+    descList fixture to 2e-4 (relative for the huge Ipc) — exact external
+    validation for every family except the 47 VSA surface-area descriptors
+    (same named exclusion as test_rdkit2d_200). This pins all 17
+    descList-only descriptors where the fixture discriminates: SPS
+    (16.1724), all 8 BCUT2D Burden eigenvalues, AvgIpc (3.2361), Phi
+    (4.601), NumHeterocycles (2), and the zero-valued counts."""
+
+    def test_matches_reference_fixture(self):
+        assert len(DESCLIST_GOLDEN) == 217
+        ours = compute_desclist(M(FIXTURE_SMI))
+        mismatches = []
+        n_checked = 0
+        for name, o, w in zip(DESCLIST_NAMES, ours, DESCLIST_GOLDEN):
+            if name.startswith(VSA_FAMILY_PREFIXES):
+                continue
+            n_checked += 1
+            if not np.isclose(o, w, rtol=2e-4, atol=2e-4):
+                mismatches.append((name, float(o), float(w)))
+        assert n_checked == 159
+        assert not mismatches, mismatches
+
+    def test_shared_names_equal_200_vector(self):
+        from chemprop_tpu.chem.descriptors import compute_rdkit2d
+
+        mol = M(FIXTURE_SMI)
+        d217 = dict(zip(DESCLIST_NAMES, compute_desclist(mol)))
+        d200 = dict(zip(RDKIT2D_NAMES, compute_rdkit2d(mol)))
+        for name, v in d200.items():
+            assert d217[name] == v, name
+
+
+class TestBCUT2D:
+    def test_fixture_exact(self):
+        vals = bcut2d(M(FIXTURE_SMI))
+        want = {
+            "BCUT2D_MWHI": 19.1421, "BCUT2D_MWLOW": 9.7377,
+            "BCUT2D_CHGHI": 2.4117, "BCUT2D_CHGLO": -2.34,
+            "BCUT2D_LOGPHI": 2.4051, "BCUT2D_LOGPLOW": -2.3511,
+            "BCUT2D_MRHI": 5.8532, "BCUT2D_MRLOW": 0.054,
+        }
+        for k, w in want.items():
+            assert abs(vals[k] - w) < 5e-5, (k, vals[k], w)
+
+    def test_hi_above_low_and_finite(self, smis):
+        for smi in smis[:15]:
+            v = bcut2d(M(smi))
+            for hi, lo in (("MWHI", "MWLOW"), ("CHGHI", "CHGLO"),
+                           ("LOGPHI", "LOGPLOW"), ("MRHI", "MRLOW")):
+                assert v[f"BCUT2D_{hi}"] >= v[f"BCUT2D_{lo}"]
+                assert np.isfinite(v[f"BCUT2D_{hi}"])
+
+    def test_empty(self):
+        assert bcut2d(M("")) == {k: 0.0 for k in bcut2d(M("")).keys()}
+
+
+class TestSPS:
+    def test_fixture(self):
+        assert abs(sps(M(FIXTURE_SMI)) - 16.1724) < 1e-4
+        assert sps(M(FIXTURE_SMI), normalize=False) == 469
+
+    def test_stereo_term(self):
+        # the stereocenter doubles that atom's score: 2-butanol chiral C
+        # (sp3=3, ring=1, deg=3) contributes 27 -> 54
+        plain = sps(M("CCCC(C)O"), normalize=False)  # hexan-2-ol skeleton, no center? has one!
+        # use a genuinely achiral isomer as the baseline instead
+        achiral = sps(M("CCC(C)(C)O"), normalize=False)  # 2-methylbutan-2-ol: no center
+        chiral = sps(M("CC[C@H](C)O"), normalize=False)  # (S)-butan-2-ol
+        unspec = sps(M("CCC(C)O"), normalize=False)  # butan-2-ol, unspecified center
+        # specified and unspecified potential centers both get s=2
+        assert chiral == unspec
+        assert plain >= chiral  # sanity: bigger molecule, bigger raw score
+        assert achiral > 0
+
+    def test_double_bond_stereo_term(self):
+        # E-2-butene: both double-bond carbons double (sp2=2, deg=2 -> 8->16)
+        assert sps(M("C/C=C/C"), normalize=False) == sps(M("CC=CC"), normalize=False) + 16
+
+    def test_aromatic_ring_is_flat(self):
+        # benzene: 6 * (sp2=2 * r=1 * 4) = 48; cyclohexane: 6 * (3*2*4) = 144
+        assert sps(M("c1ccccc1"), normalize=False) == 48
+        assert sps(M("C1CCCCC1"), normalize=False) == 144
+
+    def test_empty(self):
+        assert sps(M("")) == 0.0
+
+
+class TestCounts:
+    def test_amide(self):
+        assert num_amide_bonds(M("CC(=O)NC")) == 1  # N-methylacetamide
+        assert num_amide_bonds(M("NC(N)=O")) == 2  # urea: two C-N amide bonds
+        assert num_amide_bonds(M("CC(=O)OC")) == 0  # ester
+        assert num_amide_bonds(M("CC(=O)N(C)C(C)=O")) == 2  # imide
+        assert num_amide_bonds(M(FIXTURE_SMI)) == 0
+
+    def test_bridgehead(self):
+        assert num_bridgehead_atoms(M("C1CC2CCC1C2")) == 2  # norbornane
+        assert num_bridgehead_atoms(M("C1CC2CCC1CC2")) == 2  # bicyclo[2.2.2]octane
+        assert num_bridgehead_atoms(M("c1ccc2ccccc2c1")) == 0  # naphthalene: fused, not bridged
+        assert num_bridgehead_atoms(M("C1CCCCC1")) == 0
+
+    def test_spiro(self):
+        assert num_spiro_atoms(M("C1CCC2(CC1)CCCC2")) == 1  # spiro[4.5]decane
+        assert num_spiro_atoms(M("c1ccc2ccccc2c1")) == 0
+        assert num_spiro_atoms(M(FIXTURE_SMI)) == 0
+
+    def test_heterocycles(self):
+        assert num_heterocycles(M(FIXTURE_SMI)) == 2  # oxadiazole + THP
+        assert num_heterocycles(M("c1ccncc1")) == 1
+        assert num_heterocycles(M("c1ccccc1")) == 0
+
+    def test_stereocenters(self):
+        spec, unspec = find_potential_stereocenters(M("C[C@H](N)C(=O)O"))  # L-alanine
+        assert len(spec) == 1 and len(unspec) == 0
+        spec, unspec = find_potential_stereocenters(M("CC(N)C(=O)O"))
+        assert len(spec) == 0 and len(unspec) == 1
+        spec, unspec = find_potential_stereocenters(M("CC(C)C"))  # isobutane: no center
+        assert spec == [] and unspec == []
+        spec, unspec = find_potential_stereocenters(M(FIXTURE_SMI))
+        assert spec == [] and unspec == []
+
+    def test_phi(self):
+        assert abs(phi(M(FIXTURE_SMI)) - 4.601) < 1e-3
+        assert phi(M("")) == 0.0
+
+
+class TestFeaturizerWiring:
+    def test_registry_entry_is_217(self):
+        from chemprop_tpu.featurizers.molecule import MoleculeFeaturizerRegistry
+
+        f = MoleculeFeaturizerRegistry["rdkit_2d"]()
+        assert len(f) == 217
+        x = f(M("CCO"))
+        assert x.shape == (217,)
+        assert np.isfinite(x).all()
+
+    def test_v1_stays_200(self):
+        from chemprop_tpu.featurizers.molecule import MoleculeFeaturizerRegistry
+
+        for name in ("v1_rdkit_2d", "v1_rdkit_2d_normalized"):
+            f = MoleculeFeaturizerRegistry[name]()
+            assert len(f) == 200
+            assert f(M("CCO")).shape == (200,)
+
+
+class TestCorpusVector:
+    def test_finite_over_corpus(self, smis):
+        for smi in smis[:25]:
+            x = compute_desclist(M(smi))
+            assert x.shape == (217,)
+            assert np.isfinite(x).all(), smi

@@ -128,13 +128,14 @@ class TestVector:
             assert np.isfinite(x).all(), smi
 
     def test_featurizer_registry(self):
-        """rdkit_2d / v1 variants emit the 200-descriptor descriptastorus
-        vector (reference ``chemprop/featurizers/molecule.py:79`` is 200)."""
+        """rdkit_2d is the full 217-value descList vector (reference
+        ``chemprop/featurizers/molecule.py:52-73``); the v1 variants emit
+        the 200-descriptor descriptastorus vector (``:79``)."""
         from chemprop_tpu.featurizers.molecule import MoleculeFeaturizerRegistry
 
         f = MoleculeFeaturizerRegistry["rdkit_2d"]()
         x = f(M("CCO"))
-        assert len(f) == len(x) == 200
+        assert len(f) == len(x) == 217
         fn = MoleculeFeaturizerRegistry["v1_rdkit_2d_normalized"]()
         xn = fn(M("CCO"))
         assert len(fn) == len(xn) == 200
