@@ -611,7 +611,7 @@ def main(args) -> int:
 
         if getattr(args, "edge_partition", None) is not None:
             scores = _train_edge_partitioned(
-                args, train_dset, test_dset, output_transform,
+                args, train_dset, val_dset, test_dset, output_transform,
                 X_d_t, V_d_t, graph_t,
                 out_dir / (f"replicate_{rep}" if len(trains) > 1 else "."),
                 target_cols,
@@ -744,13 +744,25 @@ def main(args) -> int:
 
 
 def _train_edge_partitioned(
-    args, train_dset, test_dset, output_transform, X_d_t, V_d_t, graph_t,
+    args, train_dset, val_dset, test_dset, output_transform, X_d_t, V_d_t, graph_t,
     out_dir, target_cols,
 ):
     """Edge-partitioned training loop: one molecule per step, its edge table
     sharded across the device mesh with halo exchange
     (``parallel/partitioned_mp.py``). Saves a STANDARD checkpoint — the
-    trained model loads and predicts on the normal path too."""
+    trained model loads and predicts on the normal path too.
+
+    Molecules are grouped into geometric DIM BUCKETS (edge pad quantized to
+    powers of two) so one giant molecule no longer pads every small
+    molecule's step to giant dims — each bucket compiles once. Molecules
+    too small to partition across the mesh at all (node halo would exceed
+    a shard's owned range) take a DENSE batched step sharing the same
+    parameters and optimizer state — mixed giant+small datasets train in
+    one run. When a validation split exists, per-epoch validation loss
+    drives best-weight tracking and ``--patience`` early stopping
+    (mirrors the dense path)."""
+    import math
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -781,32 +793,94 @@ def _train_edge_partitioned(
         return [dset[i] for i in range(len(dset))] if dset is not None else []
 
     train = data(train_dset)
+    vals = data(val_dset)
     tests = data(test_dset)
     if not train:
         raise ValueError("--edge-partition training needs a non-empty train split")
 
-    # common padded dims across the dataset -> one compiled program
-    nat = [natural_dims(d.mg, n_dev) for d in train + tests]
-    mins = dict(
-        min_halo_nodes=max(x.HN for x in nat),
-        min_halo_edges=max(x.HE for x in nat),
-        min_owned_nodes=max(x.N for x in nat),
-        min_shard_edges=max(x.P for x in nat),
-    )
-    g_train = [build_partitioned_graph(d.mg, n_dev, **mins) for d in train]
-    dims = g_train[0][1]
-    g_train = [g for g, _ in g_train]
-    g_test = [build_partitioned_graph(d.mg, n_dev, **mins)[0] for d in tests]
+    # ---- route: molecules that cannot partition across this mesh (halo
+    # wider than a shard's owned range) take the dense batched step
+    all_data = train + vals + tests
+
+    def try_nat(d):
+        try:
+            return natural_dims(d.mg, n_dev)
+        except ValueError:
+            return None
+
+    nat = [try_nat(d) for d in all_data]
+    dense_sel = [x is None for x in nat]
+
+    # ---- dim buckets: quantize the per-molecule edge pad to powers of two
+    # (and the node pad along with it) so the compile count stays O(log
+    # spread) while a giant molecule's dims stay out of the small buckets
+    def bucket_key(x):
+        return 128 * (1 << max(0, math.ceil(math.log2(max(1, x.P // 128)))))
+
+    keys = [None if x is None else bucket_key(x) for x in nat]
+    buckets: dict[int, dict] = {}
+    for k, x in zip(keys, nat):
+        if k is None:
+            continue
+        b = buckets.setdefault(k, {"P": 0, "N": 0, "HN": 0, "HE": 0})
+        b["P"] = max(b["P"], x.P)
+        b["N"] = max(b["N"], x.N)
+        b["HN"] = max(b["HN"], x.HN)
+        b["HE"] = max(b["HE"], x.HE)
+
+    def build(d, k):
+        b = buckets[k]
+        return build_partitioned_graph(
+            d.mg, n_dev, min_halo_nodes=b["HN"], min_halo_edges=b["HE"],
+            min_owned_nodes=b["N"], min_shard_edges=k,
+        )
+
+    built = [None if k is None else build(d, k) for d, k in zip(all_data, keys)]
+    # one compiled program per bucket: single-phase halo only when EVERY
+    # molecule of the bucket satisfies the >= 2*HN ownership guard
+    bucket_dims = {}
+    for k in buckets:
+        members = [dm for b, kk in zip(built, keys) if kk == k for _, dm in [b]]
+        bucket_dims[k] = members[0]._replace(
+            single_phase=all(dm.single_phase for dm in members)
+        )
+    graphs = [None if b is None else b[0] for b in built]
+    g_train, k_train = graphs[: len(train)], keys[: len(train)]
+    g_val = graphs[len(train) : len(train) + len(vals)]
+    k_val = keys[len(train) : len(train) + len(vals)]
+    g_test = graphs[len(train) + len(vals) :]
+    k_test = keys[len(train) + len(vals) :]
+    n_dense = sum(dense_sel)
     logger.info(
-        f"edge-partitioned training over {n_dev} devices: dims P={dims.P} "
-        f"N={dims.N} HN={dims.HN} HE={dims.HE}, {len(train)} molecules/epoch"
+        f"edge-partitioned training over {n_dev} devices: "
+        f"{len(buckets)} dim bucket(s) "
+        + ", ".join(
+            f"[P≤{k}: {sum(1 for x in keys if x == k)} mols"
+            f"{' 1-phase halo' if bucket_dims[k].single_phase else ''}]"
+            for k in sorted(buckets)
+        )
+        + (f" + {n_dense} dense-path molecules" if n_dense else "")
+        + f", {len(train)} molecules/epoch"
     )
 
     batch0 = collate_batch([train[0]])
     variables = model.init(
         jax.random.PRNGKey(args.seed), batch0.bmg, None, None, is_training=False
     )
-    steps = max(1, len(train))
+    # dense-path grouping (small molecules): fixed-shape batches of up to
+    # --batch-size under one dataset-wide PadSpec
+    from chemprop_tpu.data.collate import PadSpec
+
+    dense_train = [i for i in range(len(train)) if dense_sel[i]]
+    part_train = [i for i in range(len(train)) if not dense_sel[i]]
+    dense_bs = max(1, min(args.batch_size, max(1, len(dense_train))))
+    dense_pad = None
+    if any(dense_sel):
+        dense_pad = PadSpec.for_graphs(
+            [d.mg for d, s in zip(all_data, dense_sel) if s], n_graphs=dense_bs
+        )
+    n_dense_batches = -(-len(dense_train) // dense_bs) if dense_train else 0
+    steps = max(1, len(part_train) + n_dense_batches)
     sched = build_noam_like_schedule(
         args.warmup_epochs * steps,
         max(1, (args.epochs - args.warmup_epochs) * steps),
@@ -820,32 +894,142 @@ def _train_edge_partitioned(
         step=jnp.zeros((), jnp.int32),
         rng=jax.random.PRNGKey(args.seed),
     )
-    step_fn = make_partitioned_train_step(model, tx, mesh, dims)
+    step_fns = {k: make_partitioned_train_step(model, tx, mesh, bucket_dims[k]) for k in buckets}
+    val_apply_fns = (
+        {k: make_partitioned_apply(model, mesh, bucket_dims[k], train_space=True)
+         for k in set(k for k in k_val if k is not None)}
+        if vals
+        else {}
+    )
+    criterion = model.criterion
+
+    def _criterion_update(st, preds, y, w):
+        mask = jnp.isfinite(y)
+        return criterion.update_state(
+            st, preds, jnp.nan_to_num(y), mask, w,
+            jnp.zeros_like(mask), jnp.zeros_like(mask),
+        )
+
+    @jax.jit
+    def dense_step(state, bmg, Y, w):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            preds = model.apply(
+                {"params": params}, bmg, None, None, is_training=True,
+                method="train_step_preds", rngs={"dropout": dropout_rng},
+            )
+            return criterion.compute(_criterion_update(criterion.init_state(), preds, Y, w))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1, rng=rng
+        ), loss
+
+    @jax.jit
+    def dense_preds(params, bmg):
+        return model.apply(
+            {"params": params}, bmg, None, None, is_training=False,
+            method="train_step_preds",
+        )
+
+    def val_loss_of(params):
+        st = criterion.init_state()
+        dense_val = [(d, i) for i, d in enumerate(vals) if k_val[i] is None]
+        for d, g, k in zip(vals, g_val, k_val):
+            if k is None:
+                continue
+            preds = val_apply_fns[k]({"params": params}, g)
+            y = jnp.asarray(np.asarray(d.y, np.float32))[None]
+            st = _criterion_update(st, preds, y, jnp.asarray([np.float32(d.weight)]))
+        for j in range(0, len(dense_val), dense_bs):
+            chunk = [d for d, _ in dense_val[j : j + dense_bs]]
+            vb = collate_batch(chunk, dense_pad)
+            preds = dense_preds(params, vb.bmg)[: len(chunk)]
+            y = jnp.asarray(np.asarray([np.asarray(d.y, np.float32) for d in chunk]))
+            w = jnp.asarray(np.asarray([np.float32(d.weight) for d in chunk]))
+            st = _criterion_update(st, preds, y, w)
+        return float(criterion.compute(st))
+
     rng = np.random.default_rng(args.data_seed)
     history = []
+    best_val = float("inf")
+    best_params = None
+    patience = args.patience if (vals and args.patience) else None
+    bad_epochs = 0
     for epoch in range(args.epochs):
-        order = rng.permutation(len(train))
+        # interleave partitioned molecules and dense batches in one
+        # shuffled work list per epoch
+        d_order = rng.permutation(len(dense_train)) if dense_train else np.array([], int)
+        work: list = [("p", i) for i in part_train]
+        for j in range(0, len(d_order), dense_bs):
+            work.append(("d", [dense_train[t] for t in d_order[j : j + dense_bs]]))
+        work = [work[t] for t in rng.permutation(len(work))]
         losses = []
-        for i in order:
-            y = np.asarray(train[i].y, np.float32)[None]
-            w = np.asarray([train[i].weight], np.float32)
-            state, loss = step_fn(state, g_train[int(i)], jnp.asarray(y), jnp.asarray(w))
+        for kind, payload in work:
+            if kind == "p":
+                i = int(payload)
+                y = np.asarray(train[i].y, np.float32)[None]
+                w = np.asarray([train[i].weight], np.float32)
+                state, loss = step_fns[k_train[i]](
+                    state, g_train[i], jnp.asarray(y), jnp.asarray(w)
+                )
+            else:
+                chunk = [train[i] for i in payload]
+                db = collate_batch(chunk, dense_pad)
+                Y = np.full((dense_bs, np.asarray(chunk[0].y).size), np.nan, np.float32)
+                W = np.zeros((dense_bs,), np.float32)
+                for t, d in enumerate(chunk):
+                    Y[t] = np.asarray(d.y, np.float32)
+                    W[t] = np.float32(d.weight)
+                state, loss = dense_step(state, db.bmg, jnp.asarray(Y), jnp.asarray(W))
             losses.append(loss)
         train_loss = float(np.mean(jax.device_get(losses)))
-        history.append({"epoch": epoch, "train_loss": train_loss})
-        logger.info(f"epoch={epoch} train_loss={train_loss:.5g}")
+        rec = {"epoch": epoch, "train_loss": train_loss}
+        if vals:
+            vl = val_loss_of(state.params)
+            rec["val_loss"] = vl
+            if vl < best_val:
+                best_val, bad_epochs = vl, 0
+                best_params = jax.device_get(state.params)
+            else:
+                bad_epochs += 1
+        history.append(rec)
+        logger.info(
+            f"epoch={epoch} train_loss={train_loss:.5g}"
+            + (f" val_loss={rec['val_loss']:.5g}" if vals else "")
+        )
+        if patience is not None and bad_epochs >= patience:
+            logger.info(f"early stopping at epoch {epoch} (patience={patience})")
+            break
 
-    final_vars = jax.device_get({"params": state.params, "batch_stats": {}})
+    final_params = best_params if best_params is not None else jax.device_get(state.params)
+    final_vars = {"params": final_params, "batch_stats": {}}
     save_model(out_dir / "best.ckpt", model, final_vars, output_columns=target_cols)
     with open(out_dir / "history.json", "w") as f:
         json.dump(history, f, indent=2)
 
     scores = None
     if tests:
-        apply_p = make_partitioned_apply(model, mesh, dims)
-        preds = np.concatenate(
-            [np.asarray(apply_p({"params": state.params}, g)) for g in g_test], axis=0
-        )
+        apply_fns = {
+            k: make_partitioned_apply(model, mesh, bucket_dims[k])
+            for k in set(k for k in k_test if k is not None)
+        }
+
+        @jax.jit
+        def dense_infer(params, bmg):
+            return model.apply({"params": params}, bmg, None, None, is_training=False)
+
+        rows = []
+        for d, g, k in zip(tests, g_test, k_test):
+            if k is not None:
+                rows.append(np.asarray(apply_fns[k]({"params": final_params}, g)))
+            else:
+                tb = collate_batch([d], dense_pad)
+                rows.append(np.asarray(dense_infer(final_params, tb.bmg))[:1])
+        preds = np.concatenate(rows, axis=0)
         scores = _score_test(preds, test_dset, args, target_cols)
         logger.info(f"edge-partitioned test scores: {scores}")
         _save_preds(out_dir / "test_predictions.csv", test_dset, preds, target_cols)

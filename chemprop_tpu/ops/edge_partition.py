@@ -226,16 +226,43 @@ def halo_node_accumulators(
     axis_name: str,
     n_shards: int,
     with_halo: bool,
+    single_phase: bool = False,
 ) -> jax.Array:
     """Exact per-node sums ``Σ_{e: dst_e = v} H_e`` for the owned range
     (steps 1-2 of the module doc), optionally re-sharing finalized boundary
     rows so the result carries ``[HN | owned-layout | HN]`` halos (step 3).
-    """
+
+    ``single_phase=True`` collapses steps 2+3 into ONE concurrent exchange
+    phase: instead of (exchange partial halos → add → exchange finalized
+    boundary rows), every shard sends its halo partials AND its boundary
+    OWN partials in the same phase, and each receiver finalizes its halo
+    copies locally (``left_halo = neighbor's tail partial + my ext halo
+    rows``). All four ``ppermute``s then depend only on the local
+    scatter-add — halving the collective depth on the critical path and
+    letting the scheduler run them as one overlapped phase. EXACT only
+    when every shard owns ≥ 2·HN nodes (otherwise a boundary row's
+    finalized value mixes contributions from two hops away — the
+    partition-time ``single_phase`` flag guards this)."""
     Hm = jnp.where(edge_mask[:, None], H, 0)
     ext = segment_sum(Hm, dst_ext, N + 2 * HN + 1, sorted=False)[:-1]  # drop sacrificial
     own = ext[HN : HN + N]
     # my right-halo rows hold contributions to the right neighbor's FIRST
     # owned nodes; my left-halo rows to the left neighbor's LAST owned nodes
+    if with_halo and single_phase:
+        from_left = _shift(ext[HN + N :], +1, axis_name, n_shards)
+        from_right = _shift(ext[:HN], -1, axis_name, n_shards)
+        # boundary OWN partials travel in the SAME phase; the receiver adds
+        # its matching ext halo rows to finalize (owned >= 2*HN: the head
+        # add and the tail region cannot overlap)
+        tail_partial = _shift(_tail(own, n_owned, HN), +1, axis_name, n_shards)
+        head_partial = _shift(own[:HN], -1, axis_name, n_shards)
+        own = own.at[:HN].add(from_left)
+        own = jax.lax.dynamic_update_slice_in_dim(
+            own, _tail(own, n_owned, HN) + from_right, n_owned - HN, axis=0
+        )
+        left_halo = tail_partial + ext[:HN]
+        right_halo = head_partial + ext[HN + N :]
+        return jnp.concatenate([left_halo, own, right_halo], axis=0)
     from_left = _shift(ext[HN + N :], +1, axis_name, n_shards)  # my head rows
     from_right = _shift(ext[:HN], -1, axis_name, n_shards)  # my tail rows
     own = own.at[:HN].add(from_left)
@@ -263,20 +290,30 @@ def halo_message(
     HE: int,
     axis_name: str,
     n_shards: int,
+    single_phase: bool = False,
 ) -> jax.Array:
     """The D-MPNN message ``M[e] = Σ_{k: dst_k = src_e} H_k − H_rev(e)``
     for one chip's edge slice, with boundary exchange (module doc steps 1-4).
 
     Call inside ``shard_map``; per-shard index args come from
     :func:`shard_args`. ``H`` is the ``[P, d]`` local edge-hidden slice.
+
+    The sideways H ``ppermute``s (step 4) are issued FIRST — they depend
+    only on ``H``, so the scheduler overlaps them with the local
+    scatter-add inside :func:`halo_node_accumulators`; with
+    ``single_phase=True`` the accumulator exchange is additionally one
+    concurrent phase instead of two sequential ones (SURVEY §5.7:
+    exchange overlapped with local scatter-add).
     """
     Hm = jnp.where(edge_mask[:, None], H, 0)
-    Mn_full = halo_node_accumulators(
-        Hm, dst_ext, edge_mask, n_owned, N, HN, axis_name, n_shards, with_halo=True
-    )
-    # sideways H halo for cross-cut reverse edges
+    # sideways H halo for cross-cut reverse edges — independent of the
+    # scatter-add below, so these collectives overlap it
     left_H = _shift(_tail(Hm, n_edges, HE), +1, axis_name, n_shards)
     right_H = _shift(Hm[:HE], -1, axis_name, n_shards)
+    Mn_full = halo_node_accumulators(
+        Hm, dst_ext, edge_mask, n_owned, N, HN, axis_name, n_shards,
+        with_halo=True, single_phase=single_phase,
+    )
     Mn_pad = jnp.concatenate([Mn_full, jnp.zeros((1, H.shape[1]), Mn_full.dtype)])
     Hh = jnp.concatenate([left_H, Hm, right_H, jnp.zeros((1, H.shape[1]), Hm.dtype)])
     M = Mn_pad[src_ext] - Hh[rev_ext]

@@ -67,6 +67,9 @@ class PartitionDims(NamedTuple):
     N: int
     HN: int
     HE: int
+    # every shard owns >= 2*HN nodes: the halo exchange may run as ONE
+    # concurrent ppermute phase (ops/edge_partition.py:halo_node_accumulators)
+    single_phase: bool = False
 
 
 def check_partitionable(model) -> None:
@@ -150,7 +153,8 @@ def build_partitioned_graph(
         n_owned=np.asarray(plan.n_owned),
         n_edges=np.asarray(plan.n_edges),
     )
-    return g, PartitionDims(S, Pp, N, HN, HE)
+    single = bool(int(own.min()) >= 2 * HN) if S > 1 else True
+    return g, PartitionDims(S, Pp, N, HN, HE, single)
 
 
 def natural_dims(mg, n_shards: int) -> PartitionDims:
@@ -178,6 +182,7 @@ def _mp_local(params, g: PartitionedGraph, dims: PartitionDims, mp, axis: str):
         M = halo_message(
             H, g.src_ext, g.dst_ext, g.rev_ext, g.edge_mask,
             g.n_owned, g.n_edges, N, HN, HE, axis, S,
+            single_phase=dims.single_phase,
         )
         Z = M @ W_h
         if b_h is not None:

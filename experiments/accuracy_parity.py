@@ -21,15 +21,27 @@ on all 3 seeds) had two untested named suspects —
   ``/root/reference/chemprop/data/dataloader.py:77-85``) as do we. The
   faithful baseline keeps it; the r3 behavior is retained as an arm.
 
-Writes ACCURACY_r04.json at the repo root.
+Round-5 statistical power (VERDICT r4 weak #5 / next #6): the r4 claim
+rested on the 100-molecule lipo set (10-molecule test splits, seed std
+0.21 vs a claimed delta of 0.011). r5 runs PAIRED-BY-SEED on the two
+largest in-env corpora — the 500-row ESOL set (``regression/bounded.csv``
+logSolubility, bound markers stripped; the north star names ESOL and this
+IS Delaney's data) and the 500-row Tox21-style NR-AhR classification set —
+with 10 seeds, and reports the 95% t-CI of the per-seed DIFFERENCE
+(ours − reference), which is the quantity parity claims are about.
+
+Writes ACCURACY_r05.json at the repo root.
 
 Run: python experiments/accuracy_parity.py
+(ACCURACY_AB=1 re-enables the r4 attribution arms: torch init law and
+drop-partial-batch; ACCURACY_SEEDS=N overrides the seed count.)
 """
 
 from __future__ import annotations
 
 import csv
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -44,7 +56,8 @@ REPO = Path(__file__).parent.parent
 EPOCHS = 50
 BATCH = 64
 D_H = 300
-N_SEEDS = 5
+N_SEEDS = int(os.environ.get("ACCURACY_SEEDS", 10))
+AB_ARMS = os.environ.get("ACCURACY_AB", "0") == "1"
 
 
 def load_csv(path, target_col):
@@ -258,14 +271,34 @@ def auc(p, y):
     return float((ranks[pos].sum() - n1 * (n1 + 1) / 2) / (n1 * n0))
 
 
+# two-sided 97.5% t quantiles for df = n-1 (paired CI without scipy)
+_T975 = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447,
+         7: 2.365, 8: 2.306, 9: 2.262, 10: 2.228, 14: 2.145, 19: 2.093}
+
+
+def paired_ci(diffs: list[float]) -> dict:
+    """Mean per-seed difference with its 95% t-CI (the parity quantity)."""
+    d = np.asarray(diffs, np.float64)
+    n = len(d)
+    mean = float(d.mean())
+    sd = float(d.std(ddof=1)) if n > 1 else float("nan")
+    t = _T975.get(n - 1, 1.96)
+    half = t * sd / np.sqrt(n) if n > 1 else float("nan")
+    return {
+        "mean_diff": round(mean, 4),
+        "sd_diff": round(sd, 4),
+        "ci95": [round(mean - half, 4), round(mean + half, 4)],
+        "contains_zero": bool(mean - half <= 0.0 <= mean + half),
+    }
+
+
 def run_task(name, smis, ys, task, metric_fn, metric_name, results):
     mgs = featurize(smis)
     ours = _OursRunner(mgs, ys, task)
     per_seed = []
-    arms = {
-        "ours_lecun": [], "ours_torch_init": [],
-        "reference_math": [], "reference_math_drop_partial": [],
-    }
+    arms = {"ours_lecun": [], "reference_math": []}
+    if AB_ARMS:
+        arms.update({"ours_torch_init": [], "reference_math_drop_partial": []})
     t_ours = t_ref = 0.0
     for seed in range(N_SEEDS):
         tr, va, te = split(len(smis), seed=seed)
@@ -273,50 +306,69 @@ def run_task(name, smis, ys, task, metric_fn, metric_name, results):
         row = {"seed": seed}
         t0 = time.time()
         row["ours_lecun"] = round(metric_fn(ours.run(tr, te, seed, "lecun"), y_te), 4)
-        row["ours_torch_init"] = round(metric_fn(ours.run(tr, te, seed, "torch"), y_te), 4)
+        if AB_ARMS:
+            row["ours_torch_init"] = round(metric_fn(ours.run(tr, te, seed, "torch"), y_te), 4)
         t_ours += time.time() - t0
         t0 = time.time()
         row["reference_math"] = round(
             metric_fn(train_torch_reference(mgs, ys, tr, te, task, seed), y_te), 4
         )
         t_ref += time.time() - t0
-        row["reference_math_drop_partial"] = round(
-            metric_fn(
-                train_torch_reference(mgs, ys, tr, te, task, seed, drop_partial=True), y_te
-            ),
-            4,
-        )
+        if AB_ARMS:
+            row["reference_math_drop_partial"] = round(
+                metric_fn(
+                    train_torch_reference(mgs, ys, tr, te, task, seed, drop_partial=True), y_te
+                ),
+                4,
+            )
         for k in arms:
             arms[k].append(row[k])
         per_seed.append(row)
         print(f"[{name}] {row}", flush=True)
+    diffs = [a - b for a, b in zip(arms["ours_lecun"], arms["reference_math"])]
     results[name] = {
         "metric": metric_name,
+        "n_test_per_seed": len(split(len(smis), 0)[2]),
         "per_seed": per_seed,
         "means": {k: round(float(np.mean(v)), 4) for k, v in arms.items()},
         "stds": {k: round(float(np.std(v)), 4) for k, v in arms.items()},
-        # ours time includes one-time jit compilation for the task (2 arms);
-        # the torch time is 2x faithful+drop arms per seed
-        "ours_train_s_total_2arms": round(t_ours, 1),
-        "reference_train_s_total_1arm": round(t_ref, 1),
+        # the parity claim itself: paired per-seed difference ours - reference
+        "paired_diff_ours_minus_reference": paired_ci(diffs),
+        "ours_train_s_total": round(t_ours, 1),
+        "reference_train_s_total": round(t_ref, 1),
     }
+
+
+def load_esol():
+    """The 500-row ESOL (Delaney) set: ``regression/bounded.csv`` carries
+    logSolubility values with synthetic inequality markers on 100 rows;
+    stripping the markers recovers the plain numeric ESOL target (the
+    north star's named regression dataset)."""
+    rows = list(csv.DictReader(open(REPO / "tests/data/regression/bounded.csv")))
+    smis = [r["smiles"] for r in rows]
+    ys = np.array([[float(r["logSolubility"].lstrip("<>"))] for r in rows])
+    return smis, ys
 
 
 def main():
     enable_compile_cache()
     results = {}
 
-    # regression: 100-row lipophilicity (the reference's ESOL-style bar);
-    # the 10-molecule test split is noisy, so report N_SEEDS split seeds
-    smis, ys = load_csv(REPO / "tests/data/regression/mol/mol.csv", "lipo")
-    run_task("regression_lipo", smis, ys, "regression", rmse, "rmse", results)
+    # regression, primary: 500-row ESOL (the north star's named dataset) —
+    # 50-molecule test splits give the paired comparison real power
+    smis, ys = load_esol()
+    run_task("regression_esol", smis, ys, "regression", rmse, "rmse", results)
 
-    # classification: Tox21-style NR-AhR
+    # classification: 500-row Tox21-style NR-AhR
     smis, ys = load_csv(REPO / "tests/data/classification/mol.csv", "NR-AhR")
     keep = [i for i, row in enumerate(ys) if np.isfinite(row).all()]
     smis = [smis[i] for i in keep]
     ys = ys[keep]
     run_task("classification_nr_ahr", smis, ys, "classification", auc, "auc", results)
+
+    # regression, continuity with r3/r4: 100-row lipophilicity
+    smis, ys = load_csv(REPO / "tests/data/regression/mol/mol.csv", "lipo")
+    run_task("regression_lipo", smis, ys, "regression", rmse, "rmse", results)
 
     results["config"] = {
         "epochs": EPOCHS, "batch": BATCH, "d_h": D_H, "depth": 3, "n_seeds": N_SEEDS,
@@ -324,12 +376,20 @@ def main():
         "reference": "eager torch f32, reference defaults (Adam + Noam 1e-4->1e-3->1e-4)",
         "arms": {
             "ours_lecun": "flax default init (lecun_normal weights, zero biases)",
-            "ours_torch_init": "torch nn.Linear init law (Trainer(param_init='torch'))",
             "reference_math": "faithful: keeps the partial tail batch (reference drop_last=False)",
-            "reference_math_drop_partial": "r3 baseline behavior: drops the tail batch",
         },
+        "esol_note": (
+            "regression_esol IS the north star's named dataset: "
+            "tests/data/regression/bounded.csv is the 500-row Delaney ESOL set "
+            "with synthetic bound markers stripped (r3/r4 substituted the "
+            "100-row lipo set, kept here as regression_lipo for continuity)"
+        ),
+        "paired_analysis": (
+            "paired_diff_ours_minus_reference: same split seed on both arms; "
+            "95% t-CI of the mean per-seed difference (df = n_seeds-1)"
+        ),
     }
-    out = REPO / "ACCURACY_r04.json"
+    out = REPO / "ACCURACY_r05.json"
     out.write_text(json.dumps(results, indent=2) + "\n")
     print(json.dumps(results, indent=2))
 

@@ -428,6 +428,32 @@ class TestEdgePartitionTraining:
             csv.writer(f).writerows(rows)
         return p
 
+    def test_val_early_stopping_and_dim_buckets(self, tmp_path, monkeypatch):
+        """Mixed molecule sizes land in separate dim buckets (a giant
+        molecule no longer pads the small ones' steps), per-epoch val_loss
+        is tracked, and --patience stops training early (VERDICT r4 next
+        #7a/b)."""
+        p = tmp_path / "mixed.csv"
+        rows = [["smiles", "y"]]
+        for k in range(8):
+            rows.append(["C1(CCCCC1)" * 3, str(0.1 * k)])  # small (~18 heavy atoms)
+        for k in range(4):
+            rows.append(["C1(CCCCC1)" * 44, str(0.5 + 0.1 * k)])  # giant
+        with open(p, "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+        out = tmp_path / "out_es"
+        run_cli(
+            monkeypatch,
+            ["train", "-i", str(p), "--edge-partition", "--epochs", "30",
+             "--message-hidden-dim", "32", "--ffn-hidden-dim", "32",
+             "--patience", "2",
+             "--split-sizes", "0.5", "0.25", "0.25", "-o", str(out)],
+        )
+        hist = json.load(open(out / "history.json"))
+        assert all("val_loss" in h for h in hist)
+        assert len(hist) < 30, "patience=2 should stop well before 30 epochs"
+        assert (out / "best.ckpt").exists()
+
     def test_train_and_standard_predict(self, giant_csv, tmp_path, monkeypatch):
         out = tmp_path / "out"
         run_cli(

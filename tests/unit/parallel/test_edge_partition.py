@@ -81,7 +81,8 @@ def _run_sharded(mesh, plan, fn, *arrays):
 
 class TestHaloMessage:
     @pytest.mark.parametrize("n_shards", [1, 3, 8])
-    def test_matches_single_device(self, graph, mesh, n_shards):
+    @pytest.mark.parametrize("single_phase", [False, True])
+    def test_matches_single_device(self, graph, mesh, n_shards, single_phase):
         n_nodes, src, dst, rev = graph
         E = len(dst)
         H = np.asarray(
@@ -93,6 +94,8 @@ class TestHaloMessage:
         )
 
         plan = partition_edges(src, dst, rev, n_nodes, n_shards)
+        if single_phase and n_shards > 1 and int(np.asarray(plan.n_owned).min()) < 2 * plan.HN:
+            pytest.skip("single-phase halo requires every shard to own >= 2*HN nodes")
         Hs = np.zeros((n_shards, plan.P, D), np.float32)
         cuts = [round(s * E / n_shards) for s in range(n_shards + 1)]
         for s in range(n_shards):
@@ -115,6 +118,7 @@ class TestHaloMessage:
                 plan.HE,
                 "shards",
                 n_shards,
+                single_phase=single_phase,
             )[None]
 
         out = _run_sharded(sub_mesh, plan, step, jnp.asarray(Hs))
@@ -151,9 +155,11 @@ class TestHaloMessage:
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
         assert (lo[1:] == lo[:-1] + own[:-1]).all()
 
-    def test_depth_loop_matches(self, graph, mesh):
+    @pytest.mark.parametrize("single_phase", [False, True])
+    def test_depth_loop_matches(self, graph, mesh, single_phase):
         """Three D-MPNN iterations (message + W GEMM + residual ReLU) under
-        shard_map equal the single-device loop — the end-to-end halo story."""
+        shard_map equal the single-device loop — the end-to-end halo story,
+        on both the two-phase and the overlapped single-phase exchange."""
         n_nodes, src, dst, rev = graph
         E = len(dst)
         n_shards = 8
@@ -174,6 +180,8 @@ class TestHaloMessage:
             return np.asarray(H)
 
         plan = partition_edges(src, dst, rev, n_nodes, n_shards)
+        if single_phase and int(np.asarray(plan.n_owned).min()) < 2 * plan.HN:
+            pytest.skip("single-phase halo requires every shard to own >= 2*HN nodes")
         cuts = [round(s * E / n_shards) for s in range(n_shards + 1)]
         H0s = np.zeros((n_shards, plan.P, D), np.float32)
         for s in range(n_shards):
@@ -186,6 +194,7 @@ class TestHaloMessage:
                 M = halo_message(
                     H, src_e[0], dst_e[0], rev_e[0], mask[0], n_own[0], n_edg[0],
                     plan.N, plan.HN, plan.HE, "shards", n_shards,
+                    single_phase=single_phase,
                 )
                 H = jnp.maximum(H0_l + M @ W, 0)
             return H[None]
