@@ -123,10 +123,27 @@ def _main_MAB(args, model_paths) -> int:
         if len(model_paths) > 1:
             base = base.with_name(f"{base.stem}_model_{k}{base.suffix}")
         base.parent.mkdir(parents=True, exist_ok=True)
+        # oversized isolation may reorder batch emission; restore input
+        # row order (grouped for the atom/bond tables)
+        from chemprop_tpu.train.mab_trainer import _regroup_rows
+
+        order = loader.emitted_order()
+        permuted = order is not None and not np.array_equal(order, np.arange(len(order)))
         arrays = {}
         for kind, chunks in (("mol", mol_chunks), ("atom", atom_chunks), ("bond", bond_chunks)):
-            if chunks:
-                arrays[kind] = np.concatenate(chunks, 0)
+            if not chunks:
+                continue
+            arr = np.concatenate(chunks, 0)
+            if permuted:
+                if kind == "mol":
+                    inv = np.empty(len(order), np.int64)
+                    inv[order] = np.arange(len(order))
+                    arr = arr[inv]
+                elif kind == "atom":
+                    arr = _regroup_rows(arr, order, [max(1, d.mol.num_atoms) for d in dset.data])
+                else:
+                    arr = _regroup_rows(arr, order, [d.mol.num_bonds for d in dset.data])
+            arrays[kind] = arr
         np.savez(base.with_suffix(".npz"), **arrays)
         print(f"wrote {base.with_suffix('.npz')} " + str({k: v.shape for k, v in arrays.items()}))
     return 0

@@ -49,18 +49,15 @@ class DataLoader:
 
         # oversized-molecule isolation REORDERS the emitted rows. For
         # training-time loaders (shuffle/class_balance) order is already
-        # meaningless; for UNSHUFFLED molecule loaders it is still enabled
-        # and consumers restore dataset row order through
-        # :meth:`emitted_order` (Trainer.predict does) — so one giant
-        # molecule no longer demotes every co-batched small molecule to the
-        # composed message path. MolAtomBond loaders are the exception:
-        # their per-atom/bond output tables would need grouped reordering,
-        # so unshuffled MAB loaders keep in-order batches.
-        from chemprop_tpu.data.datasets import MolAtomBondDataset
-
-        mab = isinstance(dataset, MolAtomBondDataset)
+        # meaningless; for UNSHUFFLED loaders it is still enabled and
+        # consumers restore dataset row order through :meth:`emitted_order`
+        # — molecule-level for plain loaders (Trainer.predict), GROUPED
+        # per-atom/bond-table reordering for MAB loaders
+        # (MABTrainer._predict_with) — so one giant molecule no longer
+        # demotes every co-batched small molecule to the composed message
+        # path.
         self._reshuffles = bool(shuffle or class_balance)
-        self._isolate_oversized = self._reshuffles or not mab
+        self._isolate_oversized = True
         if class_balance:
             self.sampler = ClassBalanceSampler(dataset.Y, seed, shuffle)
         elif shuffle:

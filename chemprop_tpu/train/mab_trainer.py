@@ -255,4 +255,42 @@ class MABTrainer(Trainer):
                     sel = sel[np.argsort(bond_ids, kind="stable")]
                 bond_chunks.append(sel)
         cat = lambda cs: np.concatenate(cs, 0) if cs else None
-        return cat(mol_chunks), cat(atom_chunks), cat(bond_chunks)
+        mol_cat, atom_cat, bond_cat = cat(mol_chunks), cat(atom_chunks), cat(bond_chunks)
+        # oversized-molecule isolation may have reordered batch emission
+        # (DataLoader.emitted_order); restore dataset row order — grouped
+        # by per-molecule atom/bond counts for the atom/bond tables
+        order_fn = getattr(loader, "emitted_order", None)
+        order = order_fn() if order_fn is not None else None
+        if order is not None and not np.array_equal(order, np.arange(len(order))):
+            data = loader.dataset.data
+            if mol_cat is not None and len(mol_cat) == len(order):
+                inv = np.empty(len(order), np.int64)
+                inv[order] = np.arange(len(order))
+                mol_cat = mol_cat[inv]
+            if atom_cat is not None:
+                # a zero-atom molecule featurizes to one zero node row
+                atom_cat = _regroup_rows(
+                    atom_cat, order, [max(1, d.mol.num_atoms) for d in data]
+                )
+            if bond_cat is not None:
+                bond_cat = _regroup_rows(bond_cat, order, [d.mol.num_bonds for d in data])
+        return mol_cat, atom_cat, bond_cat
+
+
+def _regroup_rows(arr: np.ndarray, order: np.ndarray, counts: list[int]) -> np.ndarray:
+    """Un-permute a row-concatenated per-atom/bond table whose GROUPS were
+    emitted in ``order`` back to dataset order; ``counts[i]`` is dataset
+    molecule ``i``'s group size. No-op if the counts don't tile the table
+    (unexpected layout — better unreordered than silently wrong)."""
+    counts = np.asarray(counts, np.int64)
+    emitted = counts[order]
+    if arr.shape[0] != int(emitted.sum()):
+        return arr
+    starts = np.concatenate([[0], np.cumsum(emitted)])
+    pos_of = np.empty(len(order), np.int64)
+    pos_of[order] = np.arange(len(order))
+    take = [
+        np.arange(starts[pos_of[i]], starts[pos_of[i]] + counts[i])
+        for i in range(len(order))
+    ]
+    return arr[np.concatenate(take)] if take else arr
