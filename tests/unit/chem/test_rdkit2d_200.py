@@ -300,3 +300,23 @@ class TestReferenceRDKitFixture:
                 mismatches.append((name, float(o), float(w)))
         assert n_checked == 142
         assert not mismatches, mismatches
+
+    def test_vsa_families_match_reference_fixture(self):
+        """The 58 VSA-family values pin to 0.01 absolute (r5: calibrated
+        Labute model + own-type Crippen binning keys; see
+        test_desclist_217 for the derivation)."""
+        from chemprop_tpu.chem import make_mol
+        from chemprop_tpu.chem.descriptors import RDKIT2D_NAMES, compute_rdkit2d
+
+        mol = make_mol("Fc1cccc(C2(c3nnc(Cc4cccc5ccccc45)o3)CCOCC2)c1")
+        ours = compute_rdkit2d(mol)
+        mismatches = []
+        n_checked = 0
+        for name, o, w in zip(RDKIT2D_NAMES, ours, V1_RDKIT2D_GOLDEN):
+            if not name.startswith(VSA_FAMILY_PREFIXES):
+                continue
+            n_checked += 1
+            if abs(o - w) > 0.01:
+                mismatches.append((name, float(o), float(w)))
+        assert n_checked == 58
+        assert not mismatches, mismatches
