@@ -90,8 +90,8 @@ class RDKit2DFeaturizer:
     NumAmideBonds, stereocenter/bridgehead/spiro/heterocycle counts, Phi)
     plus 142 of the shared 200 are pinned EXACT against the reference's own
     RDKit-generated fixture (``tests/unit/chem/test_desclist_217.py``,
-    ``test_rdkit2d_200.py``) — the 47 VSA surface-area descriptors remain
-    documented approximations (docs/chemistry_divergences.md)."""
+    ``test_rdkit2d_200.py``); the 58 VSA surface-area values are
+    fixture-calibrated to within 0.01 (docs/chemistry_divergences.md)."""
 
     def __init__(self):
         from chemprop_tpu.chem.descriptors import DESCLIST_NAMES
@@ -112,8 +112,8 @@ class V1RDKit2DFeaturizer:
     """The 200-descriptor descriptastorus RDKit2D vector in string-sorted
     order (reference ``chemprop/featurizers/molecule.py:76-92``). 142 of
     200 pinned EXACT against the reference's own RDKit fixture
-    (``tests/unit/chem/test_rdkit2d_200.py``); the 47 VSA surface-area
-    descriptors are documented approximations."""
+    (``tests/unit/chem/test_rdkit2d_200.py``); the 58 VSA surface-area
+    values are fixture-calibrated to within 0.01."""
 
     def __init__(self):
         from chemprop_tpu.chem.descriptors import RDKIT2D_NAMES
