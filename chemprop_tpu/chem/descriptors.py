@@ -1026,6 +1026,12 @@ def num_atoms_with_hs(mol: Mol) -> float:
     return float(mol.num_atoms + sum(a.total_num_hs for a in mol.atoms))
 
 
+def _labute_asa_lazy(mol: Mol) -> float:
+    from chemprop_tpu.chem.surface import labute_asa
+
+    return labute_asa(mol)
+
+
 def labute_asa_approx(mol: Mol) -> float:
     """Crude accessible-surface proxy: sum of per-element VdW sphere areas
     scaled down per heavy neighbor (documented approximation, NOT Labute's
@@ -1091,7 +1097,8 @@ DESCRIPTORS: dict[str, Callable[[Mol], float]] = {
     "Chi3n": chi3n,
     "Chi4n": chi4n,
     "BalabanJ": balaban_j,
-    "LabuteASA": labute_asa_approx,
+    # the calibrated Labute model (chem/surface.py; fixture-pinned 167.8922)
+    "LabuteASA": _labute_asa_lazy,
 }
 
 
