@@ -1032,19 +1032,6 @@ def _labute_asa_lazy(mol: Mol) -> float:
     return labute_asa(mol)
 
 
-def labute_asa_approx(mol: Mol) -> float:
-    """Crude accessible-surface proxy: sum of per-element VdW sphere areas
-    scaled down per heavy neighbor (documented approximation, NOT Labute's
-    parameterization)."""
-    vdw = {1: 1.2, 6: 1.7, 7: 1.55, 8: 1.52, 9: 1.47, 15: 1.8, 16: 1.8, 17: 1.75, 35: 1.85, 53: 1.98}
-    total = 0.0
-    for a in mol.atoms:
-        r = vdw.get(a.atomic_num, 1.8)
-        area = 4.0 * np.pi * r * r
-        total += area * max(0.0, 1.0 - 0.25 * mol.degree(a.idx)) + a.total_num_hs * 4.0 * np.pi * 1.44 * 0.55
-    return total
-
-
 def mol_logp(mol: Mol) -> float:
     return crippen_logp_mr(mol)[0]
 
