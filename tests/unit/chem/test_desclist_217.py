@@ -297,6 +297,29 @@ class TestFeaturizerWiring:
             assert f(M("CCO")).shape == (200,)
 
 
+class TestVSAExtrapolationSelfPins:
+    """Bond kinds (double/triple) and elements (S, Cl, Br) the reference
+    fixture molecule does NOT contain run on extrapolated Labute constants
+    (docs/chemistry_divergences.md). These self-pins freeze the current
+    values so regressions in the extrapolated paths are caught; they are
+    NOT external RDKit goldens."""
+
+    def test_self_pins(self):
+        want = {
+            "C=CC#N": 24.0411,          # double + triple bonds
+            "CS(=O)C": 27.6197,         # sulfoxide (S, double to O)
+            "Clc1ccccc1Br": 60.9774,    # heavy halogens
+            "CCSSCC": 47.1220,          # disulfide
+        }
+        from chemprop_tpu.chem.surface import labute_asa, labute_asa_contribs
+
+        for smi, w in want.items():
+            m = M(smi)
+            assert abs(labute_asa(m) - w) < 1e-3, smi
+            vsa, _ = labute_asa_contribs(m)
+            assert (vsa > 0).all(), smi
+
+
 class TestCorpusVector:
     def test_finite_over_corpus(self, smis):
         for smi in smis[:25]:
