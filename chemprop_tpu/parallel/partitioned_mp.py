@@ -17,10 +17,11 @@ Parameters are the STANDARD ``MPNN`` parameter pytree: a model trained in
 this mode saves/loads through the normal checkpoint path and predicts on
 the normal single-device path (and vice versa).
 
-Scope (checked by :func:`check_partitionable`): BondMessagePassing
-(directed, no extra atom descriptors), mean/sum/norm aggregation, no
-batch norm, single component, deterministic (dropout off — one molecule
-per step is full-batch training). CLI: ``chemprop-tpu train
+Scope (checked by :func:`check_partitionable`): Bond or Atom
+MessagePassing (directed, no extra atom descriptors), mean/sum/norm
+aggregation, no batch norm, single component. Dropout is supported in
+the train step (per-shard masks from a folded rng, head masks
+replicated); inference is deterministic. CLI: ``chemprop-tpu train
 --edge-partition [N]``.
 
 Reference analog: none — the reference holds whole graphs per rank
@@ -76,11 +77,14 @@ def check_partitionable(model) -> None:
     """Raise with a precise reason when the model config is outside this
     mode's scope."""
     from chemprop_tpu.nn.agg import MeanAggregation, NormAggregation, SumAggregation
-    from chemprop_tpu.nn.message_passing.base import BondMessagePassing
+    from chemprop_tpu.nn.message_passing.base import (
+        AtomMessagePassing,
+        BondMessagePassing,
+    )
 
     mp = model.message_passing
-    if not isinstance(mp, BondMessagePassing):
-        raise ValueError("--edge-partition requires bond message passing")
+    if not isinstance(mp, (BondMessagePassing, AtomMessagePassing)):
+        raise ValueError("--edge-partition requires bond or atom message passing")
     if mp.undirected:
         raise ValueError("--edge-partition does not support --undirected")
     if mp.d_vd:
@@ -163,37 +167,80 @@ def natural_dims(mg, n_shards: int) -> PartitionDims:
     return dims
 
 
-def _mp_local(params, g: PartitionedGraph, dims: PartitionDims, mp, axis: str):
+def _dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
+    """Inverted dropout matching ``flax.linen.Dropout`` semantics (keep
+    probability scaling); per-shard rngs give independent masks per slice."""
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _mp_local(
+    params, g: PartitionedGraph, dims: PartitionDims, mp, axis: str,
+    dropout_rng: jax.Array | None = None,
+):
     """Per-shard D-MPNN forward on the local slice (inside shard_map).
-    Returns ``(Hv [N, d_h], node_mask [N])`` for the owned nodes."""
+    Returns ``(Hv [N, d_h], node_mask [N])`` for the owned nodes.
+
+    ``dropout_rng`` (train step only, already folded per shard) activates
+    the reference's dropout placements — after each depth iteration and
+    after the W_o finalize (``chemprop/nn/message_passing/base.py:135-141,
+    196-212``)."""
+    from chemprop_tpu.nn.message_passing.base import AtomMessagePassing
+
     tau = get_activation_function(mp.activation)
     p = params["message_passing"]
     W_i, W_h = p["W_i"]["kernel"], p["W_h"]["kernel"]
     b_i, b_h = p["W_i"].get("bias"), p["W_h"].get("bias")
     W_o, b_o = p["W_o"]["kernel"], p["W_o"]["bias"]
     S, HN, HE, N = dims.n_shards, dims.HN, dims.HE, dims.N
+    is_atom = isinstance(mp, AtomMessagePassing)
+    drop_on = dropout_rng is not None and mp.dropout > 0
 
-    X = jnp.concatenate([g.V_ext[g.src_ext], g.E], axis=-1)
-    H0 = X @ W_i
-    if b_i is not None:
-        H0 = H0 + b_i
+    if is_atom:
+        # atom MP: H0 = W_i(V)[src] (reference ``base.py:276-289``); the
+        # src gather resolves locally because V_ext carries halo rows
+        Hn = g.V_ext @ W_i
+        if b_i is not None:
+            Hn = Hn + b_i
+        H0 = Hn[g.src_ext]
+    else:
+        X = jnp.concatenate([g.V_ext[g.src_ext], g.E], axis=-1)
+        H0 = X @ W_i
+        if b_i is not None:
+            H0 = H0 + b_i
     H = tau(H0)
-    for _ in range(1, mp.depth):
-        M = halo_message(
-            H, g.src_ext, g.dst_ext, g.rev_ext, g.edge_mask,
-            g.n_owned, g.n_edges, N, HN, HE, axis, S,
-            single_phase=dims.single_phase,
-        )
+    for t in range(1, mp.depth):
+        if is_atom:
+            # M[e] = (Σ_{k: dst_k = v} cat(H_k, E_k))[src_e] — no
+            # reverse-edge subtraction (reference ``mixins.py:21-30``);
+            # only the node-accumulator halo exchange is needed
+            HE_cat = jnp.concatenate([H, g.E], axis=-1)
+            acc = halo_node_accumulators(
+                HE_cat, g.dst_ext, g.edge_mask, g.n_owned, N, HN, axis, S,
+                with_halo=True, single_phase=dims.single_phase,
+            )
+            acc = jnp.concatenate([acc, jnp.zeros((1, acc.shape[1]), acc.dtype)])
+            M = jnp.where(g.edge_mask[:, None], acc[g.src_ext], 0)
+        else:
+            M = halo_message(
+                H, g.src_ext, g.dst_ext, g.rev_ext, g.edge_mask,
+                g.n_owned, g.n_edges, N, HN, HE, axis, S,
+                single_phase=dims.single_phase,
+            )
         Z = M @ W_h
         if b_h is not None:
             Z = Z + b_h
         H = tau(H0 + Z)
+        if drop_on:
+            H = _dropout(H, mp.dropout, jax.random.fold_in(dropout_rng, t))
     Hm = jnp.where(g.edge_mask[:, None], H, 0)
     M_v = halo_node_accumulators(
         Hm, g.dst_ext, g.edge_mask, g.n_owned, N, HN, axis, S, with_halo=False
     )
     V_own = g.V_ext[HN : HN + N]
     H_v = tau(jnp.concatenate([V_own, M_v], axis=-1) @ W_o + b_o)
+    if drop_on:
+        H_v = _dropout(H_v, mp.dropout, jax.random.fold_in(dropout_rng, mp.depth))
     node_mask = jnp.arange(N) < g.n_owned
     return H_v, node_mask
 
@@ -256,9 +303,18 @@ def make_partitioned_train_step(
         g = jax.tree.map(lambda x: x[0], g)
         y = y[0][None]
         w = w[0][None]
+        rng, mp_rng, head_rng = jax.random.split(state.rng, 3)
+        # distinct dropout masks per shard (mirrors make_sharded_train_step)
+        dropout_rng = (
+            jax.random.fold_in(mp_rng, jax.lax.axis_index(axis))
+            if mp.dropout > 0
+            else None
+        )
 
         def local_fn(p_mp):
-            H_v, node_mask = _mp_local({"message_passing": p_mp}, g, dims, mp, axis)
+            H_v, node_mask = _mp_local(
+                {"message_passing": p_mp}, g, dims, mp, axis, dropout_rng
+            )
             ls = jnp.sum(jnp.where(node_mask[:, None], H_v, 0), axis=0)
             lc = jnp.sum(node_mask).astype(jnp.float32)
             return ls, lc
@@ -267,8 +323,15 @@ def make_partitioned_train_step(
 
         def head_fn(p_pred, ls, lc):
             Z = _graph_embedding(model, ls, lc, axis)[None]
+            # the head runs REPLICATED on the psum'd embedding, so its
+            # dropout rng must be identical across shards (un-folded)
+            head_drop = getattr(model.predictor, "dropout", 0.0) > 0
             preds = model.predictor.apply(
-                {"params": p_pred}, Z, is_training=False, method="train_step"
+                {"params": p_pred},
+                Z,
+                is_training=head_drop,
+                method="train_step",
+                **({"rngs": {"dropout": head_rng}} if head_drop else {}),
             )
             mask = jnp.isfinite(y)
             targets = jnp.nan_to_num(y)
@@ -295,7 +358,7 @@ def make_partitioned_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
-            params=params, opt_state=opt_state, step=state.step + 1, rng=state.rng
+            params=params, opt_state=opt_state, step=state.step + 1, rng=rng
         )
         return new_state, loss
 

@@ -454,6 +454,21 @@ class TestEdgePartitionTraining:
         assert len(hist) < 30, "patience=2 should stop well before 30 epochs"
         assert (out / "best.ckpt").exists()
 
+    def test_atom_messages_and_dropout(self, giant_csv, tmp_path, monkeypatch):
+        """r5 scope widening: --atom-messages and --dropout both run in
+        edge-partitioned training (per-shard dropout masks)."""
+        out = tmp_path / "out_atom"
+        run_cli(
+            monkeypatch,
+            ["train", "-i", str(giant_csv), "--edge-partition", "--epochs", "2",
+             "--atom-messages", "--dropout", "0.2",
+             "--message-hidden-dim", "32", "--ffn-hidden-dim", "32",
+             "--split-sizes", "0.5", "0.0", "0.5", "-o", str(out)],
+        )
+        assert (out / "best.ckpt").exists()
+        scores = json.load(open(out / "test_scores.json"))
+        assert np.isfinite(list(scores[-1].values())).all()
+
     def test_train_and_standard_predict(self, giant_csv, tmp_path, monkeypatch):
         out = tmp_path / "out"
         run_cli(

@@ -19,7 +19,12 @@ from chemprop_tpu.data.collate import PadSpec, collate_batch
 from chemprop_tpu.data.datasets import Datum
 from chemprop_tpu.featurizers.molgraph.molecule import SimpleMoleculeMolGraphFeaturizer
 from chemprop_tpu.models import MPNN
-from chemprop_tpu.nn import BondMessagePassing, MeanAggregation, RegressionFFN
+from chemprop_tpu.nn import (
+    AtomMessagePassing,
+    BondMessagePassing,
+    MeanAggregation,
+    RegressionFFN,
+)
 from chemprop_tpu.parallel.partitioned_mp import (
     build_partitioned_graph,
     make_partitioned_apply,
@@ -138,3 +143,164 @@ class TestPartitionedTrainStep:
                 np.asarray(b), np.asarray(a), rtol=5e-5, atol=5e-5,
                 err_msg=str(pa),
             )
+
+
+@pytest.fixture(scope="module")
+def atom_model():
+    return MPNN(
+        message_passing=AtomMessagePassing(d_h=D_H, depth=3),
+        agg=MeanAggregation(),
+        predictor=RegressionFFN(input_dim=D_H, hidden_dim=D_H),
+        batch_norm=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def atom_variables(atom_model, giant_mg):
+    batch = collate_batch([Datum(giant_mg, None, None, np.array([1.5]), 1.0, None, None)])
+    return atom_model.init(
+        jax.random.PRNGKey(0), batch.bmg, None, None, is_training=False
+    )
+
+
+class TestPartitionedAtomMP:
+    """r5 scope widening: AtomMessagePassing in the edge-partitioned mode
+    (no reverse-edge subtraction — only the node-accumulator halo)."""
+
+    @pytest.mark.parametrize("n_shards", [2, 8])
+    def test_forward_matches_single_device(
+        self, atom_model, atom_variables, giant_mg, n_shards
+    ):
+        g, dims = build_partitioned_graph(giant_mg, n_shards)
+        sub = Mesh(np.array(jax.devices()[:n_shards]), ("data",))
+        apply_p = make_partitioned_apply(atom_model, sub, dims)
+        got = np.asarray(apply_p(atom_variables, g))
+        want = _single_device_preds(atom_model, atom_variables, giant_mg)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_one_step_matches_single_device(
+        self, atom_model, atom_variables, giant_mg, mesh
+    ):
+        from chemprop_tpu.train.trainer import TrainState
+
+        model, variables = atom_model, atom_variables
+        y = np.array([[1.5]], np.float32)
+        g, dims = build_partitioned_graph(giant_mg, 8)
+        tx = optax.adam(1e-3)
+        params = variables["params"]
+        batch = collate_batch([Datum(giant_mg, None, None, np.array([1.5]), 1.0, None, None)])
+        criterion = model.criterion
+
+        def loss_fn(p):
+            preds = model.apply(
+                {"params": p}, batch.bmg, None, None, is_training=False,
+                method="train_step_preds",
+            )[:1]
+            mask = jnp.isfinite(y)
+            st = criterion.update_state(
+                criterion.init_state(), preds, jnp.nan_to_num(y), mask,
+                jnp.ones(1), jnp.zeros_like(mask), jnp.zeros_like(mask),
+            )
+            return criterion.compute(st)
+
+        ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
+        updates, _ = tx.update(ref_grads, tx.init(params), params)
+        ref_params = optax.apply_updates(params, updates)
+
+        state = TrainState(
+            params=jax.tree.map(lambda x: jnp.array(np.asarray(x)), params),
+            batch_stats={},
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.PRNGKey(0),
+        )
+        step = make_partitioned_train_step(model, tx, mesh, dims)
+        new_state, loss = step(state, g, jnp.asarray(y), jnp.ones(1))
+
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5, atol=1e-6)
+        key = lambda item: str(item[0])
+        for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(ref_params)[0], key=key),
+            sorted(jax.tree_util.tree_flatten_with_path(new_state.params)[0], key=key),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=5e-5, atol=5e-5,
+                err_msg=str(pa),
+            )
+
+
+class TestPartitionedDropout:
+    """r5 scope widening: dropout in the partitioned train step (per-shard
+    masks from a folded rng; head masks replicated across shards)."""
+
+    def _make(self, rate):
+        return MPNN(
+            message_passing=BondMessagePassing(d_h=D_H, depth=3, dropout=rate),
+            agg=MeanAggregation(),
+            predictor=RegressionFFN(input_dim=D_H, hidden_dim=D_H, dropout=rate),
+            batch_norm=False,
+        )
+
+    def test_dropout_step_trains_and_is_seeded(self, giant_mg, mesh):
+        from chemprop_tpu.train.trainer import TrainState
+
+        model = self._make(0.25)
+        batch = collate_batch([Datum(giant_mg, None, None, np.array([1.5]), 1.0, None, None)])
+        variables = model.init(
+            jax.random.PRNGKey(0), batch.bmg, None, None, is_training=False
+        )
+        g, dims = build_partitioned_graph(giant_mg, 8)
+        tx = optax.adam(1e-3)
+        y = jnp.asarray(np.array([[1.5]], np.float32))
+        step = make_partitioned_train_step(model, tx, mesh, dims)
+
+        def run(seed):
+            state = TrainState(
+                params=jax.tree.map(
+                    lambda x: jnp.array(np.asarray(x)), variables["params"]
+                ),
+                batch_stats={},
+                opt_state=tx.init(variables["params"]),
+                step=jnp.zeros((), jnp.int32),
+                rng=jax.random.PRNGKey(seed),
+            )
+            new_state, loss = step(state, g, y, jnp.ones(1))
+            return new_state, float(loss)
+
+        s1, l1 = run(7)
+        s2, l2 = run(7)
+        s3, l3 = run(8)
+        assert np.isfinite(l1)
+        # same rng -> bit-identical step; different rng -> different masks
+        assert l1 == l2
+        assert l1 != l3
+        # rng advanced for the next step
+        assert not np.array_equal(np.asarray(s1.rng), np.asarray(jax.random.PRNGKey(7)))
+        # the step actually moved the parameters
+        w0 = np.asarray(variables["params"]["message_passing"]["W_h"]["kernel"])
+        w1 = np.asarray(s1.params["message_passing"]["W_h"]["kernel"])
+        assert not np.allclose(w0, w1)
+
+    def test_rate_zero_matches_deterministic_path(self, model, variables, giant_mg, mesh):
+        """dropout=0 must take the exact deterministic path (no rng use in
+        the masks, same numbers as before the r5 widening)."""
+        from chemprop_tpu.train.trainer import TrainState
+
+        g, dims = build_partitioned_graph(giant_mg, 8)
+        tx = optax.adam(1e-3)
+        y = jnp.asarray(np.array([[1.5]], np.float32))
+        step = make_partitioned_train_step(model, tx, mesh, dims)
+        losses = []
+        for seed in (0, 1):
+            state = TrainState(
+                params=jax.tree.map(
+                    lambda x: jnp.array(np.asarray(x)), variables["params"]
+                ),
+                batch_stats={},
+                opt_state=tx.init(variables["params"]),
+                step=jnp.zeros((), jnp.int32),
+                rng=jax.random.PRNGKey(seed),
+            )
+            _, loss = step(state, g, y, jnp.ones(1))
+            losses.append(float(loss))
+        assert losses[0] == losses[1]
