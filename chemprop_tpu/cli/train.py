@@ -832,7 +832,7 @@ def _train_edge_partitioned(
         b = buckets[k]
         return build_partitioned_graph(
             d.mg, n_dev, min_halo_nodes=b["HN"], min_halo_edges=b["HE"],
-            min_owned_nodes=b["N"], min_shard_edges=k,
+            min_owned_nodes=b["N"], min_shard_edges=k, V_d=d.V_d,
         )
 
     built = [None if k is None else build(d, k) for d, k in zip(all_data, keys)]
@@ -865,8 +865,17 @@ def _train_edge_partitioned(
 
     batch0 = collate_batch([train[0]])
     variables = model.init(
-        jax.random.PRNGKey(args.seed), batch0.bmg, None, None, is_training=False
+        jax.random.PRNGKey(args.seed), batch0.bmg, batch0.V_d, batch0.X_d,
+        is_training=False,
     )
+    # per-datum extra descriptors [1, d_xd] (replicated across shards)
+    x_ds = [
+        None if d.x_d is None else jnp.asarray(np.asarray(d.x_d, np.float32).reshape(1, -1))
+        for d in all_data
+    ]
+    x_train = x_ds[: len(train)]
+    x_val = x_ds[len(train) : len(train) + len(vals)]
+    x_test = x_ds[len(train) + len(vals) :]
     # dense-path grouping (small molecules): fixed-shape batches of up to
     # --batch-size under one dataset-wide PadSpec
     from chemprop_tpu.data.collate import PadSpec
@@ -911,12 +920,12 @@ def _train_edge_partitioned(
         )
 
     @jax.jit
-    def dense_step(state, bmg, Y, w):
+    def dense_step(state, bmg, V_d, X_d, Y, w):
         rng, dropout_rng = jax.random.split(state.rng)
 
         def loss_fn(params):
             preds = model.apply(
-                {"params": params}, bmg, None, None, is_training=True,
+                {"params": params}, bmg, V_d, X_d, is_training=True,
                 method="train_step_preds", rngs={"dropout": dropout_rng},
             )
             return criterion.compute(_criterion_update(criterion.init_state(), preds, Y, w))
@@ -929,25 +938,25 @@ def _train_edge_partitioned(
         ), loss
 
     @jax.jit
-    def dense_preds(params, bmg):
+    def dense_preds(params, bmg, V_d, X_d):
         return model.apply(
-            {"params": params}, bmg, None, None, is_training=False,
+            {"params": params}, bmg, V_d, X_d, is_training=False,
             method="train_step_preds",
         )
 
     def val_loss_of(params):
         st = criterion.init_state()
         dense_val = [(d, i) for i, d in enumerate(vals) if k_val[i] is None]
-        for d, g, k in zip(vals, g_val, k_val):
+        for d, g, k, xd in zip(vals, g_val, k_val, x_val):
             if k is None:
                 continue
-            preds = val_apply_fns[k]({"params": params}, g)
+            preds = val_apply_fns[k]({"params": params}, g, xd)
             y = jnp.asarray(np.asarray(d.y, np.float32))[None]
             st = _criterion_update(st, preds, y, jnp.asarray([np.float32(d.weight)]))
         for j in range(0, len(dense_val), dense_bs):
             chunk = [d for d, _ in dense_val[j : j + dense_bs]]
             vb = collate_batch(chunk, dense_pad)
-            preds = dense_preds(params, vb.bmg)[: len(chunk)]
+            preds = dense_preds(params, vb.bmg, vb.V_d, vb.X_d)[: len(chunk)]
             y = jnp.asarray(np.asarray([np.asarray(d.y, np.float32) for d in chunk]))
             w = jnp.asarray(np.asarray([np.float32(d.weight) for d in chunk]))
             st = _criterion_update(st, preds, y, w)
@@ -974,7 +983,7 @@ def _train_edge_partitioned(
                 y = np.asarray(train[i].y, np.float32)[None]
                 w = np.asarray([train[i].weight], np.float32)
                 state, loss = step_fns[k_train[i]](
-                    state, g_train[i], jnp.asarray(y), jnp.asarray(w)
+                    state, g_train[i], jnp.asarray(y), jnp.asarray(w), x_train[i]
                 )
             else:
                 chunk = [train[i] for i in payload]
@@ -984,7 +993,9 @@ def _train_edge_partitioned(
                 for t, d in enumerate(chunk):
                     Y[t] = np.asarray(d.y, np.float32)
                     W[t] = np.float32(d.weight)
-                state, loss = dense_step(state, db.bmg, jnp.asarray(Y), jnp.asarray(W))
+                state, loss = dense_step(
+                    state, db.bmg, db.V_d, db.X_d, jnp.asarray(Y), jnp.asarray(W)
+                )
             losses.append(loss)
         train_loss = float(np.mean(jax.device_get(losses)))
         rec = {"epoch": epoch, "train_loss": train_loss}
@@ -1019,16 +1030,18 @@ def _train_edge_partitioned(
         }
 
         @jax.jit
-        def dense_infer(params, bmg):
-            return model.apply({"params": params}, bmg, None, None, is_training=False)
+        def dense_infer(params, bmg, V_d, X_d):
+            return model.apply({"params": params}, bmg, V_d, X_d, is_training=False)
 
         rows = []
-        for d, g, k in zip(tests, g_test, k_test):
+        for d, g, k, xd in zip(tests, g_test, k_test, x_test):
             if k is not None:
-                rows.append(np.asarray(apply_fns[k]({"params": final_params}, g)))
+                rows.append(np.asarray(apply_fns[k]({"params": final_params}, g, xd)))
             else:
                 tb = collate_batch([d], dense_pad)
-                rows.append(np.asarray(dense_infer(final_params, tb.bmg))[:1])
+                rows.append(
+                    np.asarray(dense_infer(final_params, tb.bmg, tb.V_d, tb.X_d))[:1]
+                )
         preds = np.concatenate(rows, axis=0)
         scores = _score_test(preds, test_dset, args, target_cols)
         logger.info(f"edge-partitioned test scores: {scores}")

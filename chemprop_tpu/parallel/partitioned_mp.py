@@ -18,11 +18,12 @@ this mode saves/loads through the normal checkpoint path and predicts on
 the normal single-device path (and vice versa).
 
 Scope (checked by :func:`check_partitionable`): Bond or Atom
-MessagePassing (directed, no extra atom descriptors), mean/sum/norm
-aggregation, no batch norm, single component. Dropout is supported in
-the train step (per-shard masks from a folded rng, head masks
-replicated); inference is deterministic. CLI: ``chemprop-tpu train
---edge-partition [N]``.
+MessagePassing (directed), mean/sum/norm aggregation, no batch norm,
+single component. Extra atom descriptors (``V_d`` through ``W_d``) and
+extra datapoint descriptors (``X_d`` concatenated to the psum'd
+embedding) are supported. Dropout is supported in the train step
+(per-shard masks from a folded rng, head masks replicated); inference
+is deterministic. CLI: ``chemprop-tpu train --edge-partition [N]``.
 
 Reference analog: none — the reference holds whole graphs per rank
 (``chemprop/nn/message_passing/base.py:196-212`` on one device).
@@ -30,6 +31,7 @@ Reference analog: none — the reference holds whole graphs per rank
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -60,6 +62,7 @@ class PartitionedGraph(NamedTuple):
     edge_mask: Any  # [S, P]
     n_owned: Any  # [S]
     n_edges: Any  # [S]
+    V_d_own: Any = None  # [S, N, d_vd] extra atom descriptors (owned rows)
 
 
 class PartitionDims(NamedTuple):
@@ -87,8 +90,6 @@ def check_partitionable(model) -> None:
         raise ValueError("--edge-partition requires bond or atom message passing")
     if mp.undirected:
         raise ValueError("--edge-partition does not support --undirected")
-    if mp.d_vd:
-        raise ValueError("--edge-partition does not support extra atom descriptors")
     if getattr(model, "batch_norm", False):
         raise ValueError("--edge-partition does not support --batch-norm")
     if not isinstance(model.agg, (MeanAggregation, SumAggregation, NormAggregation)):
@@ -102,10 +103,13 @@ def build_partitioned_graph(
     min_halo_edges: int = 8,
     min_owned_nodes: int = 1,
     min_shard_edges: int = 1,
+    V_d=None,
 ) -> tuple[PartitionedGraph, PartitionDims]:
     """Host-side: dst-sort a featurized MolGraph and cut it into shard
     slices with halo node-feature rows. The ``min_*`` floors force common
-    padded dims across a dataset (one compiled program)."""
+    padded dims across a dataset (one compiled program). ``V_d`` (optional
+    ``[n_nodes, d_vd]`` extra atom descriptors) is sliced to each shard's
+    owned node range."""
     src = np.asarray(mg.edge_index[0], np.int64)
     dst = np.asarray(mg.edge_index[1], np.int64)
     rev = np.asarray(mg.rev_edge_index, np.int64)
@@ -147,6 +151,14 @@ def build_partitioned_graph(
         k = cuts[s + 1] - cuts[s]
         E_p[s, :k] = E_feats[cuts[s] : cuts[s + 1]]
 
+    V_d_own = None
+    if V_d is not None:
+        V_d = np.asarray(V_d, np.float32)
+        V_d_own = np.zeros((S, N, V_d.shape[1]), np.float32)
+        for s in range(S):
+            k = int(own[s])
+            V_d_own[s, :k] = V_d[int(lo[s]) : int(lo[s]) + k]
+
     g = PartitionedGraph(
         V_ext=V_ext,
         E=E_p,
@@ -156,6 +168,7 @@ def build_partitioned_graph(
         edge_mask=np.asarray(plan.edge_mask),
         n_owned=np.asarray(plan.n_owned),
         n_edges=np.asarray(plan.n_edges),
+        V_d_own=V_d_own,
     )
     single = bool(int(own.min()) >= 2 * HN) if S > 1 else True
     return g, PartitionDims(S, Pp, N, HN, HE, single)
@@ -177,6 +190,7 @@ def _dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
 def _mp_local(
     params, g: PartitionedGraph, dims: PartitionDims, mp, axis: str,
     dropout_rng: jax.Array | None = None,
+    is_training: bool = True,
 ):
     """Per-shard D-MPNN forward on the local slice (inside shard_map).
     Returns ``(Hv [N, d_h], node_mask [N])`` for the owned nodes.
@@ -241,6 +255,25 @@ def _mp_local(
     H_v = tau(jnp.concatenate([V_own, M_v], axis=-1) @ W_o + b_o)
     if drop_on:
         H_v = _dropout(H_v, mp.dropout, jax.random.fold_in(dropout_rng, mp.depth))
+    if mp.d_vd:
+        # extra atom descriptors: H_v = W_d([H_v ; V_d]) on the owned rows
+        # (reference ``base.py:143-194``); the eval-only ScaleTransform
+        # mirrors the dense path's is_training keying
+        if g.V_d_own is None:
+            raise ValueError(
+                "model expects extra atom descriptors (d_vd > 0) but the "
+                "partitioned graph carries none — pass V_d to "
+                "build_partitioned_graph"
+            )
+        V_d = g.V_d_own
+        if mp.V_d_transform is not None and not is_training:
+            V_d = mp.V_d_transform(V_d, is_training=False)
+        p_d = p["W_d"]
+        H_v = jnp.concatenate([H_v, V_d], axis=-1) @ p_d["kernel"] + p_d["bias"]
+        if drop_on:
+            H_v = _dropout(
+                H_v, mp.dropout, jax.random.fold_in(dropout_rng, mp.depth + 1)
+            )
     node_mask = jnp.arange(N) < g.n_owned
     return H_v, node_mask
 
@@ -267,20 +300,34 @@ def make_partitioned_apply(
     check_partitionable(model)
     mp = model.message_passing
 
-    def body(variables, g):
+    def body(variables, g, x_d):
         g = jax.tree.map(lambda x: x[0], g)
-        H_v, node_mask = _mp_local(variables["params"], g, dims, mp, axis)
+        H_v, node_mask = _mp_local(
+            variables["params"], g, dims, mp, axis, is_training=False
+        )
         ls = jnp.sum(jnp.where(node_mask[:, None], H_v, 0), axis=0)
         lc = jnp.sum(node_mask).astype(jnp.float32)
         Z = _graph_embedding(model, ls, lc, axis)[None]
+        if x_d is not None:
+            # extra datapoint descriptors ride the fingerprint concat; the
+            # eval-only X_d ScaleTransform mirrors MPNN.fingerprint
+            xd = x_d
+            if model.X_d_transform is not None:
+                xd = model.X_d_transform(xd, is_training=False)
+            Z = jnp.concatenate([Z, xd], axis=1)
         method = "train_step" if train_space else None
         kwargs = {"method": method} if method else {}
         return model.predictor.apply(
             {"params": variables["params"]["predictor"]}, Z, is_training=False, **kwargs
         )
 
-    fn = _shard_map(body, mesh, (P(), P(axis)), P())
-    return jax.jit(fn)
+    sm = _shard_map(body, mesh, (P(), P(axis), P()), P())
+
+    @jax.jit
+    def fn(variables, g, x_d=None):
+        return sm(variables, g, x_d)
+
+    return fn
 
 
 def make_partitioned_train_step(
@@ -299,7 +346,7 @@ def make_partitioned_train_step(
     mp = model.message_passing
     criterion = model.criterion
 
-    def body(state, g, y, w):
+    def body(state, g, y, w, x_d):
         g = jax.tree.map(lambda x: x[0], g)
         y = y[0][None]
         w = w[0][None]
@@ -323,6 +370,10 @@ def make_partitioned_train_step(
 
         def head_fn(p_pred, ls, lc):
             Z = _graph_embedding(model, ls, lc, axis)[None]
+            if x_d is not None:
+                # raw concat: the X_d ScaleTransform is a train-mode no-op
+                # (train data is pre-normalized in the dataset)
+                Z = jnp.concatenate([Z, x_d], axis=1)
             # the head runs REPLICATED on the psum'd embedding, so its
             # dropout rng must be identical across shards (un-folded)
             head_drop = getattr(model.predictor, "dropout", 0.0) > 0
@@ -362,5 +413,10 @@ def make_partitioned_train_step(
         )
         return new_state, loss
 
-    step = _shard_map(body, mesh, (P(), P(axis), P(), P()), (P(), P()))
-    return jax.jit(step, donate_argnums=(0,))
+    sm = _shard_map(body, mesh, (P(), P(axis), P(), P(), P()), (P(), P()))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, g, y, w, x_d=None):
+        return sm(state, g, y, w, x_d)
+
+    return step

@@ -454,6 +454,33 @@ class TestEdgePartitionTraining:
         assert len(hist) < 30, "patience=2 should stop well before 30 epochs"
         assert (out / "best.ckpt").exists()
 
+    def test_extra_descriptors(self, giant_csv, tmp_path, monkeypatch):
+        """r5 scope widening: extra atom descriptors (V_d) and molecule
+        featurizer descriptors (X_d) both flow through edge-partitioned
+        training (W_d finalize on owned rows; X_d concat on the psum'd
+        embedding)."""
+        # per-molecule per-atom descriptor arrays, matching the giant_csv
+        # SMILES ("C1(CCCCC1)" * (40 + 4k) -> 6*(40+4k) heavy atoms)
+        rng = np.random.default_rng(0)
+        npz = tmp_path / "vd.npz"
+        arrays = {
+            f"arr_{i}": rng.normal(size=(6 * (40 + 4 * i), 3)).astype(np.float64)
+            for i in range(6)
+        }
+        np.savez(npz, **arrays)
+        out = tmp_path / "out_vd"
+        run_cli(
+            monkeypatch,
+            ["train", "-i", str(giant_csv), "--edge-partition", "--epochs", "2",
+             "--atom-descriptors-path", str(npz),
+             "--molecule-featurizers", "charge",
+             "--message-hidden-dim", "32", "--ffn-hidden-dim", "32",
+             "--split-sizes", "0.5", "0.25", "0.25", "-o", str(out)],
+        )
+        assert (out / "best.ckpt").exists()
+        scores = json.load(open(out / "test_scores.json"))
+        assert np.isfinite(list(scores[-1].values())).all()
+
     def test_atom_messages_and_dropout(self, giant_csv, tmp_path, monkeypatch):
         """r5 scope widening: --atom-messages and --dropout both run in
         edge-partitioned training (per-shard dropout masks)."""

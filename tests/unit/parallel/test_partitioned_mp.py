@@ -229,6 +229,115 @@ class TestPartitionedAtomMP:
             )
 
 
+class TestPartitionedExtraDescriptors:
+    """r5 scope widening: extra atom descriptors (V_d -> W_d) and extra
+    datapoint descriptors (X_d concat) in the partitioned mode."""
+
+    D_VD, D_XD = 6, 4
+
+    def _data(self, giant_mg):
+        rng = np.random.default_rng(3)
+        V_d = rng.normal(size=(giant_mg.V.shape[0], self.D_VD)).astype(np.float32)
+        x_d = rng.normal(size=(self.D_XD,)).astype(np.float32)
+        return V_d, x_d
+
+    def _model(self):
+        return MPNN(
+            message_passing=BondMessagePassing(d_h=D_H, depth=3, d_vd=self.D_VD),
+            agg=MeanAggregation(),
+            predictor=RegressionFFN(
+                input_dim=D_H + self.D_VD + self.D_XD, hidden_dim=D_H
+            ),
+            batch_norm=False,
+        )
+
+    def test_forward_matches_single_device(self, giant_mg, mesh):
+        V_d, x_d = self._data(giant_mg)
+        model = self._model()
+        batch = collate_batch(
+            [Datum(giant_mg, V_d, x_d, np.array([1.5]), 1.0, None, None)]
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), batch.bmg, batch.V_d, batch.X_d, is_training=False
+        )
+        g, dims = build_partitioned_graph(giant_mg, 8, V_d=V_d)
+        apply_p = make_partitioned_apply(model, mesh, dims)
+        got = np.asarray(apply_p(variables, g, jnp.asarray(x_d)[None]))
+        want = np.asarray(
+            model.apply(variables, batch.bmg, batch.V_d, batch.X_d, is_training=False)
+        )[:1]
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_one_step_matches_single_device(self, giant_mg, mesh):
+        from chemprop_tpu.train.trainer import TrainState
+
+        V_d, x_d = self._data(giant_mg)
+        model = self._model()
+        y = np.array([[1.5]], np.float32)
+        batch = collate_batch(
+            [Datum(giant_mg, V_d, x_d, np.array([1.5]), 1.0, None, None)]
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), batch.bmg, batch.V_d, batch.X_d, is_training=False
+        )
+        params = variables["params"]
+        tx = optax.adam(1e-3)
+        criterion = model.criterion
+
+        def loss_fn(p):
+            preds = model.apply(
+                {"params": p}, batch.bmg, batch.V_d, batch.X_d, is_training=False,
+                method="train_step_preds",
+            )[:1]
+            mask = jnp.isfinite(y)
+            st = criterion.update_state(
+                criterion.init_state(), preds, jnp.nan_to_num(y), mask,
+                jnp.ones(1), jnp.zeros_like(mask), jnp.zeros_like(mask),
+            )
+            return criterion.compute(st)
+
+        ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
+        updates, _ = tx.update(ref_grads, tx.init(params), params)
+        ref_params = optax.apply_updates(params, updates)
+
+        g, dims = build_partitioned_graph(giant_mg, 8, V_d=V_d)
+        state = TrainState(
+            params=jax.tree.map(lambda x: jnp.array(np.asarray(x)), params),
+            batch_stats={},
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.PRNGKey(0),
+        )
+        step = make_partitioned_train_step(model, tx, mesh, dims)
+        new_state, loss = step(
+            state, g, jnp.asarray(y), jnp.ones(1), jnp.asarray(x_d)[None]
+        )
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5, atol=1e-6)
+        key = lambda item: str(item[0])
+        for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(ref_params)[0], key=key),
+            sorted(jax.tree_util.tree_flatten_with_path(new_state.params)[0], key=key),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=5e-5, atol=5e-5,
+                err_msg=str(pa),
+            )
+
+    def test_missing_V_d_raises(self, giant_mg, mesh):
+        model = self._model()
+        V_d, x_d = self._data(giant_mg)
+        batch = collate_batch(
+            [Datum(giant_mg, V_d, x_d, np.array([1.5]), 1.0, None, None)]
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), batch.bmg, batch.V_d, batch.X_d, is_training=False
+        )
+        g, dims = build_partitioned_graph(giant_mg, 8)  # V_d NOT passed
+        apply_p = make_partitioned_apply(model, mesh, dims)
+        with pytest.raises(ValueError, match="extra atom descriptors"):
+            apply_p(variables, g, jnp.asarray(x_d)[None])
+
+
 class TestPartitionedDropout:
     """r5 scope widening: dropout in the partitioned train step (per-shard
     masks from a folded rng; head masks replicated across shards)."""
