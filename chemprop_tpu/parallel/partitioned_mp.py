@@ -18,8 +18,8 @@ this mode saves/loads through the normal checkpoint path and predicts on
 the normal single-device path (and vice versa).
 
 Scope (checked by :func:`check_partitionable`): Bond or Atom
-MessagePassing (directed), mean/sum/norm aggregation, no batch norm,
-single component. Extra atom descriptors (``V_d`` through ``W_d``) and
+MessagePassing (directed or ``--undirected``), mean/sum/norm
+aggregation, no batch norm, single component. Extra atom descriptors (``V_d`` through ``W_d``) and
 extra datapoint descriptors (``X_d`` concatenated to the psum'd
 embedding) are supported. Dropout is supported in the train step
 (per-shard masks from a folded rng, head masks replicated); inference
@@ -43,6 +43,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from chemprop_tpu.nn.utils import get_activation_function
 from chemprop_tpu.ops.edge_partition import (
     EdgePartitionPlan,
+    _shift,
+    _tail,
     halo_message,
     halo_node_accumulators,
     partition_edges,
@@ -88,8 +90,6 @@ def check_partitionable(model) -> None:
     mp = model.message_passing
     if not isinstance(mp, (BondMessagePassing, AtomMessagePassing)):
         raise ValueError("--edge-partition requires bond or atom message passing")
-    if mp.undirected:
-        raise ValueError("--edge-partition does not support --undirected")
     if getattr(model, "batch_norm", False):
         raise ValueError("--edge-partition does not support --batch-norm")
     if not isinstance(model.agg, (MeanAggregation, SumAggregation, NormAggregation)):
@@ -222,8 +222,22 @@ def _mp_local(
         H0 = X @ W_i
         if b_i is not None:
             H0 = H0 + b_i
+    def undirected_avg(H):
+        # the reference's pre-average H = (H + H[rev]) / 2 at each
+        # iteration (``base.py:196-212``); cross-cut reverse edges resolve
+        # through the sideways edge halo
+        Hm = jnp.where(g.edge_mask[:, None], H, 0)
+        left_H = _shift(_tail(Hm, g.n_edges, HE), +1, axis, S)
+        right_H = _shift(Hm[:HE], -1, axis, S)
+        Hh = jnp.concatenate(
+            [left_H, Hm, right_H, jnp.zeros((1, H.shape[1]), H.dtype)]
+        )
+        return (H + Hh[g.rev_ext]) / 2
+
     H = tau(H0)
     for t in range(1, mp.depth):
+        if mp.undirected:
+            H = undirected_avg(H)
         if is_atom:
             # M[e] = (Σ_{k: dst_k = v} cat(H_k, E_k))[src_e] — no
             # reverse-edge subtraction (reference ``mixins.py:21-30``);

@@ -229,6 +229,32 @@ class TestPartitionedAtomMP:
             )
 
 
+class TestPartitionedUndirected:
+    """r5 scope widening: the --undirected pre-average H = (H + H[rev]) / 2
+    in the partitioned mode (cross-cut reverse edges resolve through the
+    sideways edge halo)."""
+
+    @pytest.mark.parametrize("mp_cls", [BondMessagePassing, AtomMessagePassing])
+    def test_forward_matches_single_device(self, giant_mg, mesh, mp_cls):
+        model = MPNN(
+            message_passing=mp_cls(d_h=D_H, depth=3, undirected=True),
+            agg=MeanAggregation(),
+            predictor=RegressionFFN(input_dim=D_H, hidden_dim=D_H),
+            batch_norm=False,
+        )
+        batch = collate_batch(
+            [Datum(giant_mg, None, None, np.array([1.5]), 1.0, None, None)]
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), batch.bmg, None, None, is_training=False
+        )
+        g, dims = build_partitioned_graph(giant_mg, 8)
+        apply_p = make_partitioned_apply(model, mesh, dims)
+        got = np.asarray(apply_p(variables, g))
+        want = _single_device_preds(model, variables, giant_mg)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 class TestPartitionedExtraDescriptors:
     """r5 scope widening: extra atom descriptors (V_d -> W_d) and extra
     datapoint descriptors (X_d concat) in the partitioned mode."""
