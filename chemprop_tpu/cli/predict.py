@@ -34,6 +34,19 @@ def add_predict_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     g.add_argument("-o", "--output", "--preds-path", type=Path, default=None)
     g.add_argument("--model-paths", "--model-path", nargs="+", type=Path, required=True)
     g.add_argument("--drop-extra-columns", action="store_true")
+    g.add_argument(
+        "--edge-partition",
+        type=int,
+        nargs="?",
+        const=0,
+        default=None,
+        metavar="N",
+        help="edge-partitioned inference: each partitionable molecule's edge "
+        "table is sharded across the device mesh with halo exchange (N "
+        "devices; 0/omitted value = all); molecules too small to partition "
+        "route through the dense single-device path "
+        "(parallel/partitioned_mp.py:predict_partitioned)",
+    )
     # MAB constrained prediction (reference predict supports constraints at
     # inference, ``chemprop/cli/common.py:165-177``)
     g.add_argument("--constraints-path", type=Path, default=None)
@@ -293,6 +306,14 @@ def main(args) -> int:
     from chemprop_tpu.models.mol_atom_bond import MolAtomBondMPNN
 
     first_model, first_vars, first_extra = load_model(model_paths[0])
+    edge_partition = getattr(args, "edge_partition", None) is not None
+    if edge_partition:
+        if isinstance(first_model, MolAtomBondMPNN):
+            raise ValueError("--edge-partition predict does not support MAB models")
+        if args.uncertainty_method == "dropout":
+            raise ValueError(
+                "--edge-partition predict does not support --uncertainty-method dropout"
+            )
     if isinstance(first_model, MolAtomBondMPNN):
         from chemprop_tpu.cli.mab import predict_MAB
 
@@ -315,6 +336,14 @@ def main(args) -> int:
             individual.append(mc.mean(axis=0))
             point_mc = mc[..., 0] if mc.ndim == 4 else mc  # [S, n, t]
             dropout_uncs.append(point_mc.var(axis=0))
+        elif edge_partition:
+            from chemprop_tpu.parallel.partitioned_mp import predict_partitioned
+
+            part_data = [dset[i] for i in range(len(dset))]
+            preds = predict_partitioned(
+                model, variables, part_data, n_shards=args.edge_partition or None
+            )
+            individual.append(preds)
         else:
             trainer = Trainer(model)
             preds = trainer.predict(loader, variables=variables)

@@ -210,6 +210,18 @@ def _mp_local(
     is_atom = isinstance(mp, AtomMessagePassing)
     drop_on = dropout_rng is not None and mp.dropout > 0
 
+    V_ext, E = g.V_ext, g.E
+    if not is_training and mp.graph_transform is not None:
+        # eval-only extra-feature scaling (GraphTransform); garbage values
+        # on pad/sacrificial rows are masked downstream exactly like the
+        # raw features would be
+        gt = mp.graph_transform
+        if gt.V_transform is not None:
+            V_ext = gt.V_transform(V_ext, is_training=False)
+        if gt.E_transform is not None:
+            E = gt.E_transform(E, is_training=False)
+    g = g._replace(V_ext=V_ext, E=E)
+
     if is_atom:
         # atom MP: H0 = W_i(V)[src] (reference ``base.py:276-289``); the
         # src gather resolves locally because V_ext carries halo rows
@@ -434,3 +446,98 @@ def make_partitioned_train_step(
         return sm(state, g, y, w, x_d)
 
     return step
+
+
+def bucket_edge_pad(P_pad: int) -> int:
+    """Power-of-two edge-pad bucket (floor 128): one compiled program per
+    bucket across a dataset of differently-sized molecules."""
+    import math
+
+    return 128 * (1 << max(0, math.ceil(math.log2(max(1, P_pad // 128)))))
+
+
+def plan_buckets(data, n_shards: int):
+    """Shared bucket routing for a list of ``Datum``s: returns
+    ``(keys, graphs, bucket_dims)`` where ``keys[i]`` is the dim-bucket of
+    molecule ``i`` (``None`` = not partitionable over this mesh — route
+    dense), ``graphs[i]`` the built :class:`PartitionedGraph` (or None),
+    and ``bucket_dims[k]`` the common padded dims of bucket ``k``."""
+
+    def try_nat(d):
+        try:
+            return natural_dims(d.mg, n_shards)
+        except ValueError:
+            return None
+
+    nat = [try_nat(d) for d in data]
+    keys = [None if x is None else bucket_edge_pad(x.P) for x in nat]
+    buckets: dict[int, dict] = {}
+    for k, x in zip(keys, nat):
+        if k is None:
+            continue
+        b = buckets.setdefault(k, {"P": 0, "N": 0, "HN": 0, "HE": 0})
+        b["P"] = max(b["P"], x.P)
+        b["N"] = max(b["N"], x.N)
+        b["HN"] = max(b["HN"], x.HN)
+        b["HE"] = max(b["HE"], x.HE)
+
+    built = [
+        None
+        if k is None
+        else build_partitioned_graph(
+            d.mg, n_shards,
+            min_halo_nodes=buckets[k]["HN"], min_halo_edges=buckets[k]["HE"],
+            min_owned_nodes=buckets[k]["N"], min_shard_edges=k, V_d=d.V_d,
+        )
+        for d, k in zip(data, keys)
+    ]
+    bucket_dims = {}
+    for k in buckets:
+        members = [dm for (b, kk) in zip(built, keys) if kk == k for _, dm in [b]]
+        bucket_dims[k] = members[0]._replace(
+            single_phase=all(dm.single_phase for dm in members)
+        )
+    graphs = [None if b is None else b[0] for b in built]
+    return keys, graphs, bucket_dims
+
+
+def predict_partitioned(model, variables, data, n_shards: int | None = None):
+    """Inference over a list of ``Datum``s with each partitionable molecule
+    sharded across the device mesh (bucketed one-compile-per-dim-bucket)
+    and a dense single-device fallback for the rest. Returns predictions
+    stacked in input order (full inference semantics: eval transforms +
+    output unscaling). CLI: ``chemprop-tpu predict --edge-partition [N]``."""
+    from chemprop_tpu.data.collate import PadSpec, collate_batch
+
+    check_partitionable(model)
+    devs = jax.devices()
+    n_dev = min(n_shards or len(devs), len(devs))
+    mesh = Mesh(np.array(devs[:n_dev]), (DATA_AXIS,))
+    keys, graphs, bucket_dims = plan_buckets(data, n_dev)
+    apply_fns = {
+        k: make_partitioned_apply(model, mesh, bucket_dims[k]) for k in bucket_dims
+    }
+    dense_idx = [i for i, k in enumerate(keys) if k is None]
+    dense_pad = (
+        PadSpec.for_graphs([data[i].mg for i in dense_idx], n_graphs=1)
+        if dense_idx
+        else None
+    )
+
+    @jax.jit
+    def dense_infer(vs, bmg, V_d, X_d):
+        return model.apply(vs, bmg, V_d, X_d, is_training=False)
+
+    rows = []
+    for d, k, g in zip(data, keys, graphs):
+        x_d = (
+            None
+            if d.x_d is None
+            else jnp.asarray(np.asarray(d.x_d, np.float32).reshape(1, -1))
+        )
+        if k is not None:
+            rows.append(np.asarray(apply_fns[k](variables, g, x_d)))
+        else:
+            tb = collate_batch([d], dense_pad)
+            rows.append(np.asarray(dense_infer(variables, tb.bmg, tb.V_d, tb.X_d))[:1])
+    return np.concatenate(rows, axis=0)

@@ -517,3 +517,15 @@ class TestEdgePartitionTraining:
         assert len(rows) == 6
         vals = np.array([float(r["y"]) for r in rows])
         assert np.isfinite(vals).all()
+
+        # r5: predict --edge-partition shards each molecule's inference
+        # across the mesh and must agree with the dense predict path
+        part_csv = tmp_path / "preds_part.csv"
+        run_cli(
+            monkeypatch,
+            ["predict", "-i", str(giant_csv), "--model-paths", str(out / "best.ckpt"),
+             "--edge-partition", "-o", str(part_csv)],
+        )
+        part_rows = list(csv.DictReader(open(part_csv)))
+        part_vals = np.array([float(r["y"]) for r in part_rows])
+        np.testing.assert_allclose(part_vals, vals, rtol=2e-4, atol=2e-4)

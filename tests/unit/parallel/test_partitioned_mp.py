@@ -364,6 +364,64 @@ class TestPartitionedExtraDescriptors:
             apply_p(variables, g, jnp.asarray(x_d)[None])
 
 
+class TestPredictPartitioned:
+    """r5: partitioned INFERENCE routing (predict --edge-partition) — mixed
+    giant+small datasets, graph-transform eval scaling, input-order output."""
+
+    def test_mixed_routing_matches_dense(self, model, variables, giant_mg, mesh):
+        from chemprop_tpu.parallel.partitioned_mp import predict_partitioned
+
+        feat = SimpleMoleculeMolGraphFeaturizer()
+        small_mg = feat(MoleculeDatapoint.from_smi("CCO", y=np.array([0.2])).mol)
+        data = [
+            Datum(giant_mg, None, None, np.array([1.5]), 1.0, None, None),
+            Datum(small_mg, None, None, np.array([0.2]), 1.0, None, None),
+            Datum(giant_mg, None, None, np.array([1.5]), 1.0, None, None),
+        ]
+        got = predict_partitioned(model, variables, data, n_shards=8)
+        assert got.shape[0] == 3
+        for i, d in enumerate(data):
+            batch = collate_batch([d])
+            want = np.asarray(
+                model.apply(variables, batch.bmg, None, None, is_training=False)
+            )[:1]
+            np.testing.assert_allclose(got[i : i + 1], want, rtol=2e-5, atol=2e-5)
+
+    def test_graph_transform_applied_at_eval(self, giant_mg, mesh):
+        """A model with eval-only extra-feature scaling (GraphTransform)
+        must scale V/E identically on the partitioned path."""
+        from chemprop_tpu.nn.transforms import GraphTransform, ScaleTransform
+        from chemprop_tpu.parallel.partitioned_mp import predict_partitioned
+
+        d_v, d_e = giant_mg.V.shape[1], giant_mg.E.shape[1]
+        gt = GraphTransform(
+            V_transform=ScaleTransform(
+                mean=np.full(d_v, 0.1), scale=np.full(d_v, 2.0)
+            ),
+            E_transform=ScaleTransform(
+                mean=np.full(d_e, -0.2), scale=np.full(d_e, 0.5)
+            ),
+        )
+        model = MPNN(
+            message_passing=BondMessagePassing(d_h=D_H, depth=3, graph_transform=gt),
+            agg=MeanAggregation(),
+            predictor=RegressionFFN(input_dim=D_H, hidden_dim=D_H),
+            batch_norm=False,
+        )
+        batch = collate_batch(
+            [Datum(giant_mg, None, None, np.array([1.5]), 1.0, None, None)]
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), batch.bmg, None, None, is_training=False
+        )
+        data = [Datum(giant_mg, None, None, np.array([1.5]), 1.0, None, None)]
+        got = predict_partitioned(model, variables, data, n_shards=8)
+        want = np.asarray(
+            model.apply(variables, batch.bmg, None, None, is_training=False)
+        )[:1]
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 class TestPartitionedDropout:
     """r5 scope widening: dropout in the partitioned train step (per-shard
     masks from a folded rng; head masks replicated across shards)."""
