@@ -761,8 +761,6 @@ def _train_edge_partitioned(
     one run. When a validation split exists, per-epoch validation loss
     drives best-weight tracking and ``--patience`` early stopping
     (mirrors the dense path)."""
-    import math
-
     import jax
     import jax.numpy as jnp
     import optax
@@ -771,11 +769,10 @@ def _train_edge_partitioned(
     from chemprop_tpu.data.collate import collate_batch
     from chemprop_tpu.models.serialize import save_model
     from chemprop_tpu.parallel.partitioned_mp import (
-        build_partitioned_graph,
         check_partitionable,
         make_partitioned_apply,
         make_partitioned_train_step,
-        natural_dims,
+        plan_buckets,
     )
     from chemprop_tpu.train.schedulers import build_noam_like_schedule
     from chemprop_tpu.train.trainer import TrainState
@@ -799,52 +796,14 @@ def _train_edge_partitioned(
         raise ValueError("--edge-partition training needs a non-empty train split")
 
     # ---- route: molecules that cannot partition across this mesh (halo
-    # wider than a shard's owned range) take the dense batched step
+    # wider than a shard's owned range) take the dense batched step;
+    # partitionable molecules land in power-of-two dim buckets (one
+    # compiled program per bucket, single-phase halo only when every
+    # member satisfies the >= 2*HN ownership guard)
     all_data = train + vals + tests
-
-    def try_nat(d):
-        try:
-            return natural_dims(d.mg, n_dev)
-        except ValueError:
-            return None
-
-    nat = [try_nat(d) for d in all_data]
-    dense_sel = [x is None for x in nat]
-
-    # ---- dim buckets: quantize the per-molecule edge pad to powers of two
-    # (and the node pad along with it) so the compile count stays O(log
-    # spread) while a giant molecule's dims stay out of the small buckets
-    def bucket_key(x):
-        return 128 * (1 << max(0, math.ceil(math.log2(max(1, x.P // 128)))))
-
-    keys = [None if x is None else bucket_key(x) for x in nat]
-    buckets: dict[int, dict] = {}
-    for k, x in zip(keys, nat):
-        if k is None:
-            continue
-        b = buckets.setdefault(k, {"P": 0, "N": 0, "HN": 0, "HE": 0})
-        b["P"] = max(b["P"], x.P)
-        b["N"] = max(b["N"], x.N)
-        b["HN"] = max(b["HN"], x.HN)
-        b["HE"] = max(b["HE"], x.HE)
-
-    def build(d, k):
-        b = buckets[k]
-        return build_partitioned_graph(
-            d.mg, n_dev, min_halo_nodes=b["HN"], min_halo_edges=b["HE"],
-            min_owned_nodes=b["N"], min_shard_edges=k, V_d=d.V_d,
-        )
-
-    built = [None if k is None else build(d, k) for d, k in zip(all_data, keys)]
-    # one compiled program per bucket: single-phase halo only when EVERY
-    # molecule of the bucket satisfies the >= 2*HN ownership guard
-    bucket_dims = {}
-    for k in buckets:
-        members = [dm for b, kk in zip(built, keys) if kk == k for _, dm in [b]]
-        bucket_dims[k] = members[0]._replace(
-            single_phase=all(dm.single_phase for dm in members)
-        )
-    graphs = [None if b is None else b[0] for b in built]
+    keys, graphs, bucket_dims = plan_buckets(all_data, n_dev)
+    buckets = bucket_dims
+    dense_sel = [k is None for k in keys]
     g_train, k_train = graphs[: len(train)], keys[: len(train)]
     g_val = graphs[len(train) : len(train) + len(vals)]
     k_val = keys[len(train) : len(train) + len(vals)]
