@@ -25,6 +25,18 @@ def add_fingerprint_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPa
         default=-1,
         help="use predictor FFN blocks [:i] on top of the fingerprint",
     )
+    g.add_argument(
+        "--edge-partition",
+        type=int,
+        nargs="?",
+        const=0,
+        default=None,
+        metavar="N",
+        help="edge-partitioned fingerprinting: shard each partitionable "
+        "molecule across the device mesh (N devices; 0/omitted value = "
+        "all), dense fallback for the rest "
+        "(parallel/partitioned_mp.py:predict_partitioned)",
+    )
     return parser
 
 
@@ -36,26 +48,39 @@ def main(args) -> int:
     from chemprop_tpu.models.mol_atom_bond import MolAtomBondMPNN
 
     first_model, first_vars, _ = load_model(model_paths[0])
+    edge_partition = getattr(args, "edge_partition", None) is not None
     if isinstance(first_model, MolAtomBondMPNN):
+        if edge_partition:
+            raise ValueError("--edge-partition fingerprint does not support MAB models")
         return _main_MAB(args, model_paths)
 
     loader, dset, _ = _build_loader(args, args.data_path)
 
     for k, path in enumerate(model_paths):
         model, variables, _ = load_model(path)
-        apply = jax.jit(
-            lambda v, bmg, V_d, X_d: model.apply(
-                v, bmg, V_d, X_d, i=args.ffn_block_index, method="encoding"
-            )
-        )
-        chunks = []
-        for batch in loader:
-            enc = apply(variables, batch.bmg, batch.V_d, batch.X_d)
-            chunks.append(np.asarray(enc)[batch.pad_mask])
-        from chemprop_tpu.train.trainer import _restore_order
+        if edge_partition:
+            from chemprop_tpu.parallel.partitioned_mp import predict_partitioned
 
-        # oversized-molecule isolation may reorder batch emission
-        fps = _restore_order(np.concatenate(chunks, 0), loader)
+            part_data = [dset[i] for i in range(len(dset))]
+            fps = predict_partitioned(
+                model, variables, part_data,
+                n_shards=args.edge_partition or None,
+                encode_index=args.ffn_block_index,
+            )
+        else:
+            apply = jax.jit(
+                lambda v, bmg, V_d, X_d: model.apply(
+                    v, bmg, V_d, X_d, i=args.ffn_block_index, method="encoding"
+                )
+            )
+            chunks = []
+            for batch in loader:
+                enc = apply(variables, batch.bmg, batch.V_d, batch.X_d)
+                chunks.append(np.asarray(enc)[batch.pad_mask])
+            from chemprop_tpu.train.trainer import _restore_order
+
+            # oversized-molecule isolation may reorder batch emission
+            fps = _restore_order(np.concatenate(chunks, 0), loader)
 
         out = args.output or args.data_path.with_name(args.data_path.stem + "_fingerprint.csv")
         if len(model_paths) > 1:

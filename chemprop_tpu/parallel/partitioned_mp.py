@@ -318,7 +318,7 @@ def _graph_embedding(model, local_sum, local_count, axis: str):
 
 def make_partitioned_apply(
     model, mesh: Mesh, dims: PartitionDims, axis: str = DATA_AXIS,
-    train_space: bool = False,
+    train_space: bool = False, encode_index: int | None = None,
 ) -> Callable:
     """Jitted shard_map inference: ``(variables, PartitionedGraph) ->
     preds [1, ...]`` (inference activations + output unscaling unless
@@ -341,6 +341,13 @@ def make_partitioned_apply(
             if model.X_d_transform is not None:
                 xd = model.X_d_transform(xd, is_training=False)
             Z = jnp.concatenate([Z, xd], axis=1)
+        if encode_index is not None:
+            # learned fingerprint: predictor FFN blocks [:i] on the
+            # embedding (``chemprop-tpu fingerprint``)
+            return model.predictor.apply(
+                {"params": variables["params"]["predictor"]}, Z, encode_index,
+                is_training=False, method="encode",
+            )
         method = "train_step" if train_space else None
         kwargs = {"method": method} if method else {}
         return model.predictor.apply(
@@ -501,12 +508,17 @@ def plan_buckets(data, n_shards: int):
     return keys, graphs, bucket_dims
 
 
-def predict_partitioned(model, variables, data, n_shards: int | None = None):
+def predict_partitioned(
+    model, variables, data, n_shards: int | None = None,
+    encode_index: int | None = None,
+):
     """Inference over a list of ``Datum``s with each partitionable molecule
     sharded across the device mesh (bucketed one-compile-per-dim-bucket)
     and a dense single-device fallback for the rest. Returns predictions
     stacked in input order (full inference semantics: eval transforms +
-    output unscaling). CLI: ``chemprop-tpu predict --edge-partition [N]``."""
+    output unscaling). With ``encode_index``, returns learned fingerprints
+    (``model.encoding`` semantics) instead of predictions. CLI:
+    ``chemprop-tpu predict|fingerprint --edge-partition [N]``."""
     from chemprop_tpu.data.collate import PadSpec, collate_batch
 
     check_partitionable(model)
@@ -515,7 +527,8 @@ def predict_partitioned(model, variables, data, n_shards: int | None = None):
     mesh = Mesh(np.array(devs[:n_dev]), (DATA_AXIS,))
     keys, graphs, bucket_dims = plan_buckets(data, n_dev)
     apply_fns = {
-        k: make_partitioned_apply(model, mesh, bucket_dims[k]) for k in bucket_dims
+        k: make_partitioned_apply(model, mesh, bucket_dims[k], encode_index=encode_index)
+        for k in bucket_dims
     }
     dense_idx = [i for i, k in enumerate(keys) if k is None]
     dense_pad = (
@@ -526,6 +539,8 @@ def predict_partitioned(model, variables, data, n_shards: int | None = None):
 
     @jax.jit
     def dense_infer(vs, bmg, V_d, X_d):
+        if encode_index is not None:
+            return model.apply(vs, bmg, V_d, X_d, i=encode_index, method="encoding")
         return model.apply(vs, bmg, V_d, X_d, is_training=False)
 
     rows = []

@@ -529,3 +529,18 @@ class TestEdgePartitionTraining:
         part_rows = list(csv.DictReader(open(part_csv)))
         part_vals = np.array([float(r["y"]) for r in part_rows])
         np.testing.assert_allclose(part_vals, vals, rtol=2e-4, atol=2e-4)
+
+        # r5: fingerprint --edge-partition agrees with the dense encoding
+        fp_csv = tmp_path / "fps.csv"
+        fp_part_csv = tmp_path / "fps_part.csv"
+        for flag, f in ((False, fp_csv), (True, fp_part_csv)):
+            run_cli(
+                monkeypatch,
+                ["fingerprint", "-i", str(giant_csv),
+                 "--model-paths", str(out / "best.ckpt")]
+                + (["--edge-partition"] if flag else [])
+                + ["-o", str(f)],
+            )
+        fp = np.genfromtxt(fp_csv, delimiter=",", skip_header=1)[:, 1:]
+        fp_part = np.genfromtxt(fp_part_csv, delimiter=",", skip_header=1)[:, 1:]
+        np.testing.assert_allclose(fp_part, fp, rtol=2e-4, atol=2e-4)

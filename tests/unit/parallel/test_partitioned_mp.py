@@ -387,6 +387,18 @@ class TestPredictPartitioned:
             )[:1]
             np.testing.assert_allclose(got[i : i + 1], want, rtol=2e-5, atol=2e-5)
 
+    def test_encode_index_matches_dense_encoding(self, model, variables, giant_mg, mesh):
+        """encode_index returns model.encoding semantics (fingerprint CLI)."""
+        from chemprop_tpu.parallel.partitioned_mp import predict_partitioned
+
+        data = [Datum(giant_mg, None, None, np.array([1.5]), 1.0, None, None)]
+        got = predict_partitioned(model, variables, data, n_shards=8, encode_index=-1)
+        batch = collate_batch(data)
+        want = np.asarray(
+            model.apply(variables, batch.bmg, None, None, i=-1, method="encoding")
+        )[:1]
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
     def test_graph_transform_applied_at_eval(self, giant_mg, mesh):
         """A model with eval-only extra-feature scaling (GraphTransform)
         must scale V/E identically on the partitioned path."""
