@@ -454,6 +454,27 @@ class TestEdgePartitionTraining:
         assert len(hist) < 30, "patience=2 should stop well before 30 epochs"
         assert (out / "best.ckpt").exists()
 
+    def test_classification_task(self, tmp_path, monkeypatch):
+        """r5: a classification head trains through the partitioned step
+        (BCE criterion over the psum'd embedding) and scores with AUC."""
+        p = tmp_path / "giant_cls.csv"
+        rows = [["smiles", "y"]]
+        for k in range(8):
+            rows.append(["C1(CCCCC1)" * (40 + 2 * k), str(k % 2)])
+        with open(p, "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+        out = tmp_path / "out_cls"
+        run_cli(
+            monkeypatch,
+            ["train", "-i", str(p), "--edge-partition", "--epochs", "2",
+             "--task-type", "classification",
+             "--message-hidden-dim", "32", "--ffn-hidden-dim", "32",
+             "--split-sizes", "0.5", "0.0", "0.5", "-o", str(out)],
+        )
+        assert (out / "best.ckpt").exists()
+        scores = json.load(open(out / "test_scores.json"))
+        assert np.isfinite(list(scores[-1].values())).all()
+
     def test_extra_descriptors(self, giant_csv, tmp_path, monkeypatch):
         """r5 scope widening: extra atom descriptors (V_d) and molecule
         featurizer descriptors (X_d) both flow through edge-partitioned
