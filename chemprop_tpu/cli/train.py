@@ -802,7 +802,6 @@ def _train_edge_partitioned(
     # member satisfies the >= 2*HN ownership guard)
     all_data = train + vals + tests
     keys, graphs, bucket_dims = plan_buckets(all_data, n_dev)
-    buckets = bucket_dims
     dense_sel = [k is None for k in keys]
     g_train, k_train = graphs[: len(train)], keys[: len(train)]
     g_val = graphs[len(train) : len(train) + len(vals)]
@@ -812,11 +811,11 @@ def _train_edge_partitioned(
     n_dense = sum(dense_sel)
     logger.info(
         f"edge-partitioned training over {n_dev} devices: "
-        f"{len(buckets)} dim bucket(s) "
+        f"{len(bucket_dims)} dim bucket(s) "
         + ", ".join(
             f"[P≤{k}: {sum(1 for x in keys if x == k)} mols"
             f"{' 1-phase halo' if bucket_dims[k].single_phase else ''}]"
-            for k in sorted(buckets)
+            for k in sorted(bucket_dims)
         )
         + (f" + {n_dense} dense-path molecules" if n_dense else "")
         + f", {len(train)} molecules/epoch"
@@ -862,7 +861,7 @@ def _train_edge_partitioned(
         step=jnp.zeros((), jnp.int32),
         rng=jax.random.PRNGKey(args.seed),
     )
-    step_fns = {k: make_partitioned_train_step(model, tx, mesh, bucket_dims[k]) for k in buckets}
+    step_fns = {k: make_partitioned_train_step(model, tx, mesh, bucket_dims[k]) for k in bucket_dims}
     val_apply_fns = (
         {k: make_partitioned_apply(model, mesh, bucket_dims[k], train_space=True)
          for k in set(k for k in k_val if k is not None)}

@@ -261,6 +261,17 @@ def _mp_local(
             )
             acc = jnp.concatenate([acc, jnp.zeros((1, acc.shape[1]), acc.dtype)])
             M = jnp.where(g.edge_mask[:, None], acc[g.src_ext], 0)
+        elif mp.undirected:
+            # the averaged H is rev-symmetric (H'[rev] = (H[rev]+H)/2 =
+            # H' bitwise), so the reverse-edge subtraction is local — no
+            # sideways edge halo needed this iteration
+            Hm = jnp.where(g.edge_mask[:, None], H, 0)
+            acc = halo_node_accumulators(
+                Hm, g.dst_ext, g.edge_mask, g.n_owned, N, HN, axis, S,
+                with_halo=True, single_phase=dims.single_phase,
+            )
+            acc = jnp.concatenate([acc, jnp.zeros((1, acc.shape[1]), acc.dtype)])
+            M = jnp.where(g.edge_mask[:, None], acc[g.src_ext] - Hm, 0)
         else:
             M = halo_message(
                 H, g.src_ext, g.dst_ext, g.rev_ext, g.edge_mask,
@@ -488,19 +499,29 @@ def plan_buckets(data, n_shards: int):
         b["HN"] = max(b["HN"], x.HN)
         b["HE"] = max(b["HE"], x.HE)
 
-    built = [
-        None
-        if k is None
-        else build_partitioned_graph(
-            d.mg, n_shards,
-            min_halo_nodes=buckets[k]["HN"], min_halo_edges=buckets[k]["HE"],
-            min_owned_nodes=buckets[k]["N"], min_shard_edges=k, V_d=d.V_d,
-        )
-        for d, k in zip(data, keys)
-    ]
+    built = []
+    for i, (d, k) in enumerate(zip(data, keys)):
+        if k is None:
+            built.append(None)
+            continue
+        try:
+            built.append(
+                build_partitioned_graph(
+                    d.mg, n_shards,
+                    min_halo_nodes=buckets[k]["HN"], min_halo_edges=buckets[k]["HE"],
+                    min_owned_nodes=buckets[k]["N"], min_shard_edges=k, V_d=d.V_d,
+                )
+            )
+        except ValueError:
+            # the bucket's shared halo floors (maxed over its members) can
+            # exceed THIS molecule's per-shard minimums even though it
+            # partitions fine on its own dims — route it dense rather than
+            # aborting the run
+            keys[i] = None
+            built.append(None)
     bucket_dims = {}
-    for k in buckets:
-        members = [dm for (b, kk) in zip(built, keys) if kk == k for _, dm in [b]]
+    for k in set(buckets) & set(kk for kk in keys if kk is not None):
+        members = [b[1] for b, kk in zip(built, keys) if kk == k]
         bucket_dims[k] = members[0]._replace(
             single_phase=all(dm.single_phase for dm in members)
         )

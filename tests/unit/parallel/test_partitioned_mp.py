@@ -387,6 +387,33 @@ class TestPredictPartitioned:
             )[:1]
             np.testing.assert_allclose(got[i : i + 1], want, rtol=2e-5, atol=2e-5)
 
+    def test_bucket_floor_conflict_routes_dense(self, model, variables, mesh):
+        """Two molecules can share a dim bucket where one's halo floors
+        (maxed over members) exceed the other's per-shard owned range:
+        plan_buckets must route the conflicting molecule dense instead of
+        raising (code-review r5 finding)."""
+        from chemprop_tpu.parallel.partitioned_mp import plan_buckets, predict_partitioned
+
+        feat = SimpleMoleculeMolGraphFeaturizer()
+        # A: long cross-link ring -> wide halo requirement on 2 shards;
+        # B: plain chain with a small per-shard owned range
+        smi_a = "C" * 5 + "C1" + "C" * 40 + "C1" + "C" * 44
+        smi_b = "C" * 73
+        data = [
+            Datum(feat(MoleculeDatapoint.from_smi(s, y=np.array([0.0])).mol),
+                  None, None, np.array([0.0]), 1.0, None, None)
+            for s in (smi_a, smi_b)
+        ]
+        keys, graphs, bucket_dims = plan_buckets(data, 2)
+        # no molecule may be dropped: each is either bucketed or dense
+        assert all(
+            (k is None and g is None) or (k is not None and g is not None)
+            for k, g in zip(keys, graphs)
+        )
+        # and the full predict path runs without raising, in input order
+        got = predict_partitioned(model, variables, data, n_shards=2)
+        assert got.shape[0] == 2 and np.isfinite(got).all()
+
     def test_encode_index_matches_dense_encoding(self, model, variables, giant_mg, mesh):
         """encode_index returns model.encoding semantics (fingerprint CLI)."""
         from chemprop_tpu.parallel.partitioned_mp import predict_partitioned
