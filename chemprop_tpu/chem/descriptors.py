@@ -406,8 +406,11 @@ def _crippen_hydrogen(mol: Mol, heavy: Atom) -> str:
 
 def crippen_atom_contribs(mol: Mol) -> tuple[np.ndarray, np.ndarray]:
     """Per-heavy-atom Wildman-Crippen (logP, MR) contributions, with each
-    atom's hydrogen contributions folded into it (the convention the VSA
-    descriptor families bin by)."""
+    atom's hydrogen contributions folded into it — the convention MolLogP/
+    MolMR sum over. NOTE: the SlogP_VSA/SMR_VSA families do NOT bin by
+    this; they bin by the OWN-TYPE contribution without H folding
+    (:func:`crippen_own_contribs` — the r5 fixture inversion showed RDKit's
+    bin membership matches only that convention)."""
     logp = np.zeros(mol.num_atoms)
     mr = np.zeros(mol.num_atoms)
     for a in mol.atoms:
@@ -1520,7 +1523,7 @@ def phi(mol: Mol) -> float:
     return kappa1(mol) * kappa2(mol) / n
 
 
-def sps(mol: Mol, normalize: bool = True) -> float:
+def sps(mol: Mol, normalize: bool = True, stereocenters=None) -> float:
     """Spacial score (Krzyzanowski et al., J. Med. Chem. 2023; RDKit
     ``SPS``): per heavy atom ``h*s*r*n^2`` with h = hybridization term
     (sp 1, sp2 2, sp3 3, other 4), s = 2 for stereocenter atoms (tagged or
@@ -1534,7 +1537,7 @@ def sps(mol: Mol, normalize: bool = True) -> float:
         return 0.0
     from chemprop_tpu.chem.mol import BondStereo
 
-    spec, unspec = find_potential_stereocenters(mol)
+    spec, unspec = stereocenters if stereocenters is not None else find_potential_stereocenters(mol)
     stereo_atoms = set(spec) | set(unspec)
     for b in mol.bonds:
         if b.bond_type == BondType.DOUBLE and b.stereo != BondStereo.STEREONONE:
@@ -1560,7 +1563,7 @@ _BCUT_KEYS = (
 )
 
 
-def bcut2d(mol: Mol) -> dict[str, float]:
+def bcut2d(mol: Mol, charges=None, crippen=None) -> dict[str, float]:
     """Burden eigenvalue descriptors (Pearlman & Smith BCUT; RDKit
     ``BCUT2D_*``): symmetric Burden matrix with diagonal = per-atom
     property, off-diagonal = ``1/sqrt(bond order)`` for bonded pairs
@@ -1574,12 +1577,14 @@ def bcut2d(mol: Mol) -> dict[str, float]:
     n = mol.num_atoms
     if n == 0:
         return {k: 0.0 for k in _BCUT_KEYS}
-    from chemprop_tpu.chem.charges import gasteiger_charges
-
     masses = np.array([MASSES[a.atomic_num] for a in mol.atoms])
-    q = gasteiger_charges(mol)
-    q = np.where(np.isfinite(q), q, 0.0)
-    logp, mr = crippen_own_contribs(mol)
+    if charges is None:
+        from chemprop_tpu.chem.charges import gasteiger_charges
+
+        charges = gasteiger_charges(mol)
+        charges = np.where(np.isfinite(charges), charges, 0.0)
+    q = charges
+    logp, mr = crippen if crippen is not None else crippen_own_contribs(mol)
 
     coupling = np.full((n, n), 0.001)
     np.fill_diagonal(coupling, 0.0)
@@ -1646,12 +1651,14 @@ def _finalize_names() -> None:
 _finalize_names()
 
 
-def _rdkit2d_vals(mol: Mol) -> dict[str, float]:
+def _rdkit2d_vals(mol: Mol, shared: dict | None = None) -> dict[str, float]:
     """Name -> value dict of the descriptastorus 200-set (the shared core of
     both the ``v1_rdkit_2d`` 200-vector and the descList 217-vector).
 
     Shared intermediates (VSA contributions, E-State, Gasteiger charges,
-    Crippen contributions) are computed once and reused across families.
+    Crippen contributions) are computed once and reused across families;
+    pass a ``shared`` dict to also hand them to the caller (so the
+    descList-only descriptors don't recompute them).
     """
     from chemprop_tpu.chem import surface
     from chemprop_tpu.chem.charges import gasteiger_charges
@@ -1666,6 +1673,9 @@ def _rdkit2d_vals(mol: Mol) -> dict[str, float]:
     # SlogP/SMR families bin by the OWN-TYPE contribution (r5 fixture
     # finding — bin membership matches RDKit exactly with these keys)
     logp_own, mr_own = crippen_own_contribs(mol)
+    if shared is not None:
+        shared["charges"] = charges
+        shared["crippen_own"] = (logp_own, mr_own)
 
     vals: dict[str, float] = {}
     for i, v in enumerate(surface._binned_sum(es, vsa, surface.ESTATE_BINS)):
@@ -1813,13 +1823,18 @@ def compute_desclist(mol: Mol) -> np.ndarray:
     :func:`_rdkit2d_vals`; the 17 descList-only descriptors (SPS, BCUT2D x8,
     AvgIpc, NumAmideBonds, stereocenter/bridgehead/spiro/heterocycle counts,
     Phi) are fixture-pinned where the fixture discriminates."""
-    vals = _rdkit2d_vals(mol)
-    vals["SPS"] = sps(mol)
-    vals.update(bcut2d(mol))
+    shared: dict = {}
+    vals = _rdkit2d_vals(mol, shared)
+    # expensive intermediates (legacy-CIP stereo perception, Gasteiger
+    # charges, Crippen contributions) computed once and shared across the
+    # descList-only descriptors
+    stereo = find_potential_stereocenters(mol)
+    vals["SPS"] = sps(mol, stereocenters=stereo)
+    vals.update(bcut2d(mol, charges=shared["charges"], crippen=shared["crippen_own"]))
     vals["AvgIpc"] = ipc(mol, avg=True)
     vals["NumAmideBonds"] = num_amide_bonds(mol)
-    vals["NumAtomStereoCenters"] = num_atom_stereo_centers(mol)
-    vals["NumUnspecifiedAtomStereoCenters"] = num_unspecified_atom_stereo_centers(mol)
+    vals["NumAtomStereoCenters"] = float(len(stereo[0]))
+    vals["NumUnspecifiedAtomStereoCenters"] = float(len(stereo[1]))
     vals["NumBridgeheadAtoms"] = num_bridgehead_atoms(mol)
     vals["NumSpiroAtoms"] = num_spiro_atoms(mol)
     vals["NumHeterocycles"] = num_heterocycles(mol)

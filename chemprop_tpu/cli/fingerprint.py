@@ -124,51 +124,28 @@ def _main_MAB(args, model_paths) -> int:
                 v, b.bmg, b.V_d, b.E_d, b.X_d, is_training=False, method="fingerprint"
             )
         )
+        from chemprop_tpu.train.mab_trainer import collect_mab_rows, restore_mab_order
+
         mol_chunks, atom_chunks, bond_chunks = [], [], []
         for batch in loader:
             H_g, H_v, H_e = apply(variables, batch)
-            bmg = batch.bmg
-            if H_g is not None:
-                counts = np.zeros(bmg.n_graphs + 1)
-                np.add.at(counts, np.asarray(bmg.batch), 1)
-                mol_chunks.append(np.asarray(H_g)[counts[: bmg.n_graphs] > 0])
-            if H_v is not None:
-                atom_chunks.append(np.asarray(H_v)[np.asarray(bmg.node_mask)])
-            if H_e is not None:
-                primary = (
-                    np.arange(bmg.E.shape[0]) < np.asarray(bmg.rev)
-                ) & np.asarray(bmg.edge_mask)
-                sel = np.asarray(H_e)[primary]
-                if batch.edge_origin is not None:
-                    bond_ids = np.asarray(batch.edge_origin)[primary] // 2
-                    sel = sel[np.argsort(bond_ids, kind="stable")]
-                bond_chunks.append(sel)
+            collect_mab_rows(batch, H_g, H_v, H_e, mol_chunks, atom_chunks, bond_chunks)
 
         base = args.output or args.data_path.with_name(args.data_path.stem + "_fingerprint.npz")
         if len(model_paths) > 1:
             base = base.with_name(f"{base.stem}_model_{k}{base.suffix}")
         base.parent.mkdir(parents=True, exist_ok=True)
+        cat = lambda cs: np.concatenate(cs, 0) if cs else None
         # oversized isolation may reorder batch emission; restore input
         # row order (grouped for the atom/bond tables)
-        from chemprop_tpu.train.mab_trainer import _regroup_rows
-
-        order = loader.emitted_order()
-        permuted = order is not None and not np.array_equal(order, np.arange(len(order)))
-        arrays = {}
-        for kind, chunks in (("mol", mol_chunks), ("atom", atom_chunks), ("bond", bond_chunks)):
-            if not chunks:
-                continue
-            arr = np.concatenate(chunks, 0)
-            if permuted:
-                if kind == "mol":
-                    inv = np.empty(len(order), np.int64)
-                    inv[order] = np.arange(len(order))
-                    arr = arr[inv]
-                elif kind == "atom":
-                    arr = _regroup_rows(arr, order, [max(1, d.mol.num_atoms) for d in dset.data])
-                else:
-                    arr = _regroup_rows(arr, order, [d.mol.num_bonds for d in dset.data])
-            arrays[kind] = arr
+        mol_cat, atom_cat, bond_cat = restore_mab_order(
+            loader, cat(mol_chunks), cat(atom_chunks), cat(bond_chunks)
+        )
+        arrays = {
+            kind: arr
+            for kind, arr in (("mol", mol_cat), ("atom", atom_cat), ("bond", bond_cat))
+            if arr is not None
+        }
         np.savez(base.with_suffix(".npz"), **arrays)
         print(f"wrote {base.with_suffix('.npz')} " + str({k: v.shape for k, v in arrays.items()}))
     return 0

@@ -235,62 +235,75 @@ class MABTrainer(Trainer):
         mol_chunks, atom_chunks, bond_chunks = [], [], []
         for batch in loader:
             mol_p, atom_p, bond_p = apply_fn(variables, batch)
-            bmg = batch.bmg
-            if mol_p is not None:
-                counts = np.zeros(bmg.n_graphs + 1)
-                np.add.at(counts, np.asarray(bmg.batch), 1)
-                keep = counts[: bmg.n_graphs] > 0  # real graphs have nodes
-                mol_chunks.append(np.asarray(mol_p)[keep])
-            if atom_p is not None:
-                atom_chunks.append(np.asarray(atom_p)[np.asarray(bmg.node_mask)])
-            if bond_p is not None:
-                primary = (
-                    np.arange(bmg.E.shape[0]) < np.asarray(bmg.rev)
-                ) & np.asarray(bmg.edge_mask)
-                sel = np.asarray(bond_p)[primary]
-                if batch.edge_origin is not None:
-                    # restore canonical bond order (edges were sorted by dst
-                    # at collate; origin//2 is the pre-sort bond id)
-                    bond_ids = np.asarray(batch.edge_origin)[primary] // 2
-                    sel = sel[np.argsort(bond_ids, kind="stable")]
-                bond_chunks.append(sel)
+            collect_mab_rows(batch, mol_p, atom_p, bond_p, mol_chunks, atom_chunks, bond_chunks)
         cat = lambda cs: np.concatenate(cs, 0) if cs else None
-        mol_cat, atom_cat, bond_cat = cat(mol_chunks), cat(atom_chunks), cat(bond_chunks)
-        # oversized-molecule isolation may have reordered batch emission
-        # (DataLoader.emitted_order); restore dataset row order — grouped
-        # by per-molecule atom/bond counts for the atom/bond tables
-        order_fn = getattr(loader, "emitted_order", None)
-        order = order_fn() if order_fn is not None else None
-        if order is not None and not np.array_equal(order, np.arange(len(order))):
-            data = loader.dataset.data
-            if mol_cat is not None and len(mol_cat) == len(order):
-                inv = np.empty(len(order), np.int64)
-                inv[order] = np.arange(len(order))
-                mol_cat = mol_cat[inv]
-            if atom_cat is not None:
-                # a zero-atom molecule featurizes to one zero node row
-                atom_cat = _regroup_rows(
-                    atom_cat, order, [max(1, d.mol.num_atoms) for d in data]
-                )
-            if bond_cat is not None:
-                bond_cat = _regroup_rows(bond_cat, order, [d.mol.num_bonds for d in data])
+        return restore_mab_order(
+            loader, cat(mol_chunks), cat(atom_chunks), cat(bond_chunks)
+        )
+
+
+def collect_mab_rows(batch, mol_p, atom_p, bond_p, mol_chunks, atom_chunks, bond_chunks):
+    """Strip one batch's per-head padded outputs down to real rows and
+    append them to the chunk lists (shared by MABTrainer and the
+    fingerprint CLI so the layout conventions live in one place):
+    zero-atom molecules keep their one zero node row; bond rows keep one
+    direction per bond, restored to canonical pre-dst-sort bond order via
+    ``edge_origin // 2``."""
+    bmg = batch.bmg
+    if mol_p is not None:
+        counts = np.zeros(bmg.n_graphs + 1)
+        np.add.at(counts, np.asarray(bmg.batch), 1)
+        keep = counts[: bmg.n_graphs] > 0  # real graphs have nodes
+        mol_chunks.append(np.asarray(mol_p)[keep])
+    if atom_p is not None:
+        atom_chunks.append(np.asarray(atom_p)[np.asarray(bmg.node_mask)])
+    if bond_p is not None:
+        primary = (
+            np.arange(bmg.E.shape[0]) < np.asarray(bmg.rev)
+        ) & np.asarray(bmg.edge_mask)
+        sel = np.asarray(bond_p)[primary]
+        if batch.edge_origin is not None:
+            bond_ids = np.asarray(batch.edge_origin)[primary] // 2
+            sel = sel[np.argsort(bond_ids, kind="stable")]
+        bond_chunks.append(sel)
+
+
+def restore_mab_order(loader, mol_cat, atom_cat, bond_cat):
+    """Restore dataset row order after oversized-molecule isolation
+    reordered batch emission (``DataLoader.emitted_order``) — grouped by
+    per-molecule atom/bond counts for the atom/bond tables. With
+    ``drop_last`` the emitted indices are a SUBSET of the dataset; rows
+    come back sorted by dataset index (argsort handles both cases)."""
+    order_fn = getattr(loader, "emitted_order", None)
+    order = order_fn() if order_fn is not None else None
+    if order is None or np.array_equal(order, np.arange(len(order))):
         return mol_cat, atom_cat, bond_cat
+    data = loader.dataset.data
+    if mol_cat is not None and len(mol_cat) == len(order):
+        mol_cat = mol_cat[np.argsort(order, kind="stable")]
+    if atom_cat is not None:
+        # a zero-atom molecule featurizes to one zero node row
+        atom_cat = _regroup_rows(
+            atom_cat, order, [max(1, d.mol.num_atoms) for d in data]
+        )
+    if bond_cat is not None:
+        bond_cat = _regroup_rows(bond_cat, order, [d.mol.num_bonds for d in data])
+    return mol_cat, atom_cat, bond_cat
 
 
 def _regroup_rows(arr: np.ndarray, order: np.ndarray, counts: list[int]) -> np.ndarray:
     """Un-permute a row-concatenated per-atom/bond table whose GROUPS were
-    emitted in ``order`` back to dataset order; ``counts[i]`` is dataset
-    molecule ``i``'s group size. No-op if the counts don't tile the table
+    emitted in ``order`` back to dataset-index order; ``counts[i]`` is
+    dataset molecule ``i``'s group size (``order`` may be a subset of the
+    dataset under ``drop_last``). No-op if the counts don't tile the table
     (unexpected layout — better unreordered than silently wrong)."""
     counts = np.asarray(counts, np.int64)
     emitted = counts[order]
     if arr.shape[0] != int(emitted.sum()):
         return arr
     starts = np.concatenate([[0], np.cumsum(emitted)])
-    pos_of = np.empty(len(order), np.int64)
-    pos_of[order] = np.arange(len(order))
     take = [
-        np.arange(starts[pos_of[i]], starts[pos_of[i]] + counts[i])
-        for i in range(len(order))
+        np.arange(starts[p], starts[p] + emitted[p])
+        for p in np.argsort(order, kind="stable")
     ]
     return arr[np.concatenate(take)] if take else arr

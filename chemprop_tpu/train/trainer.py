@@ -98,9 +98,10 @@ def _restore_order(preds: np.ndarray, loader, axis: int = 0) -> np.ndarray:
         return preds
     if np.array_equal(order, np.arange(len(order))):
         return preds
-    inv = np.empty(len(order), np.int64)
-    inv[order] = np.arange(len(order))
-    return np.take(preds, inv, axis=axis)
+    # argsort (not a scatter-inverse) so a drop_last SUBSET of dataset
+    # indices restores to ascending dataset order without indexing past
+    # len(order)
+    return np.take(preds, np.argsort(order, kind="stable"), axis=axis)
 
 
 def _count_edges(host_batch) -> int:

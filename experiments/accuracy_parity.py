@@ -271,9 +271,13 @@ def auc(p, y):
     return float((ranks[pos].sum() - n1 * (n1 + 1) / 2) / (n1 * n0))
 
 
-# two-sided 97.5% t quantiles for df = n-1 (paired CI without scipy)
-_T975 = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447,
-         7: 2.365, 8: 2.306, 9: 2.262, 10: 2.228, 14: 2.145, 19: 2.093}
+def _t975(df: int) -> float:
+    """Two-sided 97.5% t quantile for the paired CI — exact for any df
+    (the normal-quantile 1.96 fallback was anti-conservative for df
+    outside a hardcoded table; code-review r5 finding)."""
+    from scipy.stats import t as t_dist
+
+    return float(t_dist.ppf(0.975, df))
 
 
 def paired_ci(diffs: list[float]) -> dict:
@@ -282,7 +286,7 @@ def paired_ci(diffs: list[float]) -> dict:
     n = len(d)
     mean = float(d.mean())
     sd = float(d.std(ddof=1)) if n > 1 else float("nan")
-    t = _T975.get(n - 1, 1.96)
+    t = _t975(n - 1) if n > 1 else float("nan")
     half = t * sd / np.sqrt(n) if n > 1 else float("nan")
     return {
         "mean_diff": round(mean, 4),

@@ -110,6 +110,56 @@ class TestPredictFingerprint:
         assert len(rows) == 25  # header + 24
         assert len(rows[1]) >= 300  # fp_0..fp_299 (+ name column)
 
+    def test_mab_fingerprint_npz_with_isolation_reorder(self, monkeypatch, tmp_path):
+        """MAB fingerprints: per-kind npz tables in dataset row order even
+        when a giant molecule makes oversized isolation reorder emission
+        (the batch_size=1 loader emits strictly in order — the two runs
+        must agree row for row)."""
+        from chemprop_tpu.chem import make_mol
+
+        smis = ["CCO", "C1(CCCCC1)" * 40, "c1ccccc1", "CC(=O)O", "CCN"]
+        rows = [["smiles", "mol_y", "atom_y", "bond_y"]]
+        for s in smis:
+            m = make_mol(s, keep_h=False, add_h=False)
+            rows.append([
+                s, "1.0",
+                str([1.0] * m.num_atoms),
+                str([1.0] * m.num_bonds),
+            ])
+        p = tmp_path / "mab_giant.csv"
+        with open(p, "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+        out = tmp_path / "mab_out"
+        run_cli(
+            monkeypatch,
+            ["train", "-i", str(p),
+             "--mol-target-columns", "mol_y",
+             "--atom-target-columns", "atom_y",
+             "--bond-target-columns", "bond_y",
+             "--epochs", "1", "--batch-size", "4",
+             "--message-hidden-dim", "32",
+             "--split-sizes", "1.0", "0.0", "0.0", "-o", str(out)],
+        )
+        ckpt = next(out.rglob("best.ckpt"))
+        fps = {}
+        for bs, name in ((1, "ordered"), (4, "isolated")):
+            f = tmp_path / f"fp_{name}.npz"
+            run_cli(
+                monkeypatch,
+                ["fingerprint", "-i", str(p), "--model-paths", str(ckpt),
+                 "-b", str(bs), "-o", str(f)],
+            )
+            fps[name] = dict(np.load(f))
+        mols = [make_mol(s, keep_h=False, add_h=False) for s in smis]
+        assert fps["isolated"]["mol"].shape[0] == len(smis)
+        assert fps["isolated"]["atom"].shape[0] == sum(m.num_atoms for m in mols)
+        assert fps["isolated"]["bond"].shape[0] == sum(m.num_bonds for m in mols)
+        for kind in ("mol", "atom", "bond"):
+            np.testing.assert_allclose(
+                fps["isolated"][kind], fps["ordered"][kind],
+                rtol=2e-4, atol=2e-4, err_msg=kind,
+            )
+
 
 class TestClassificationTrain:
     def test_train_classification(self, monkeypatch, data_dir, tmp_path):

@@ -82,3 +82,33 @@ class TestMABOversizedIsolation:
         n_bonds = sum(d.mol.num_bonds for d in mixed_dataset.data)
         assert got[1].shape[0] == n_atoms
         assert got[2].shape[0] == n_bonds
+
+    def test_drop_last_subset_restores_without_crash(self, mixed_dataset, mab_model_vars):
+        """drop_last makes emitted_order a SUBSET of the dataset (isolated
+        tail batches are dropped); restoration must sort the emitted rows
+        by dataset index instead of crashing on the scatter inverse
+        (code-review r5 finding)."""
+        model, variables = mab_model_vars
+        tr = MABTrainer(model)
+        loader = DataLoader(mixed_dataset, batch_size=4, prefetch=0, drop_last=True)
+        order = loader.emitted_order()
+        # the giant (index 2) and the partial tail were dropped
+        assert list(order) == [0, 1, 3, 4]
+        got = tr.predict(loader, variables)
+        ref = tr.predict(DataLoader(mixed_dataset, batch_size=1, prefetch=0), variables)
+        data = mixed_dataset.data
+        # mol rows: the emitted subset in ascending dataset order
+        np.testing.assert_allclose(
+            got[0], ref[0][[0, 1, 3, 4]], rtol=2e-4, atol=2e-4
+        )
+        # atom/bond rows: grouped restore over the emitted subset
+        a_starts = np.concatenate([[0], np.cumsum([d.mol.num_atoms for d in data])])
+        b_starts = np.concatenate([[0], np.cumsum([d.mol.num_bonds for d in data])])
+        ref_atoms = np.concatenate(
+            [ref[1][a_starts[i] : a_starts[i + 1]] for i in (0, 1, 3, 4)]
+        )
+        ref_bonds = np.concatenate(
+            [ref[2][b_starts[i] : b_starts[i + 1]] for i in (0, 1, 3, 4)]
+        )
+        np.testing.assert_allclose(got[1], ref_atoms, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(got[2], ref_bonds, rtol=2e-4, atol=2e-4)
