@@ -184,3 +184,16 @@ class TestOversizedIsolation:
         })
         assert preds.shape[0] == n
         np.testing.assert_allclose(preds, ref, rtol=2e-5, atol=2e-5)
+
+        # drop_last: emitted_order is a SUBSET of dataset indices; restore
+        # must sort by dataset index instead of crashing on a scatter
+        # inverse (code-review r5 finding)
+        loader = DataLoader(ds, batch_size=8, drop_last=True)
+        order = loader.emitted_order()
+        assert len(order) < n
+        got = trainer.predict(loader, variables={
+            "params": trainer.state.params, "batch_stats": trainer.state.batch_stats
+        })
+        np.testing.assert_allclose(
+            got, ref[np.sort(order)], rtol=2e-5, atol=2e-5
+        )
