@@ -56,17 +56,22 @@ def main(args) -> int:
 
     loader, dset, _ = _build_loader(args, args.data_path)
 
+    part_session = None
     for k, path in enumerate(model_paths):
         model, variables, _ = load_model(path)
         if edge_partition:
-            from chemprop_tpu.parallel.partitioned_mp import predict_partitioned
+            if part_session is None:
+                # one plan + one compile per bucket shared across the
+                # ensemble (same model config, different params)
+                from chemprop_tpu.parallel.partitioned_mp import PartitionedInference
 
-            part_data = [dset[i] for i in range(len(dset))]
-            fps = predict_partitioned(
-                model, variables, part_data,
-                n_shards=args.edge_partition or None,
-                encode_index=args.ffn_block_index,
-            )
+                part_data = [dset[i] for i in range(len(dset))]
+                part_session = PartitionedInference(
+                    model, part_data,
+                    n_shards=args.edge_partition or None,
+                    encode_index=args.ffn_block_index,
+                )
+            fps = part_session.run(variables)
         else:
             apply = jax.jit(
                 lambda v, bmg, V_d, X_d: model.apply(

@@ -326,6 +326,7 @@ def main(args) -> int:
     individual = []
     dropout_uncs = []
     output_columns = None
+    part_session = None
     for path in model_paths:
         model, variables, extra = load_model(path)
         output_columns = extra.get("output_columns") or output_columns
@@ -337,13 +338,16 @@ def main(args) -> int:
             point_mc = mc[..., 0] if mc.ndim == 4 else mc  # [S, n, t]
             dropout_uncs.append(point_mc.var(axis=0))
         elif edge_partition:
-            from chemprop_tpu.parallel.partitioned_mp import predict_partitioned
+            if part_session is None:
+                # one plan + one compile per bucket, shared by every
+                # ensemble member (same model config, different params)
+                from chemprop_tpu.parallel.partitioned_mp import PartitionedInference
 
-            part_data = [dset[i] for i in range(len(dset))]
-            preds = predict_partitioned(
-                model, variables, part_data, n_shards=args.edge_partition or None
-            )
-            individual.append(preds)
+                part_data = [dset[i] for i in range(len(dset))]
+                part_session = PartitionedInference(
+                    model, part_data, n_shards=args.edge_partition or None
+                )
+            individual.append(part_session.run(variables))
         else:
             trainer = Trainer(model)
             preds = trainer.predict(loader, variables=variables)
@@ -384,6 +388,21 @@ def main(args) -> int:
                 cal_unc_list.append(point_mc.var(axis=0))
             cal_preds = np.stack(cal_stack).mean(0)
             cal_uncs = np.stack(cal_unc_list).mean(axis=0)
+        elif edge_partition:
+            # the calibration set goes through the SAME partitioned path as
+            # the main predictions — a giant calibration molecule must not
+            # fall back to the one-device dense program the flag avoids
+            from chemprop_tpu.parallel.partitioned_mp import PartitionedInference
+
+            cal_data = [cal_dset[i] for i in range(len(cal_dset))]
+            cal_session = PartitionedInference(
+                first_model, cal_data, n_shards=args.edge_partition or None
+            )
+            cal_stack = np.stack(
+                [cal_session.run(load_model(p)[1]) for p in model_paths]
+            )
+            cal_preds = cal_stack.mean(0)
+            cal_uncs = _estimate_uncertainty(args, cal_stack, model)
         else:
             cal_stack = np.stack(
                 [

@@ -769,6 +769,7 @@ def _train_edge_partitioned(
     from chemprop_tpu.data.collate import collate_batch
     from chemprop_tpu.models.serialize import save_model
     from chemprop_tpu.parallel.partitioned_mp import (
+        PartitionedInference,
         check_partitionable,
         make_partitioned_apply,
         make_partitioned_train_step,
@@ -902,21 +903,33 @@ def _train_edge_partitioned(
             method="train_step_preds",
         )
 
+    # epoch-invariant validation inputs: collation and target arrays are
+    # built once; val_loss_of only re-runs the device programs each epoch
+    val_part = [
+        (
+            k, g, xd,
+            jnp.asarray(np.asarray(d.y, np.float32))[None],
+            jnp.asarray([np.float32(d.weight)]),
+        )
+        for d, g, k, xd in zip(vals, g_val, k_val, x_val)
+        if k is not None
+    ]
+    val_dense = []
+    dense_val_data = [d for d, k in zip(vals, k_val) if k is None]
+    for j in range(0, len(dense_val_data), dense_bs):
+        chunk = dense_val_data[j : j + dense_bs]
+        vb = collate_batch(chunk, dense_pad)
+        y = jnp.asarray(np.asarray([np.asarray(d.y, np.float32) for d in chunk]))
+        w = jnp.asarray(np.asarray([np.float32(d.weight) for d in chunk]))
+        val_dense.append((vb, y, w, len(chunk)))
+
     def val_loss_of(params):
         st = criterion.init_state()
-        dense_val = [(d, i) for i, d in enumerate(vals) if k_val[i] is None]
-        for d, g, k, xd in zip(vals, g_val, k_val, x_val):
-            if k is None:
-                continue
+        for k, g, xd, y, w in val_part:
             preds = val_apply_fns[k]({"params": params}, g, xd)
-            y = jnp.asarray(np.asarray(d.y, np.float32))[None]
-            st = _criterion_update(st, preds, y, jnp.asarray([np.float32(d.weight)]))
-        for j in range(0, len(dense_val), dense_bs):
-            chunk = [d for d, _ in dense_val[j : j + dense_bs]]
-            vb = collate_batch(chunk, dense_pad)
-            preds = dense_preds(params, vb.bmg, vb.V_d, vb.X_d)[: len(chunk)]
-            y = jnp.asarray(np.asarray([np.asarray(d.y, np.float32) for d in chunk]))
-            w = jnp.asarray(np.asarray([np.float32(d.weight) for d in chunk]))
+            st = _criterion_update(st, preds, y, w)
+        for vb, y, w, n in val_dense:
+            preds = dense_preds(params, vb.bmg, vb.V_d, vb.X_d)[:n]
             st = _criterion_update(st, preds, y, w)
         return float(criterion.compute(st))
 
@@ -982,25 +995,13 @@ def _train_edge_partitioned(
 
     scores = None
     if tests:
-        apply_fns = {
-            k: make_partitioned_apply(model, mesh, bucket_dims[k])
-            for k in set(k for k in k_test if k is not None)
-        }
-
-        @jax.jit
-        def dense_infer(params, bmg, V_d, X_d):
-            return model.apply({"params": params}, bmg, V_d, X_d, is_training=False)
-
-        rows = []
-        for d, g, k, xd in zip(tests, g_test, k_test, x_test):
-            if k is not None:
-                rows.append(np.asarray(apply_fns[k]({"params": final_params}, g, xd)))
-            else:
-                tb = collate_batch([d], dense_pad)
-                rows.append(
-                    np.asarray(dense_infer(final_params, tb.bmg, tb.V_d, tb.X_d))[:1]
-                )
-        preds = np.concatenate(rows, axis=0)
+        # reuse the already-built test graphs/buckets; dense-routed test
+        # molecules are batched per dispatch inside the session
+        session = PartitionedInference(
+            model, tests, plan=(k_test, g_test, bucket_dims), mesh=mesh,
+            dense_batch_size=dense_bs,
+        )
+        preds = session.run(final_vars)
         scores = _score_test(preds, test_dset, args, target_cols)
         logger.info(f"edge-partitioned test scores: {scores}")
         _save_preds(out_dir / "test_predictions.csv", test_dset, preds, target_cols)

@@ -175,9 +175,22 @@ def build_partitioned_graph(
 
 
 def natural_dims(mg, n_shards: int) -> PartitionDims:
-    """The per-molecule dims before any cross-dataset floors."""
-    _, dims = build_partitioned_graph(mg, n_shards)
-    return dims
+    """The per-molecule dims before any cross-dataset floors.
+
+    Plan-only: runs :func:`partition_edges` on the dst-sorted index arrays
+    without materializing any feature slices, so bucket routing over a
+    dataset costs index work only (the full ``PartitionedGraph`` build
+    happens once per molecule, after its bucket's floors are known)."""
+    dst = np.asarray(mg.edge_index[1], np.int64)
+    order = np.argsort(dst, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    src = np.asarray(mg.edge_index[0], np.int64)[order]
+    rev = inv[np.asarray(mg.rev_edge_index, np.int64)[order]]
+    plan = partition_edges(src, dst[order], rev, np.asarray(mg.V).shape[0], n_shards)
+    own = np.asarray(plan.n_owned)
+    single = bool(int(own.min()) >= 2 * plan.HN) if plan.n_shards > 1 else True
+    return PartitionDims(plan.n_shards, plan.P, plan.N, plan.HN, plan.HE, single)
 
 
 def _dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
@@ -529,6 +542,79 @@ def plan_buckets(data, n_shards: int):
     return keys, graphs, bucket_dims
 
 
+class PartitionedInference:
+    """Reusable mixed partitioned/dense inference session.
+
+    Builds the bucket plan, the per-bucket compiled programs, and the
+    dense-fallback batches ONCE; :meth:`run` then evaluates any parameter
+    set against the same graphs and compiled programs — an ensemble of
+    same-config checkpoints shares one plan and one compile per bucket
+    instead of re-planning and re-jitting per member. Dense-routed
+    molecules are batched (up to ``dense_batch_size`` per dispatch) rather
+    than dispatched one padded graph at a time; outputs are stacked in
+    input order. ``plan``/``mesh`` accept a pre-built
+    ``(keys, graphs, bucket_dims)`` routing (e.g. the one the training
+    loop already computed) so graphs are not rebuilt."""
+
+    def __init__(
+        self, model, data, n_shards: int | None = None,
+        encode_index: int | None = None, plan=None, mesh: Mesh | None = None,
+        dense_batch_size: int = 64, train_space: bool = False,
+    ):
+        from chemprop_tpu.data.collate import PadSpec, collate_batch
+
+        check_partitionable(model)
+        devs = jax.devices()
+        n_dev = min(n_shards or len(devs), len(devs))
+        self.data = data
+        self.keys, self.graphs, bucket_dims = (
+            plan if plan is not None else plan_buckets(data, n_dev)
+        )
+        self.mesh = mesh if mesh is not None else Mesh(np.array(devs[:n_dev]), (DATA_AXIS,))
+        used = set(k for k in self.keys if k is not None)
+        self.apply_fns = {
+            k: make_partitioned_apply(
+                model, self.mesh, bucket_dims[k],
+                encode_index=encode_index, train_space=train_space,
+            )
+            for k in used
+        }
+        self.x_ds = [
+            None
+            if d.x_d is None
+            else jnp.asarray(np.asarray(d.x_d, np.float32).reshape(1, -1))
+            for d in data
+        ]
+        dense_idx = [i for i, k in enumerate(self.keys) if k is None]
+        self.dense_batches = []
+        if dense_idx:
+            bs = max(1, min(dense_batch_size, len(dense_idx)))
+            pad = PadSpec.for_graphs([data[i].mg for i in dense_idx], n_graphs=bs)
+            for j in range(0, len(dense_idx), bs):
+                chunk = dense_idx[j : j + bs]
+                tb = collate_batch([data[i] for i in chunk], pad)
+                self.dense_batches.append((chunk, tb))
+
+        @jax.jit
+        def dense_infer(vs, bmg, V_d, X_d):
+            if encode_index is not None:
+                return model.apply(vs, bmg, V_d, X_d, i=encode_index, method="encoding")
+            return model.apply(vs, bmg, V_d, X_d, is_training=False)
+
+        self._dense_infer = dense_infer
+
+    def run(self, variables) -> np.ndarray:
+        rows: list = [None] * len(self.data)
+        for i, (k, g) in enumerate(zip(self.keys, self.graphs)):
+            if k is not None:
+                rows[i] = np.asarray(self.apply_fns[k](variables, g, self.x_ds[i]))
+        for chunk, tb in self.dense_batches:
+            out = np.asarray(self._dense_infer(variables, tb.bmg, tb.V_d, tb.X_d))
+            for t, i in enumerate(chunk):
+                rows[i] = out[t : t + 1]
+        return np.concatenate(rows, axis=0)
+
+
 def predict_partitioned(
     model, variables, data, n_shards: int | None = None,
     encode_index: int | None = None,
@@ -539,41 +625,10 @@ def predict_partitioned(
     stacked in input order (full inference semantics: eval transforms +
     output unscaling). With ``encode_index``, returns learned fingerprints
     (``model.encoding`` semantics) instead of predictions. CLI:
-    ``chemprop-tpu predict|fingerprint --edge-partition [N]``."""
-    from chemprop_tpu.data.collate import PadSpec, collate_batch
-
-    check_partitionable(model)
-    devs = jax.devices()
-    n_dev = min(n_shards or len(devs), len(devs))
-    mesh = Mesh(np.array(devs[:n_dev]), (DATA_AXIS,))
-    keys, graphs, bucket_dims = plan_buckets(data, n_dev)
-    apply_fns = {
-        k: make_partitioned_apply(model, mesh, bucket_dims[k], encode_index=encode_index)
-        for k in bucket_dims
-    }
-    dense_idx = [i for i, k in enumerate(keys) if k is None]
-    dense_pad = (
-        PadSpec.for_graphs([data[i].mg for i in dense_idx], n_graphs=1)
-        if dense_idx
-        else None
-    )
-
-    @jax.jit
-    def dense_infer(vs, bmg, V_d, X_d):
-        if encode_index is not None:
-            return model.apply(vs, bmg, V_d, X_d, i=encode_index, method="encoding")
-        return model.apply(vs, bmg, V_d, X_d, is_training=False)
-
-    rows = []
-    for d, k, g in zip(data, keys, graphs):
-        x_d = (
-            None
-            if d.x_d is None
-            else jnp.asarray(np.asarray(d.x_d, np.float32).reshape(1, -1))
-        )
-        if k is not None:
-            rows.append(np.asarray(apply_fns[k](variables, g, x_d)))
-        else:
-            tb = collate_batch([d], dense_pad)
-            rows.append(np.asarray(dense_infer(variables, tb.bmg, tb.V_d, tb.X_d))[:1])
-    return np.concatenate(rows, axis=0)
+    ``chemprop-tpu predict|fingerprint --edge-partition [N]``. For
+    repeated evaluation over the same data (ensembles), build one
+    :class:`PartitionedInference` and call :meth:`~PartitionedInference.run`
+    per parameter set."""
+    return PartitionedInference(
+        model, data, n_shards=n_shards, encode_index=encode_index
+    ).run(variables)

@@ -567,6 +567,35 @@ class TestEdgePartitionTraining:
         scores = json.load(open(out / "test_scores.json"))
         assert np.isfinite(list(scores[-1].values())).all()
 
+    def test_predict_calibration_rides_partitioned_path(
+        self, giant_csv, tmp_path, monkeypatch
+    ):
+        """predict --edge-partition with a calibration set: the calibration
+        molecules route through the SAME partitioned inference session as
+        the main predictions (not the one-device dense path the flag
+        exists to avoid), and the calibrated uncertainties come out
+        finite."""
+        out = tmp_path / "out_mve"
+        run_cli(
+            monkeypatch,
+            ["train", "-i", str(giant_csv), "--edge-partition", "--epochs", "2",
+             "--task-type", "regression-mve",
+             "--message-hidden-dim", "32", "--ffn-hidden-dim", "32",
+             "--split-sizes", "0.5", "0.0", "0.5", "-o", str(out)],
+        )
+        preds_csv = tmp_path / "preds_cal.csv"
+        run_cli(
+            monkeypatch,
+            ["predict", "-i", str(giant_csv), "--model-paths", str(out / "best.ckpt"),
+             "--edge-partition", "--uncertainty-method", "mve",
+             "--calibration-method", "zscaling", "--cal-path", str(giant_csv),
+             "-o", str(preds_csv)],
+        )
+        rows = list(csv.DictReader(open(preds_csv)))
+        assert len(rows) == 6
+        vals = np.array([float(r["y"]) for r in rows])
+        assert np.isfinite(vals).all()
+
     def test_train_and_standard_predict(self, giant_csv, tmp_path, monkeypatch):
         out = tmp_path / "out"
         run_cli(
