@@ -22,7 +22,8 @@ touches.
 
 from __future__ import annotations
 
-from math import lgamma
+from dataclasses import dataclass, field
+from math import lgamma, sqrt
 from typing import Sequence
 
 import numpy as np
@@ -218,3 +219,240 @@ class MyersonExplainer:
         if n <= self.sampling_threshold:
             return self._explain_exact(mg)
         return self._explain_sampling(mg)
+
+
+# =========================================================================
+# Monte Carlo Tree Search rationale extraction (Jin et al., arXiv:2002.03244)
+# =========================================================================
+#
+# The reference ships this only as a worked notebook
+# (``examples/interpreting_monte_carlo_tree_search.ipynb``, adapted from
+# chemprop v1's ``interpret.py``): repeatedly delete one peripheral cluster
+# (a non-ring bond or an SSSR ring) from the molecule, guided by PUCT, and
+# keep small substructures whose predicted property stays above a
+# threshold ("rationales"). Design deltas here, TPU-first:
+#
+# * states are keyed by atom-subset BITMASK, not by extracted SMILES — no
+#   SMILES round-trip per child, no extraction-failure dead states, and two
+#   states merge iff they are the same atom subset;
+# * each expansion scores ALL new children in one padded static-shape
+#   batch over induced sub-MolGraphs (the Myerson machinery), instead of
+#   re-parsing each child's SMILES through a fresh dataloader + Trainer;
+# * subgraphs keep the parent molecule's perceived features (aromaticity,
+#   H counts) rather than being re-perceived from a SMILES round-trip —
+#   rationale SMILES are extracted once at the end, for reporting only.
+
+
+@dataclass
+class MCTSNode:
+    """One search state: an atom subset of the molecule (``mask`` bitmask).
+
+    ``W``/``N`` are the usual total action value and visit count; ``P`` is
+    the model's predicted property for this subset's induced subgraph (the
+    prior in the PUCT rule, "R" in Jin et al.)."""
+
+    mask: int
+    n_atoms: int
+    W: float = 0.0
+    N: int = 0
+    P: float = 0.0
+    children: list["MCTSNode"] = field(default_factory=list)
+
+    def Q(self) -> float:
+        return self.W / self.N if self.N > 0 else 0.0
+
+    def U(self, sibling_visits: int, c_puct: float) -> float:
+        return c_puct * self.P * sqrt(sibling_visits) / (1 + self.N)
+
+
+def find_deletion_clusters(mol) -> tuple[list[int], list[set[int]]]:
+    """Deletion units of the Jin et al. action space, as atom bitmasks:
+    every non-ring bond and every SSSR ring (cf. the reference notebook's
+    ``find_clusters``). Returns ``(clusters, atom_cls)`` where
+    ``atom_cls[a]`` is the set of cluster indices containing atom ``a``."""
+    n = mol.num_atoms
+    if n == 1:
+        return [1], [{0}]
+    clusters: list[int] = []
+    for b in mol.bonds:
+        if not b.is_in_ring:
+            clusters.append(1 << b.begin_atom_idx | 1 << b.end_atom_idx)
+    for ring in mol.rings:
+        m = 0
+        for a in ring:
+            m |= 1 << a
+        clusters.append(m)
+    atom_cls: list[set[int]] = [set() for _ in range(n)]
+    for i, m in enumerate(clusters):
+        for a in _bits(m):
+            atom_cls[a].add(i)
+    return clusters, atom_cls
+
+
+def _bits(mask: int):
+    while mask:
+        b = mask & -mask
+        yield b.bit_length() - 1
+        mask ^= b
+
+
+def subgraph_smiles(mol, mask: int) -> str | None:
+    """Canonical SMILES of the induced subgraph (reporting only): rebuild
+    the selected atoms/bonds as a standalone molecule, re-perceive, write
+    (the Murcko-scaffold extraction pattern, ``chem/scaffold.py``).
+    Returns ``None`` when the fragment does not survive sanitization
+    (mirrors the notebook's extraction-failure path)."""
+    from chemprop_tpu.chem.mol import Atom, Mol
+    from chemprop_tpu.chem.perception import sanitize
+    from chemprop_tpu.chem.smiles_writer import write_smiles
+
+    try:
+        sub = Mol()
+        remap: dict[int, int] = {}
+        for a in mol.atoms:
+            if mask >> a.idx & 1:
+                na = Atom(
+                    atomic_num=a.atomic_num,
+                    formal_charge=a.formal_charge,
+                    is_aromatic=a.is_aromatic,
+                    isotope=a.isotope,
+                    chiral_tag=a.chiral_tag,
+                )
+                remap[a.idx] = sub.add_atom(na)
+        for b in mol.bonds:
+            if mask >> b.begin_atom_idx & 1 and mask >> b.end_atom_idx & 1:
+                nb = sub.add_bond(remap[b.begin_atom_idx], remap[b.end_atom_idx], b.bond_type)
+                nb.is_aromatic = b.is_aromatic
+        sanitize(sub)
+        return write_smiles(sub)
+    except Exception:
+        return None
+
+
+class MCTSRationaleExplainer:
+    """Extracts property rationales (small high-scoring substructures) from
+    a trained single-molecule :class:`MPNN` via Monte Carlo Tree Search.
+
+    ``explain(smiles)`` returns rationale dicts sorted by score
+    (descending): ``{"atoms": [...], "smiles": str | None, "score": float,
+    "n_atoms": int}``. Same restriction as the reference notebook: single
+    molecule per datapoint, no extra atom/bond features."""
+
+    def __init__(
+        self,
+        model,
+        variables: dict,
+        featurizer=None,
+        n_rollout: int = 10,
+        max_atoms: int = 20,
+        min_atoms: int = 8,
+        prop_delta: float = 0.5,
+        c_puct: float = 10.0,
+        property_index: int = 0,
+        graphs_per_batch: int = 256,
+    ):
+        if featurizer is None:
+            from chemprop_tpu.featurizers.molgraph.molecule import (
+                SimpleMoleculeMolGraphFeaturizer,
+            )
+
+            featurizer = SimpleMoleculeMolGraphFeaturizer()
+        self.model = model
+        self.variables = variables
+        self.featurizer = featurizer
+        self.n_rollout = n_rollout
+        self.max_atoms = max_atoms
+        self.min_atoms = min_atoms
+        self.prop_delta = prop_delta
+        self.c_puct = c_puct
+        self.property_index = property_index
+        self._scorer = MyersonExplainer(
+            model, variables, graphs_per_batch=graphs_per_batch
+        )
+
+    def _score_masks(self, mg: MolGraph, masks: list[int]) -> np.ndarray:
+        """Predicted property ``[len(masks)]`` of the induced subgraphs, one
+        padded batched dispatch per chunk (reuses the Myerson evaluator)."""
+        out = self._scorer._eval_masks(mg, masks)
+        return out[:, self.property_index]
+
+    def _rollout(self, node: MCTSNode, state_map, mg, clusters, atom_cls, nei_cls) -> float:
+        if node.n_atoms <= self.min_atoms:
+            return node.P
+        if not node.children:
+            cur = node.mask
+            cur_cls = {i for i, m in enumerate(clusters) if m & cur == m}
+            fresh: list[MCTSNode] = []
+            for i in cur_cls:
+                # leaf atoms belong to no other still-present cluster;
+                # deletion rule per Jin et al.: the cluster is peripheral
+                # (one present neighbor cluster), or it is a 2-atom bond
+                # with exactly one leaf end
+                leaf = 0
+                for a in _bits(clusters[i]):
+                    if atom_cls[a] & cur_cls == {i}:
+                        leaf |= 1 << a
+                n_leaf = leaf.bit_count()
+                if not (
+                    len(nei_cls[i] & cur_cls) == 1
+                    or (clusters[i].bit_count() == 2 and n_leaf == 1)
+                ):
+                    continue
+                new_mask = cur & ~leaf
+                if new_mask == 0 or n_leaf == 0:
+                    continue
+                child = state_map.get(new_mask)
+                if child is None:
+                    child = MCTSNode(new_mask, new_mask.bit_count())
+                    state_map[new_mask] = child
+                    fresh.append(child)
+                node.children.append(child)
+            if not node.children:
+                return node.P  # no deletable peripheral cluster
+            if fresh:
+                scores = self._score_masks(mg, [c.mask for c in fresh])
+                for child, s in zip(fresh, scores):
+                    child.P = float(s)
+        total = sum(c.N for c in node.children)
+        chosen = max(node.children, key=lambda c: c.Q() + c.U(total, self.c_puct))
+        v = self._rollout(chosen, state_map, mg, clusters, atom_cls, nei_cls)
+        chosen.W += v
+        chosen.N += 1
+        return v
+
+    def explain(self, smiles: str) -> list[dict]:
+        """Run the search for one molecule; returns rationales with at most
+        ``max_atoms`` atoms scoring at least ``prop_delta``."""
+        from chemprop_tpu.chem import make_mol
+
+        mol = make_mol(smiles)
+        n = mol.num_atoms
+        if n == 0:
+            return []
+        mg = self.featurizer(mol)
+        clusters, atom_cls = find_deletion_clusters(mol)
+        nei_cls = [
+            set().union(*(atom_cls[a] for a in _bits(m))) - {i}
+            for i, m in enumerate(clusters)
+        ]
+        full = (1 << n) - 1
+        root = MCTSNode(full, n)
+        root.P = float(self._score_masks(mg, [full])[0])
+        state_map: dict[int, MCTSNode] = {full: root}
+        for _ in range(self.n_rollout):
+            self._rollout(root, state_map, mg, clusters, atom_cls, nei_cls)
+        rationales = [
+            node
+            for node in state_map.values()
+            if node.n_atoms <= self.max_atoms and node.P >= self.prop_delta
+        ]
+        rationales.sort(key=lambda nd: nd.P, reverse=True)
+        return [
+            {
+                "atoms": list(_bits(nd.mask)),
+                "smiles": subgraph_smiles(mol, nd.mask),
+                "score": nd.P,
+                "n_atoms": nd.n_atoms,
+            }
+            for nd in rationales
+        ]
