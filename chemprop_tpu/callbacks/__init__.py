@@ -42,4 +42,21 @@ class MyersonExplainerCallback:
         return [explainer.explain(dataset[i].mg) for i in range(len(dataset))]
 
 
-__all__ = ["CallbackRegistry", "MyersonExplainerCallback"]
+@CallbackRegistry.register("mcts")
+class MCTSRationaleCallback:
+    """MCTS substructure rationales computed during predict
+    (:class:`chemprop_tpu.interpret.MCTSRationaleExplainer`; the reference
+    ships this algorithm only as its
+    ``interpreting_monte_carlo_tree_search`` notebook)."""
+
+    def __init__(self, **kwargs):
+        self.kwargs = kwargs
+
+    def explain(self, model, variables, dataset):
+        from chemprop_tpu.interpret import MCTSRationaleExplainer
+
+        explainer = MCTSRationaleExplainer(model, variables, **self.kwargs)
+        return [explainer.explain_mol(dataset.data[i].mol) for i in range(len(dataset))]
+
+
+__all__ = ["CallbackRegistry", "MCTSRationaleCallback", "MyersonExplainerCallback"]

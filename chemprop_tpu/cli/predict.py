@@ -131,9 +131,11 @@ def add_predict_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     g.add_argument("--evaluation-methods", "--evaluation-method", nargs="+")
     g.add_argument(
         "--callback",
-        choices=["myerson"],
-        help="interpretability callback run during predict "
-        "(cf. reference --callback / MyersonExplainerCallback)",
+        choices=["myerson", "mcts"],
+        help="interpretability callback run during predict: 'myerson' "
+        "per-atom attributions (cf. reference --callback / "
+        "MyersonExplainerCallback) or 'mcts' substructure rationales "
+        "(the reference ships MCTS only as a notebook)",
     )
     g.add_argument(
         "--callback-params",
@@ -475,7 +477,31 @@ def main(args) -> int:
 
     if getattr(args, "callback", None) == "myerson":
         _run_myerson_callback(args, model_paths, dset, out)
+    elif getattr(args, "callback", None) == "mcts":
+        _run_mcts_callback(args, model_paths, dset, out)
     return 0
+
+
+def _run_mcts_callback(args, model_paths, dset, out: Path) -> None:
+    """MCTS substructure rationales for every input molecule, one JSON per
+    model (``interpret.MCTSRationaleExplainer``; the reference ships this
+    algorithm only as the ``interpreting_monte_carlo_tree_search``
+    notebook). Writes ``<output stem>_mcts_rationales[_i].json``: a list
+    (per molecule) of rationale dicts ``{atoms, smiles, score, n_atoms}``."""
+    from chemprop_tpu.interpret import MCTSRationaleExplainer
+
+    params = dict(args.callback_params)
+    for m_i, path in enumerate(model_paths):
+        model, variables, _ = load_model(path)
+        explainer = MCTSRationaleExplainer(model, variables, **params)
+        rationales = [
+            explainer.explain_mol(dset.data[i].mol) for i in range(len(dset))
+        ]
+        suffix = "" if len(model_paths) == 1 else f"_{m_i}"
+        dst = out.parent / f"{out.stem}_mcts_rationales{suffix}.json"
+        with open(dst, "w") as f:
+            json.dump(rationales, f, indent=2)
+        logger.info(f"MCTS rationales saved to {dst}")
 
 
 def _run_myerson_callback(args, model_paths, dset, out: Path) -> None:

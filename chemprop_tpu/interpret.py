@@ -425,7 +425,10 @@ class MCTSRationaleExplainer:
         ``max_atoms`` atoms scoring at least ``prop_delta``."""
         from chemprop_tpu.chem import make_mol
 
-        mol = make_mol(smiles)
+        return self.explain_mol(make_mol(smiles))
+
+    def explain_mol(self, mol) -> list[dict]:
+        """Same as :meth:`explain` for an already-parsed molecule."""
         n = mol.num_atoms
         if n == 0:
             return []

@@ -100,6 +100,28 @@ class TestPredictFingerprint:
         uncs = np.array([float(r["lipo_unc"]) for r in rows])
         assert (uncs > 0).all()  # dropout variance must be strictly positive
 
+    def test_predict_with_mcts_callback(self, monkeypatch, mol_csv, train_dir, tmp_path):
+        """--callback mcts: substructure rationales saved as JSON alongside
+        the predictions (the reference ships MCTS interpretation only as a
+        notebook; here it is CLI-reachable)."""
+        out = tmp_path / "preds_mcts.csv"
+        run_cli(
+            monkeypatch,
+            [
+                "predict", "-i", str(mol_csv), "--model-paths",
+                str(train_dir / "best.ckpt"),
+                "--callback", "mcts",
+                "--callback-params",
+                '{"n_rollout": 2, "max_atoms": 10, "min_atoms": 3, "prop_delta": -1e9}',
+                "-o", str(out),
+            ],
+        )
+        rats = json.load(open(tmp_path / "preds_mcts_mcts_rationales.json"))
+        assert len(rats) == 24  # one rationale list per input molecule
+        flat = [r for per_mol in rats for r in per_mol]
+        assert flat and all(r["n_atoms"] <= 10 for r in flat)
+        assert all(np.isfinite(r["score"]) for r in flat)
+
     def test_fingerprint_csv(self, monkeypatch, mol_csv, train_dir, tmp_path):
         out = tmp_path / "fps.csv"
         run_cli(

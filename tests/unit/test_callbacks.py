@@ -33,6 +33,30 @@ def test_myerson_callback_explains(monkeypatch):
     assert out[1].shape[0] == 2
 
 
+def test_mcts_callback_extracts_rationales():
+    import jax
+
+    from chemprop_tpu.callbacks import MCTSRationaleCallback
+    from chemprop_tpu.data import MoleculeDatapoint, MoleculeDataset
+    from chemprop_tpu.models import MPNN
+    from chemprop_tpu.nn import BondMessagePassing, MeanAggregation, RegressionFFN
+
+    assert "mcts" in CallbackRegistry
+    model = MPNN(
+        message_passing=BondMessagePassing(depth=2, d_h=16),
+        agg=MeanAggregation(),
+        predictor=RegressionFFN(input_dim=16, hidden_dim=16),
+    )
+    ds = MoleculeDataset(
+        [MoleculeDatapoint.from_smi("CCc1ccccc1O", y=np.zeros(1))]
+    )
+    variables = model.init(jax.random.PRNGKey(0), _tiny_batch(ds[0]), is_training=False)
+    cb = MCTSRationaleCallback(n_rollout=3, max_atoms=6, min_atoms=2, prop_delta=-1e9)
+    out = cb.explain(model, variables, ds)
+    assert len(out) == 1 and out[0]
+    assert all(r["n_atoms"] <= 6 and np.isfinite(r["score"]) for r in out[0])
+
+
 def _tiny_batch(datum):
     from chemprop_tpu.data import PadSpec, collate_batch
 
